@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale plan:
+
+- **Brute-force cosine top-k** — the correctness baseline: broadcast the
+  (small) query set, one narrow pass over the embedding table computing
+  cosine with native array expressions (zip_with + aggregate, all
+  JVM-side, doubles), then a per-query top-k window. Cost: O(|queries| x N)
+  — fine when |queries| is small; the full pass parallelizes perfectly.
+- **LSH-bucketed (random hyperplanes)** — the scale path: b deterministic
+  pseudo-random hyperplanes -> b-bit sign sketch -> candidates share the
+  bucket (optionally with multi-probe) -> exact cosine re-rank within
+  buckets. Shuffle carries (id, bucket, vector) once; the quadratic part is
+  confined to buckets.
+
+All math is double-precision (cast from float32 storage) so results are
+reproducible against a double-precision oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (sequential fold — matches
+    a scalar engine's left-to-right summation for reproducibility)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank); self-matches
+    (query_id == neighbor_id) excluded. Ties broken by neighbor id.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id_col), _vec(query_vec_col).alias("__qv"))
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__ev")), round_to).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs_above(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.99,
+    round_to: int = 4,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, self-joined within blocks
+    (embedding-cosine near-dup detection)."""
+    base = embeddings.select(
+        *(block_cols or []), F.col(id_col).alias("__id"), _vec(vec_col).alias("__v")
+    )
+    keys = block_cols or []
+    left = base.select(*keys, F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    right = base.select(*keys, F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    cand = (left.join(right, keys) if keys else left.crossJoin(right)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        cand.select(
+            *keys,
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _pseudo_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes without RNG state: component
+    (p, i) derives from sha256(seed, p, i), mapped to [-1, 1). Driver-side,
+    tiny, broadcast as literals."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.sha256(struct.pack("<qqq", seed, p, i)).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            row.append((u / 2**63) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int,
+    n_planes: int = 8,
+    k: int = 5,
+    round_to: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign buckets, exact re-rank
+    within the shared bucket. Recall < 1 by design; the scale win is that
+    each query only scans its bucket (~N / 2^n_planes rows).
+    """
+    from pyspark.sql import Window
+
+    planes = _pseudo_hyperplanes(dim, n_planes, seed)
+    plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+
+    def bucket_of(vec: Column) -> Column:
+        signs = F.transform(plane_lits, lambda pl: F.when(dot(pl, vec) >= 0, F.lit(1)).otherwise(F.lit(0)))
+        return F.aggregate(signs, F.lit(0), lambda acc, s: acc * 2 + s)
+
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev"))
+    e = e.withColumn("__bucket", bucket_of(F.col("__ev")))
+    q = queries.select(F.col(query_id_col), _vec(query_vec_col).alias("__qv"))
+    q = q.withColumn("__bucket", bucket_of(F.col("__qv")))
+
+    scored = (
+        e.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__ev")), round_to).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

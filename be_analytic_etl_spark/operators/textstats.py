@@ -1,0 +1,120 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Language-ID (marker-token heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting, and document fingerprinting — each a
+pure column expression (JVM-side, codegen-friendly) over a text column, so
+the cost at 100 TB is one narrow pass, no shuffle, no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.coalesce(c, F.lit("")))
+
+
+#: Punctuation class used by the quality score (explicit set so the DuckDB
+#: oracle can replicate it exactly).
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are punctuation; 0.0 for empty text."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    n = F.length(c)
+    n_punct = n - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(n_punct.cast("double") / n)
+
+
+#: Small English stopword list for the quality heuristic.
+STOPWORDS = ["the", "a", "an", "of", "and", "or", "to", "in", "is", "it"]
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (lower-cased match)."""
+    sw = [s.lower() for s in (stopwords or STOPWORDS)]
+    toks = tokenize(col)
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(n_stop.cast("double") / n)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punctuation-heavy,
+    reasonable stopword density (a fluency proxy)."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok.cast("double") / 20.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
+    stop = stopword_ratio(col)
+    fluency = F.when(stop.between(0.01, 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_score * punct_penalty * fluency, 4)
+
+
+#: Marker tokens per language for the n-gram/keyword language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "pt": ["o", "a", "de", "que", "em"],
+}
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-token hit count per language (deterministic, SQL-replicable)."""
+    toks = tokenize(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        out[lang] = F.size(F.filter(toks, lambda t, m=markers: F.lower(t).isin(*m)))
+    return out
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Argmax language by marker score: first language (sorted code order)
+    holding the maximal score; all-zero scores -> ``default``."""
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    mx = F.greatest(*[scores[lang] for lang in langs])
+    chain = F.when(mx == 0, F.lit(default))
+    for lang in langs:
+        chain = chain.when(scores[lang] == mx, F.lit(lang))
+    return chain.otherwise(F.lit(default))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: trim, lowercase, collapse runs of
+    whitespace to single spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>); shorter docs yield the
+    whole-doc shingle so no document maps to an empty set."""
+    toks = tokenize(col)
+    n_tok = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(F.when(n_tok == 0, F.array().cast("array<string>")).otherwise(grams))

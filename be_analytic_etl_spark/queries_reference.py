@@ -1,0 +1,605 @@
+"""Reference-surface operator queries (SURVEY.md §2) on the star schema.
+
+Each query is the Spark-first expression of one operator family from the
+reference inventory, paired with a DuckDB oracle twin. Float-summation
+determinism note: large SUMs go through DECIMAL (exact, associative) so the
+Spark partial-aggregate sum and DuckDB's sequential sum produce bit-identical
+doubles; AVGs and per-row arithmetic stay double and are rounded.
+
+Scale notes are inline per query — every plan here was chosen for the
+1000-executor case first (broadcast dims, single-shuffle conditional pivots,
+partial aggregation), then verified on local[*].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from be_analytic_etl_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _nullif(c, v):
+    return F.when(c == v, F.lit(None)).otherwise(c)
+
+
+# ---------------------------------------------------------------------------
+# A1: hash aggregate GROUP BY (time, group) + AVG  (README.md:138,145)
+# Scale: single shuffle on the composite key; partial agg map-side.
+def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mes"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+register(
+    "groupby_avg",
+    q_groupby_avg,
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS mes,
+           o_orderpriority,
+           ROUND(AVG(o_totalprice), 2) AS avg_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# W1+W2: LAG window over an aggregated input + MoM variation
+# (README.md:126-131,139-150). Window partitions by the low-cardinality
+# group key AFTER aggregation — window input is |groups|x|months| rows.
+def q_lag_mom_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mes"),
+        F.col("o_orderpriority"),
+    ).agg(F.avg("o_totalprice").alias("valor_atual"))
+    w = Window.partitionBy("o_orderpriority").orderBy("mes")
+    lagged = monthly.withColumn("valor_anterior", F.lag("valor_atual", 1).over(w))
+    return (
+        lagged.filter(F.col("valor_anterior").isNotNull() & (F.col("valor_anterior") != 0))
+        .select(
+            "mes",
+            "o_orderpriority",
+            F.round("valor_atual", 2).alias("valor_atual"),
+            F.round("valor_anterior", 2).alias("valor_anterior"),
+            F.round(
+                (F.col("valor_atual") - F.col("valor_anterior"))
+                / _nullif(F.col("valor_anterior"), F.lit(0))
+                * 100,
+                1,
+            ).alias("taxa_var"),
+        )
+    )
+
+
+register(
+    "lag_mom_variation",
+    q_lag_mom_variation,
+    """
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS mes, o_orderpriority,
+               AVG(o_totalprice) AS valor_atual
+        FROM orders GROUP BY 1, 2
+    ), lagged AS (
+        SELECT mes, o_orderpriority, valor_atual,
+               LAG(valor_atual) OVER (PARTITION BY o_orderpriority ORDER BY mes)
+                   AS valor_anterior
+        FROM monthly
+    )
+    SELECT mes, o_orderpriority,
+           ROUND(valor_atual, 2) AS valor_atual,
+           ROUND(valor_anterior, 2) AS valor_anterior,
+           ROUND((valor_atual - valor_anterior) / NULLIF(valor_anterior, 0) * 100, 1)
+               AS taxa_var
+    FROM lagged
+    WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# A3+A4: conditional-aggregation pivot (README.md:167-203) — single groupBy
+# pass with static CASE list (one shuffle; no pivot value-discovery job).
+def q_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    flags = {"A": "flag_a", "N": "flag_n", "R": "flag_r"}
+    aggs = []
+    for v, name in flags.items():
+        aggs.append(
+            F.coalesce(
+                F.round(F.avg(F.when(F.col("l_returnflag") == v, F.col("l_extendedprice"))), 2),
+                F.lit(0.0),
+            ).alias(name)
+        )
+    return li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("mes")).agg(*aggs)
+
+
+register(
+    "conditional_pivot",
+    q_conditional_pivot,
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS mes,
+           COALESCE(ROUND(AVG(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2), 0.0) AS flag_a,
+           COALESCE(ROUND(AVG(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2), 0.0) AS flag_n,
+           COALESCE(ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2), 0.0) AS flag_r
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# A5: COUNT(DISTINCT) + HAVING (README.md:209-211) = post-agg filter.
+def q_having_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_prio") >= 2)
+    )
+
+
+register(
+    "having_countdistinct",
+    q_having_countdistinct,
+    """
+    SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) >= 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# R1: unpivot wide->long (main.py:482-518). Native Spark `unpivot` — a
+# narrow transformation, no shuffle, scales linearly.
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+register(
+    "unpivot_measures",
+    q_unpivot_measures,
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# R5+R6: union-by-name + distinct (main.py:627-647).
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+register(
+    "union_distinct",
+    q_union_distinct,
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# P14: dense sequential id. NOTE: row_number over a global window forces a
+# single partition — correct but not the scale path. The scale path is
+# consolidate.add_dense_id (zipWithIndex-style per-partition offsets); this
+# registry entry proves the exact-1..N semantics the reference has.
+def q_dense_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return orders.select(
+        F.row_number().over(w).alias("id"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+
+
+register(
+    "dense_id",
+    q_dense_id,
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS id, o_orderkey, o_orderpriority
+    FROM orders
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# R4: Brazilian-number normalization as a native column expression, applied
+# to messy strings built deterministically from integer columns (all three
+# locale branches). Oracle builds the canonical decimal string directly —
+# both engines then parse decimal text -> nearest double, bit-identical.
+def q_br_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.functions import br_number_to_double
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.lpad((F.col("l_partkey") % 100).cast("string"), 2, "0")
+    thousands = F.lpad((F.col("l_suppkey") % 1000).cast("string"), 3, "0")
+    ok = F.col("l_orderkey").cast("string")
+    raw = (
+        F.when(
+            F.col("l_linenumber") % 3 == 0,
+            F.concat(F.lit("R$ "), ok, F.lit(","), cents),
+        )
+        .when(
+            F.col("l_linenumber") % 3 == 1,
+            F.concat(ok, F.lit("."), thousands, F.lit(","), cents),
+        )
+        .otherwise(F.concat(F.lit(" "), ok, F.lit(" ")))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        raw.alias("raw"),
+        br_number_to_double(raw).alias("parsed"),
+    )
+
+
+register(
+    "br_number_parse",
+    q_br_number_parse,
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE
+             WHEN l_linenumber % 3 = 0 THEN
+               'R$ ' || CAST(l_orderkey AS VARCHAR) || ',' || lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0')
+             WHEN l_linenumber % 3 = 1 THEN
+               CAST(l_orderkey AS VARCHAR) || '.' || lpad(CAST(l_suppkey % 1000 AS VARCHAR), 3, '0')
+                 || ',' || lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0')
+             ELSE ' ' || CAST(l_orderkey AS VARCHAR) || ' '
+           END AS raw,
+           CASE
+             WHEN l_linenumber % 3 = 0 THEN
+               CAST(CAST(l_orderkey AS VARCHAR) || '.' || lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS DOUBLE)
+             WHEN l_linenumber % 3 = 1 THEN
+               CAST(CAST(l_orderkey AS VARCHAR) || lpad(CAST(l_suppkey % 1000 AS VARCHAR), 3, '0')
+                 || '.' || lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS DOUBLE)
+             ELSE CAST(l_orderkey AS DOUBLE)
+           END AS parsed
+    FROM lineitem
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# P1-P4: manifest-style predicates — CASE-classification, regex extract,
+# UPPER/contains filters (main.py:138-199).
+def q_classify_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    u = F.upper(F.coalesce(F.col("p_type"), F.lit("")))
+    return part.select(
+        "p_partkey",
+        F.when(u.contains("ECONOMY"), F.lit("ECO"))
+        .when(u.contains("STANDARD"), F.lit("STD"))
+        .when(u.contains("PROMO"), F.lit("PRM"))
+        .otherwise(F.lit("OTHER"))
+        .alias("type_class"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.upper("p_name").contains("WIDGET").alias("is_widget"),
+    )
+
+
+register(
+    "classify_extract",
+    q_classify_extract,
+    """
+    SELECT p_partkey,
+           CASE
+             WHEN upper(COALESCE(p_type, '')) LIKE '%ECONOMY%' THEN 'ECO'
+             WHEN upper(COALESCE(p_type, '')) LIKE '%STANDARD%' THEN 'STD'
+             WHEN upper(COALESCE(p_type, '')) LIKE '%PROMO%' THEN 'PRM'
+             ELSE 'OTHER'
+           END AS type_class,
+           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INTEGER) AS brand_num,
+           upper(p_name) LIKE '%WIDGET%' AS is_widget
+    FROM part
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# P7: metadata-row removal — drop rows where a column contains any of a
+# pattern list, case-insensitive, null-safe (main.py:239-251).
+_DROP_PATTERNS = ["ERROR", "STREAM"]
+
+
+def q_pattern_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cond = F.lit(False)
+    for p in _DROP_PATTERNS:
+        cond = cond | F.coalesce(F.upper("text").contains(p), F.lit(False))
+    return docs.filter(~cond).select("doc_id", "lang", "n_chars")
+
+
+register(
+    "pattern_row_filter",
+    q_pattern_row_filter,
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE NOT (COALESCE(upper(text) LIKE '%ERROR%', FALSE)
+            OR COALESCE(upper(text) LIKE '%STREAM%', FALSE))
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# R2/F9/F10/P18: date parsing + formatting round-trips (null on error).
+def q_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ym = F.date_format("ts", "yyyy-MM")
+    return ev.select(
+        "event_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        ym.alias("ym"),
+        F.to_date(ym, "yyyy-MM").alias("ym_date"),
+    )
+
+
+register(
+    "date_roundtrip",
+    q_date_roundtrip,
+    """
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT event_id,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           strftime(ts, '%Y-%m') AS ym,
+           CAST(strptime(strftime(ts, '%Y-%m'), '%Y-%m') AS DATE) AS ym_date
+    FROM ev
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# F11-F17: ROUND / NULLIF / COALESCE / CASE / arithmetic / predicates.
+# Rounding precision note: the product has exact 4-decimal content, so
+# round(x, 1) sits on true decimal ties where Spark (exact binary
+# expansion) and DuckDB (multiply-shift) can disagree — round PAST the
+# data's decimal content instead (cross-engine determinism).
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.coalesce(
+            F.round(F.col("l_tax") / _nullif(F.col("l_discount"), F.lit(0)), 4),
+            F.lit(-1.0),
+        ).alias("tax_disc_ratio"),
+        F.when(F.col("l_quantity") > 25, F.lit("big")).otherwise(F.lit("small")).alias("qty_class"),
+    ).filter(F.col("l_extendedprice").isNotNull() & (F.col("l_quantity") != 0))
+
+
+register(
+    "scalar_math",
+    q_scalar_math,
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue,
+           COALESCE(ROUND(l_tax / NULLIF(l_discount, 0), 4), -1.0) AS tax_disc_ratio,
+           CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS qty_class
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity <> 0
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shape pricing summary — the canonical partial-agg benchmark.
+# Determinism: SUMs via DECIMAL (exact, associative) so partial aggregation
+# matches DuckDB's sequential sum bit-for-bit.
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(28,6)")).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    "pricing_summary",
+    q_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Star join through broadcast dims: customer ⋈ nation ⋈ region.
+# Scale: nation/region are tiny at ANY SF -> broadcast, zero shuffle for the
+# joins; one shuffle for the final aggregate.
+def q_star_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+register(
+    "star_join_broadcast",
+    q_star_join_broadcast,
+    """
+    SELECT r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Large-side shuffle join: orders ⋈ lineitem, revenue per priority.
+# Scale: both sides shuffle on orderkey (co-partitioned hash join); AQE
+# handles skew; aggregate is partial map-side on the join output.
+def q_fact_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+register(
+    "fact_join_revenue",
+    q_fact_join_revenue,
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_revenue,
+           COUNT(*) AS n_lineitems
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based) — batch twin of the streaming operator:
+# session = cumulative sum of "gap > 30 min" flags per user.
+# Scale: one shuffle on user_id; window sort is per-user (bounded).
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+register(
+    "sessionize",
+    q_sessionize,
+    """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (batch twin of streaming windowed agg).
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+register(
+    "tumbling_window",
+    q_tumbling_window,
+    """
+    WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    )
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1, 2
+    """,
+)

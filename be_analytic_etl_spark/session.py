@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs single-process/single-thread pandas
+(``/root/reference/main.py:630-637``); this engine instead assumes a real
+cluster. Defaults below are chosen so the same code runs unchanged on
+``local[*]`` for tests and on a 1000-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting);
+- auto broadcast threshold left at Spark's default so small dims
+  (region/nation at any SF) broadcast instead of shuffling;
+- UTC session timezone so date semantics match the DuckDB oracle;
+- ANSI off: casts/parses return NULL on malformed input, matching the
+  reference's ``errors='coerce'`` semantics
+  (``/root/reference/main.py:521-525``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: with AQE coalescing enabled this is an upper bound,
+# not a fixed cost — safe to set high for cluster runs. Tests override to
+# the local core count via SPARK_GRAFT_CPUS.
+_DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "be-analytic-etl-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster
+    master is configured — production deployments pass their own master or
+    rely on spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(_DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        # Arrow for the few pandas-interop paths (ODS bridge, pandas UDFs).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" in os.environ:
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

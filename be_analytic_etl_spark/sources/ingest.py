@@ -1,0 +1,270 @@
+"""Messy-spreadsheet ingest: headerless wide files -> typed long fact table.
+
+Re-expresses the reference's extract/transform chain
+(``/root/reference/main.py:202-590``) as lazy DataFrame transforms:
+
+    read headerless all-string                    (main.py:273,320)
+    -> header-row discovery by marker             (main.py:202-218)  P5
+    -> header promotion + slice                   (main.py:226-237)  P6
+    -> metadata-row removal (pattern list)        (main.py:239-251)  P7
+    -> drop all-null rows                         (main.py:254)      P8
+    -> first-two-column rename                    (main.py:286-291)  P9
+    -> date-column-name normalization             (main.py:398-428)  P10
+    -> decimal-string tidy                        (main.py:431-479)  P11
+    -> unpivot wide->long                         (main.py:482-518)  R1
+    -> month parse, value parse (BR locale), service tag
+                                                  (main.py:520-582)  R2-R4
+
+Scale notes:
+- Each raw file is small (a spreadsheet), so header discovery does one
+  cheap action per file; the *fleet* of files is processed as independent
+  lazy plans unioned on the fixed long schema (SURVEY §7.4.4: unpivot
+  FIRST, then union — per-file month columns differ, the long schema
+  doesn't).
+- All value cleaning is native column expressions (codegen); the only
+  pandas bridge is ODS parsing, which has no Spark source (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.functions import (
+    br_number_to_double,
+    strip_trailing_zeros,
+)
+
+#: Metadata phrases marking preamble rows to drop (main.py:240-243).
+METADATA_PATTERNS = [
+    "SERVIÇO:",
+    "PERÍODO:",
+    "FONTE:",
+    "PARA MAIORES INFORMAÇÕES",
+    "ÍNDICE DE DESEMPENHO NO ATENDIMENTO",
+    "ANATEL",
+]
+
+#: Header-row discovery markers (main.py:215).
+HEADER_MARKERS = ["GRUPO ECONÔMICO", "GRUPO_ECON"]
+
+#: Encodings tried for CSV ingest, in order (main.py:315).
+CSV_ENCODINGS = ["utf-8", "latin-1", "iso-8859-1", "cp1252"]
+
+_ROWNUM = "__rownum"
+
+
+def read_headerless_csv(
+    spark: SparkSession, path: str, sep: str = "\t", encoding: str | None = None
+) -> DataFrame:
+    """All-string headerless CSV read with encoding fallback.
+
+    Spark reads one charset per load, so we probe encodings with a cheap
+    driver-side read of the first KB (SURVEY §7.4.6) and then issue a single
+    correctly-configured distributed read.
+    """
+    enc = encoding or probe_encoding(path)
+    return spark.read.csv(path, sep=sep, header=False, inferSchema=False, encoding=enc)
+
+
+def probe_encoding(path: str, candidates: list[str] | None = None) -> str:
+    """Pick the first encoding that decodes the file head cleanly."""
+    head = open(path, "rb").read(4096)
+    for enc in candidates or CSV_ENCODINGS:
+        try:
+            head.decode(enc)
+            return enc
+        except UnicodeDecodeError:
+            continue
+    return "utf-8"
+
+
+def read_ods(spark: SparkSession, path_or_bytes) -> DataFrame:
+    """ODS bridge: no native Spark source exists, so parse with pandas/odfpy
+    on the driver (files are spreadsheet-sized) and lift to a DataFrame with
+    an all-string schema (main.py:259-305 semantics)."""
+    import pandas as pd
+
+    src = io.BytesIO(path_or_bytes) if isinstance(path_or_bytes, bytes) else path_or_bytes
+    pdf = pd.read_excel(src, engine="odf", header=None, dtype=str)
+    pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]
+    pdf = pdf.astype("object").where(pd.notna(pdf), None)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(c, StringType(), True) for c in pdf.columns])
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def _with_rownum(df: DataFrame) -> DataFrame:
+    # Order-stable within a single-file read; used only for per-file header
+    # slicing where the file fits few partitions.
+    return df.withColumn(_ROWNUM, F.monotonically_increasing_id())
+
+
+def discover_header(df: DataFrame, markers: list[str] | None = None) -> tuple[DataFrame, list[str]]:
+    """P5+P6: find the header row by marker, promote its values to column
+    names, return (data rows below the header, promoted names)."""
+    markers = markers or HEADER_MARKERS
+    cols = df.columns
+    dfn = _with_rownum(df)
+
+    concat_upper = F.upper(F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in cols]))
+    cond = F.lit(False)
+    for m in markers:
+        cond = cond | concat_upper.contains(m.upper())
+    hdr_row = dfn.filter(cond).agg(F.min(_ROWNUM).alias("m")).first()["m"]
+    if hdr_row is None:
+        hdr_row = -1  # default: first row is already the header? reference defaults to 0
+        header_vals = [None] * len(cols)
+    else:
+        header_vals = list(dfn.filter(F.col(_ROWNUM) == hdr_row).first()[: len(cols)])
+
+    names, seen = [], set()
+    for i, v in enumerate(header_vals):
+        name = str(v).strip() if v is not None and str(v).strip() else f"col_{i}"
+        base = name
+        k = 1
+        while name in seen:
+            k += 1
+            name = f"{base}_{k}"
+        seen.add(name)
+        names.append(name)
+
+    data = dfn.filter(F.col(_ROWNUM) > hdr_row).drop(_ROWNUM) if hdr_row >= 0 else df
+    return data.toDF(*names), names
+
+
+def remove_metadata_rows(df: DataFrame, patterns: list[str] | None = None) -> DataFrame:
+    """P7: drop any row where ANY column contains a metadata phrase
+    (case-insensitive, null-safe)."""
+    patterns = patterns or METADATA_PATTERNS
+    cond = F.lit(False)
+    for c in df.columns:
+        u = F.upper(F.col(c))
+        for p in patterns:
+            cond = cond | F.coalesce(u.contains(p.upper()), F.lit(False))
+    return df.filter(~cond)
+
+
+def drop_all_null_rows(df: DataFrame) -> DataFrame:
+    """P8: pandas dropna(how='all') twin; empty strings count as null here
+    because raw ingest is all-string."""
+    any_value = F.lit(False)
+    for c in df.columns:
+        any_value = any_value | (F.coalesce(F.trim(F.col(c)), F.lit("")) != "")
+    return df.filter(any_value)
+
+
+_DATE_COL_FULL = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$")
+_DATE_COL_YM = re.compile(r"^\d{4}-\d{2}$")
+
+
+def normalize_date_column_names(df: DataFrame) -> DataFrame:
+    """P10: rename 'YYYY-MM-DD HH:MM:SS' column labels to 'YYYY-MM' (schema
+    op on the driver, not a data op)."""
+    new_names = []
+    for c in df.columns:
+        cs = c.strip()
+        if _DATE_COL_FULL.match(cs):
+            new_names.append(_dt.datetime.strptime(cs, "%Y-%m-%d %H:%M:%S").strftime("%Y-%m"))
+        else:
+            new_names.append(c)
+    return df.toDF(*new_names)
+
+
+def classify_columns(columns: list[str]) -> tuple[list[str], list[str]]:
+    """R1 column classification: id columns vs month ('YYYY-MM') columns."""
+    id_candidates = {"GRUPO_ECONOMICO", "VARIAVEL", "OPERADORA"}
+    id_cols = [c for c in columns if c.upper() in id_candidates]
+    date_cols = [c for c in columns if _DATE_COL_YM.match(c.strip())]
+    return id_cols, date_cols
+
+
+def tidy_decimal_strings(df: DataFrame, skip_cols: list[str]) -> DataFrame:
+    """P11: trailing-zero strip on every non-id column (string cosmetics)."""
+    return df.select(
+        *[
+            F.col(c) if c in skip_cols else strip_trailing_zeros(F.col(c)).alias(c)
+            for c in df.columns
+        ]
+    )
+
+
+LONG_SCHEMA_COLS = ["GRUPO_ECONOMICO", "VARIAVEL", "REFERENCIA_MES", "VALOR", "SERVICO"]
+
+
+def to_long(df: DataFrame, service: str) -> DataFrame:
+    """R1-R4: unpivot month columns into (REFERENCIA_MES, VALOR), parse the
+    month to DateType and the value through the Brazilian-number normalizer,
+    and tag the source service. Falls back to pass-through + SERVICO when no
+    id/date columns exist (main.py:505-508)."""
+    id_cols, date_cols = classify_columns(df.columns)
+    if not id_cols or not date_cols:
+        return df.withColumn("SERVICO", F.lit(service))
+    long_df = df.unpivot(
+        ids=id_cols,
+        values=date_cols,
+        variableColumnName="REFERENCIA_MES",
+        valueColumnName="VALOR",
+    )
+    out = long_df.select(
+        *[F.col(c) for c in id_cols if c.upper() in ("GRUPO_ECONOMICO", "VARIAVEL")],
+        F.to_date(F.col("REFERENCIA_MES"), "yyyy-MM").alias("REFERENCIA_MES"),
+        br_number_to_double(F.col("VALOR")).alias("VALOR"),
+        F.lit(service).alias("SERVICO"),
+    )
+    return out
+
+
+def ingest_wide_file(
+    spark: SparkSession,
+    path: str,
+    service: str,
+    fmt: str = "csv",
+    sep: str = "\t",
+) -> DataFrame:
+    """Full per-file pipeline: read -> discover header -> clean -> long."""
+    if fmt.lower() == "ods":
+        raw = read_ods(spark, path)
+    else:
+        raw = read_headerless_csv(spark, path, sep=sep)
+    data, names = discover_header(raw)
+    data = remove_metadata_rows(data)
+    data = drop_all_null_rows(data)
+    # P9: first two columns are (group, variable)
+    renames = {}
+    if len(data.columns) >= 2:
+        renames[data.columns[0]] = "GRUPO_ECONOMICO"
+        renames[data.columns[1]] = "VARIAVEL"
+    data = data.withColumnsRenamed(renames)
+    data = normalize_date_column_names(data)
+    id_cols, _ = classify_columns(data.columns)
+    data = tidy_decimal_strings(data, skip_cols=id_cols)
+    return to_long(data, service)
+
+
+# --- manifest filtering (P1-P4, main.py:138-199) --------------------------
+
+
+def filter_manifest(resources: DataFrame) -> DataFrame:
+    """P1-P4 over a resource-manifest DataFrame with columns
+    (titulo, url, formato): keep SCM/SMP/STFC ODS/CSV resources, fix
+    backslash URLs, classify service, extract year."""
+    from be_analytic_etl_spark.functions import classify_service, extract_year
+
+    t = F.upper(F.coalesce(F.col("titulo"), F.lit("")))
+    u = F.upper(F.coalesce(F.col("url"), F.lit("")))
+    fmt = F.upper(F.coalesce(F.col("formato"), F.lit("")))
+    keep = (t.contains("SCM") | t.contains("SMP") | t.contains("STFC")) & (
+        fmt.contains("ODS") | u.contains(".ODS") | u.contains(".CSV")
+    )
+    return (
+        resources.filter(keep)
+        .withColumn("url", F.regexp_replace("url", r"\\", "/"))
+        .withColumn("servico", classify_service(F.col("titulo")))
+        .withColumn("ano", extract_year(F.col("titulo")))
+    )

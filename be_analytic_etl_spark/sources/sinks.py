@@ -1,0 +1,90 @@
+"""Sinks: CSV and JDBC (warehouse load).
+
+Reference behavior (file:line):
+- CSV sink: ``df.to_csv(index=False, utf-8)`` — ``/root/reference/main.py:738-744``;
+- Postgres load: DROP/CREATE with mapped column types + batched INSERT —
+  ``/root/reference/connect_postgre.py:209-321``. Spark replaces the
+  single-connection ``executemany`` with per-partition parallel JDBC
+  writers (`batchsize` per round trip), and the DDL with
+  ``createTableColumnTypes`` on ``mode='overwrite'``.
+- Database bootstrap (CREATE DATABASE IF NOT EXISTS,
+  ``connect_postgre.py:68-119``) is out-of-band DDL Spark's JDBC writer
+  cannot express; ``bootstrap_database`` gates on psycopg2 availability.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+#: Effective warehouse schema of the reference table
+#: (connect_postgre.py:162-169).
+IDA_COLUMN_TYPES = (
+    "id BIGINT, grupo_economico TEXT, servico TEXT, "
+    "mes_referencia DATE, valor DOUBLE PRECISION, tipo_servico TEXT"
+)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S7: header CSV. ``single_file=True`` mirrors the reference's one-file
+    output (coalesce(1) — driver-side funnel, only for small exports);
+    default keeps partitioned output for scale."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    *,
+    column_types: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S11-S13: parallel JDBC load. N partitions -> N concurrent writers."""
+    out = df.repartition(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
+    writer.save()
+
+
+def table_name_from_path(path: str) -> str:
+    """S13: derive a snake_case table name from a file basename
+    (connect_postgre.py:323-370 semantics)."""
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    base = base.rsplit(".", 1)[0]
+    return re.sub(r"[^0-9a-zA-Z]+", "_", base).strip("_").lower()
+
+
+def bootstrap_database(host: str, port: int, user: str, password: str, db_name: str) -> bool:
+    """S10: CREATE DATABASE IF NOT EXISTS via psycopg2 (optional dep)."""
+    try:
+        import psycopg2  # type: ignore
+    except ImportError:
+        return False
+    conn = psycopg2.connect(
+        host=host, port=port, user=user, password=password, dbname="postgres"
+    )
+    try:
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("SELECT 1 FROM pg_database WHERE datname = %s", (db_name,))
+            if cur.fetchone() is None:
+                cur.execute(f'CREATE DATABASE "{db_name}"')
+        return True
+    finally:
+        conn.close()

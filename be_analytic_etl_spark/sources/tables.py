@@ -1,0 +1,24 @@
+"""Parquet table loader for the star-schema test tables.
+
+Handles one physical-format quirk: ``events.parquet`` stores ``ts`` as
+INT64 TIMESTAMP(NANOS), which Spark 4 rejects by default
+(PARQUET_TYPE_ILLEGAL). We read nanos as long via the legacy conf and
+convert to a microsecond TimestampType with integer division (truncation —
+the same conversion DuckDB applies when casting TIMESTAMP_NS to
+TIMESTAMP, so both engines see identical microsecond values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

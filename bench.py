@@ -1,0 +1,69 @@
+"""Benchmark harness: run the engine's headline queries at a target SF.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Config via env:
+- SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+- SPARK_GRAFT_CPUS    (default 32)
+
+Each query is materialized with the `noop` sink (full execution, no
+driver-side collect funnel) — the number measures the distributed plan,
+not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from be_analytic_etl_spark.registry import QUERIES
+    from be_analytic_etl_spark.session import get_spark
+
+    spark = get_spark("be-analytic-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the session + parquet footers so the first timed query doesn't
+    # pay JVM/codegen cold-start.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # a failing query shouldn't kill the bench
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "full_query_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

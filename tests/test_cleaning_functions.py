@@ -1,0 +1,114 @@
+"""Table-driven unit tests for the Brazilian-number normalizer and tidy ops.
+
+Cases from FIXTURES.md §3 (reference branches at
+/root/reference/main.py:531-582, 450-477).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from be_analytic_etl_spark.functions import (
+    br_number_str,
+    br_number_to_double,
+    classify_service,
+    empty_to_null,
+    extract_year,
+    normalize_identifier,
+    strip_trailing_zeros,
+)
+
+BR_CASES = [
+    ("1.234,56", "1234.56", 1234.56),
+    ("1234,56", "1234.56", 1234.56),
+    ("1.234.56", "123456", 123456.0),
+    ("1234.56", "1234.56", 1234.56),
+    ("1234", "1234", 1234.0),
+    ("R$ 1.234,56", "1234.56", 1234.56),
+    (" 15,5 ", "15.5", 15.5),
+    ("", None, None),
+    ("nan", None, None),
+    ("NaN", None, None),
+    ("-", None, None),
+    ("--", None, None),
+    ("---", None, None),
+    ("ND", None, None),
+    ("N/D", None, None),
+    ("abc", None, None),
+    (None, None, None),
+    ("1.234.567,89", "1234567.89", 1234567.89),
+    ("0,5", "0.5", 0.5),
+    ("100", "100", 100.0),
+    ("12,3%", "12.3", 12.3),
+]
+
+
+def test_br_number(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(s,) for s, _, _ in BR_CASES], "s string")
+    out = df.select(
+        F.col("s"),
+        br_number_str("s").alias("norm"),
+        br_number_to_double("s").alias("num"),
+    ).collect()
+    expected = {s: (n, d) for s, n, d in BR_CASES}
+    for row in out:
+        exp_norm, exp_num = expected[row["s"]]
+        assert row["norm"] == exp_norm, f"{row['s']!r}: {row['norm']!r} != {exp_norm!r}"
+        if exp_num is None:
+            assert row["num"] is None
+        else:
+            assert row["num"] == pytest.approx(exp_num)
+
+
+TIDY_CASES = [
+    ("15.00", "15"),
+    ("15.50", "15.5"),
+    ("15.0", "15"),
+    ("15.55", "15.55"),
+    ("15", "15"),
+    ("abc", "abc"),
+    ("", ""),
+    (None, None),
+    ("0.10", "0.1"),
+]
+
+
+def test_strip_trailing_zeros(spark):
+    df = spark.createDataFrame([(s,) for s, _ in TIDY_CASES], "s string")
+    out = {r["s"]: r["t"] for r in df.select("s", strip_trailing_zeros("s").alias("t")).collect()}
+    for s, exp in TIDY_CASES:
+        assert out[s] == exp, f"{s!r}: {out[s]!r} != {exp!r}"
+
+
+def test_classify_service_and_year(spark):
+    rows = [
+        ("IDA SCM 2019", "SCM", 2019),
+        ("smp dataset 2021", "SMP", 2021),
+        ("Dados STFC", "STFC", None),
+        ("whatever", "OUTROS", None),
+        (None, "OUTROS", None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "titulo string")
+    got = {
+        r["titulo"]: (r["svc"], r["yr"])
+        for r in df.select(
+            "titulo",
+            classify_service("titulo").alias("svc"),
+            extract_year("titulo").alias("yr"),
+        ).collect()
+    }
+    for t, svc, yr in rows:
+        assert got[t] == (svc, yr)
+
+
+def test_empty_to_null(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("x",), (None,)], "s string")
+    got = [r["v"] for r in df.select(empty_to_null("s").alias("v")).collect()]
+    assert got == [None, None, "x", None]
+
+
+def test_normalize_identifier():
+    assert normalize_identifier("Grupo Econômico") == "grupo_econômico"
+    assert normalize_identifier("MES-REFERENCIA.X ") == "mes_referencia_x"
