@@ -75,8 +75,34 @@ def br_number_str(col: Column | str) -> Column:
 
 
 def br_number_to_double(col: Column | str) -> Column:
-    """``br_number_str`` then cast to DoubleType (NULL on unparseable)."""
-    return br_number_str(col).cast("double")
+    """Brazilian-locale numeric string -> DoubleType (NULL on unparseable).
+
+    Same semantics as ``br_number_str(...).cast('double')`` but with a
+    deliberately lean expression tree (the input is referenced 6 times, not
+    ~18): when this function is composed over a non-trivial input expression,
+    Catalyst's CollapseProject inlines that expression at every reference
+    site, and a fat tree blows whole-stage-codegen methods past the JIT
+    limit (measured 100x slowdown). Two reductions keep it lean:
+
+    - the invalid-token check (main.py:537-540) is redundant: every invalid
+      token ('', nan, -, ND, ...) strips to '' or a malformed numeric, which
+      the final double cast maps to NULL anyway;
+    - the two comma branches (main.py:551-562) unify: removing thousands
+      dots is a no-op when none exist, so "has comma" alone selects
+      `translate(strip_dots(x), ',', '.')`;
+    - the validity regex is redundant with the non-ANSI double cast (the
+      candidate contains only [0-9.] at cast time).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.trim(c), r"[^0-9.,]", "")
+    no_dots = F.translate(stripped, ".", "")
+    n_dots = F.length(stripped) - F.length(no_dots)
+    candidate = (
+        F.when(stripped.contains(","), F.translate(no_dots, ",", "."))
+        .when(n_dots >= 2, no_dots)
+        .otherwise(stripped)
+    )
+    return candidate.cast("double")
 
 
 def strip_trailing_zeros(col: Column | str) -> Column:
