@@ -54,17 +54,37 @@ def exact_dedup_keep_min(
 # --- MinHash ---------------------------------------------------------------
 
 
-def minhash_signature(col: Column | str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+def portable_hash64(col: Column, seed: Column) -> Column:
+    """Seeded 60-bit hash both Spark and DuckDB can compute identically:
+    first 15 hex chars of md5(seed || '|' || value), parsed base-16.
+
+    DuckDB twin: ``CAST('0x' || substr(md5(seed || '|' || v), 1, 15) AS BIGINT)``.
+    Used for oracle-checked variants; the scale path uses xxhash64 (no md5
+    per shingle)."""
+    payload = F.concat(seed.cast("string"), F.lit("|"), col)
+    return F.conv(F.substring(F.md5(payload.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def fast_hash64(col: Column, seed: Column) -> Column:
+    """xxhash64 seeded via an extra hashed slot — the scale-path hash."""
+    return F.xxhash64(col, seed)
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 32, shingle_n: int = 3, portable: bool = False
+) -> Column:
     """k-minhash signature (array<long>) over word n-gram shingles.
 
-    hash_i(s) = xxhash64(s, i); sig[i] = min over shingles. Pure array
-    expressions — no UDF, no Python boundary.
+    sig[i] = min over shingles of hash_i(shingle). Pure array expressions —
+    no UDF, no Python boundary. ``portable=True`` swaps xxhash64 for the
+    md5-derived hash so a SQL oracle can replicate the signature bit-for-bit.
     """
     shingles = word_ngrams(col, shingle_n)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    h = portable_hash64 if portable else fast_hash64
     return F.transform(
         seeds,
-        lambda seed: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, seed))),
+        lambda seed: F.array_min(F.transform(shingles, lambda sh: h(sh, seed))),
     )
 
 
@@ -78,13 +98,15 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 1000,
+    portable: bool = False,
+    round_to: int | None = 4,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, portable=portable)
     docs = df.select(
         F.col(id_col).alias("__id"),
         word_ngrams(F.col(text_col), shingle_n).alias("__shingles"),
@@ -132,8 +154,9 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+    jac = F.round(jac, round_to) if round_to is not None else jac
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -218,6 +241,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    round_to: int | None = 4,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within blocks.
 
@@ -239,7 +263,8 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+    jac = F.round(jac, round_to) if round_to is not None else jac
     return (
-        cand.select(*join_keys, "id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        cand.select(*join_keys, "id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

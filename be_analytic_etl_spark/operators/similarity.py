@@ -31,6 +31,12 @@ def _vec(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+
+def _maybe_round(c: Column, round_to: int | None) -> Column:
+    """Rounding is for display; oracle-checked paths pass None and compare
+    bit-identical doubles (same IEEE op sequence in both engines)."""
+    return F.round(c, round_to) if round_to is not None else c
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns (sequential fold — matches
     a scalar engine's left-to-right summation for reproducibility)."""
@@ -60,7 +66,7 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 5,
-    round_to: int = 4,
+    round_to: int | None = 4,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -77,7 +83,7 @@ def brute_force_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__ev")), round_to).alias("cos_sim"),
+            _maybe_round(cosine(F.col("__qv"), F.col("__ev")), round_to).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -94,7 +100,7 @@ def cosine_pairs_above(
     vec_col: str = "embedding",
     block_cols: list[str] | None = None,
     threshold: float = 0.99,
-    round_to: int = 4,
+    round_to: int | None = 4,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, self-joined within blocks
     (embedding-cosine near-dup detection)."""
@@ -112,7 +118,7 @@ def cosine_pairs_above(
             *keys,
             "id_a",
             "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), round_to).alias("cos_sim"),
+            _maybe_round(cosine(F.col("v_a"), F.col("v_b")), round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -144,7 +150,7 @@ def lsh_bucket_ann(
     dim: int,
     n_planes: int = 8,
     k: int = 5,
-    round_to: int = 4,
+    round_to: int | None = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets, exact re-rank
@@ -171,7 +177,7 @@ def lsh_bucket_ann(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__ev")), round_to).alias("cos_sim"),
+            _maybe_round(cosine(F.col("__qv"), F.col("__ev")), round_to).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))

@@ -54,15 +54,21 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
     return F.when(n == 0, F.lit(0.0)).otherwise(n_stop.cast("double") / n)
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, round_to: int | None = 4) -> Column:
     """Composite [0,1] quality heuristic: long enough, not punctuation-heavy,
-    reasonable stopword density (a fluency proxy)."""
+    reasonable stopword density (a fluency proxy).
+
+    ``round_to=None`` returns the raw double — every input is an exact
+    integer division, so the product is bit-identical across engines and
+    safer for oracle comparison than rounding (which has tie hazards).
+    """
     n_tok = token_count(col)
     len_score = F.least(n_tok.cast("double") / 20.0, F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
     stop = stopword_ratio(col)
     fluency = F.when(stop.between(0.01, 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(len_score * punct_penalty * fluency, 4)
+    score = len_score * punct_penalty * fluency
+    return F.round(score, round_to) if round_to is not None else score
 
 
 #: Marker tokens per language for the n-gram/keyword language heuristic.
@@ -78,9 +84,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Marker-token hit count per language (deterministic, SQL-replicable)."""
     toks = tokenize(col)
+
+    def matcher(markers: list[str]):
+        # single-arg lambda: F.filter passes one Column per lambda parameter,
+        # so markers must be captured by closure, not by a default argument.
+        return lambda t: F.lower(t).isin(*markers)
+
     out = {}
     for lang, markers in LANG_MARKERS.items():
-        out[lang] = F.size(F.filter(toks, lambda t, m=markers: F.lower(t).isin(*m)))
+        out[lang] = F.size(F.filter(toks, matcher(markers)))
     return out
 
 

@@ -48,6 +48,8 @@ def mom_variation_pivot(
     out_time_col: str = "mes",
     out_avg_col: str = "taxa_media",
     min_distinct_groups: int = 2,
+    value_decimal: str = "decimal(28,6)",
+    reference_rounding: bool = False,
 ) -> DataFrame:
     """Generic month-over-month variation pivot (see module docstring).
 
@@ -59,20 +61,39 @@ def mom_variation_pivot(
     value_col : the numeric measure
     pivot : mapping {group value -> output column name}; each group gets a
         value column and a ``<name>_diff`` column
+    value_decimal : decimal type wide enough to hold value_col exactly — the
+        first-level mean is computed as exact-decimal SUM / COUNT so the
+        result is one IEEE division, bit-identical regardless of partial-
+        aggregation merge order (plain AVG(double) is shuffle-fetch-order
+        dependent, which flips ROUND ties run-to-run AND across engines).
+    reference_rounding : True replicates the reference view bit-for-bit
+        (taxa_var rounded to 1dp before the second-level average,
+        README.md:126-131). Default False keeps taxa_var unrounded: rounding
+        a value whose decimal expansion terminates at the tie digit (which
+        averages of 1dp-rounded values routinely are) is engine-dependent —
+        Spark rounds the shortest decimal repr HALF_UP while other engines
+        multiply-and-round the binary double. Unrounded taxa_var makes every
+        later tie a measure-zero event; final outputs are still rounded to
+        1dp like the reference.
     """
     cur, prev, taxa = "valor_atual", "valor_anterior", "taxa_var"
 
-    monthly = df.groupBy(time_col, group_col).agg(F.avg(value_col).alias(cur))
+    monthly = df.groupBy(time_col, group_col).agg(
+        (
+            F.sum(F.col(value_col).cast(value_decimal)).cast("double")
+            / F.count(value_col)
+        ).alias(cur)
+    )
 
     w = Window.partitionBy(group_col).orderBy(time_col)
     lagged = monthly.withColumn(prev, F.lag(cur, 1).over(w))
 
+    taxa_expr = (F.col(cur) - F.col(prev)) / _nullif(F.col(prev), F.lit(0)) * 100
+    if reference_rounding:
+        taxa_expr = F.round(taxa_expr, 1)
     taxas = (
         lagged.filter(F.col(prev).isNotNull() & (F.col(prev) != 0))
-        .withColumn(
-            taxa,
-            F.round((F.col(cur) - F.col(prev)) / _nullif(F.col(prev), F.lit(0)) * 100, 1),
-        )
+        .withColumn(taxa, taxa_expr)
         .filter(F.col(taxa).isNotNull())
     )
 
@@ -130,6 +151,7 @@ def consolidacao_de_metricas(fact: DataFrame) -> DataFrame:
         group_col="grupo_economico",
         value_col="valor",
         pivot=IDA_GROUPS,
+        reference_rounding=True,  # verbatim README.md:126-131 semantics
     )
 
 
@@ -155,6 +177,7 @@ def flagship_orders(spark, sf_dir: str) -> DataFrame:
         group_col="o_orderpriority",
         value_col="o_totalprice",
         pivot=ORDER_PRIORITIES,
+        value_decimal="decimal(18,2)",  # o_totalprice is 2dp money
     )
 
 
@@ -174,7 +197,8 @@ def flagship_orders_oracle_sql() -> str:
 WITH monthly AS (
     SELECT date_trunc('month', o_orderdate) AS mes_ref,
            o_orderpriority,
-           AVG(o_totalprice) AS valor_atual
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(o_totalprice) AS valor_atual
     FROM orders
     GROUP BY 1, 2
 ), lagged AS (
@@ -184,8 +208,8 @@ WITH monthly AS (
     FROM monthly
 ), taxas AS (
     SELECT mes_ref, o_orderpriority,
-           ROUND((valor_atual - valor_anterior)
-                 / NULLIF(valor_anterior, 0) * 100, 1) AS taxa_var
+           (valor_atual - valor_anterior)
+                 / NULLIF(valor_anterior, 0) * 100 AS taxa_var
     FROM lagged
     WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
 )

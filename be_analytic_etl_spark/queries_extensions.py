@@ -1,6 +1,477 @@
-"""Scale-extension queries (dedup, similarity, text analysis, multimodal).
+"""Scale-extension queries: dedup, similarity search, text analysis.
 
-Registered incrementally; see operators/ for the implementations.
+These go beyond the reference surface (SURVEY.md §7.2 step 7) — the
+operations a large-scale training-data pipeline needs. Each entry pairs the
+Spark operator (operators/dedup.py, operators/similarity.py,
+operators/textstats.py) with a DuckDB oracle twin where the semantics are
+SQL-expressible.
+
+Cross-engine determinism strategy:
+- all ratios/similarities are exact integer divisions or identical IEEE
+  op sequences (sequential left folds) -> bit-identical doubles, compared
+  UNROUNDED (rounding has half-way tie hazards between engines);
+- hashing uses ``portable_hash64`` (md5-hex -> bigint) which both engines
+  compute identically; the scale path keeps xxhash64 and is registered as
+  a rows-only check (driver's weaker gate) where used.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators import dedup as D
+from be_analytic_etl_spark.operators import similarity as S
+from be_analytic_etl_spark.operators import textstats as T
+from be_analytic_etl_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from be_analytic_etl_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --- shared DuckDB SQL fragments -------------------------------------------
+
+#: tokenize() twin: whitespace split of trimmed text; blank -> empty list.
+_TOKS = (
+    "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END"
+)
+
+
+def _grams_sql(toks: str, n: int = 3) -> str:
+    """word_ngrams() twin over a token-list expression."""
+    return (
+        f"list_distinct(CASE WHEN len({toks}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(0, greatest(len({toks}) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')) END)"
+    )
+
+
+def _phash_sql(seed: str, val: str) -> str:
+    """portable_hash64() twin: md5 hex head as a 60-bit BIGINT."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({seed} AS VARCHAR) || '|' || {val}), 1, 15) AS BIGINT)"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """similarity.dot() twin: sequential left fold of elementwise double
+    products (0.0-seeded fold == fold from first element, exactly)."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+_JACCARD = (
+    "CASE WHEN len(list_distinct(list_cat(ga, gb))) = 0 THEN 0.0 "
+    "ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE) "
+    "/ len(list_distinct(list_cat(ga, gb))) END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token/char counts, punctuation & stopword ratios, quality
+# score, md5 fingerprint — one narrow JVM-side pass (operators/textstats.py).
+def q_ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_meas"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.quality_score("text", round_to=None).alias("quality"),
+        T.fingerprint_md5("text").alias("fingerprint"),
+    )
+
+
+_STOP_SQL = "['the','a','an','of','and','or','to','in','is','it']"
+
+register(
+    "ext_token_stats",
+    q_ext_token_stats,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, coalesce(text, '') AS t, {_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, t, toks,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(length(t) AS INTEGER) AS n_chars_meas,
+               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x)))) AS n_stop
+        FROM tok
+    ), r AS (
+        SELECT doc_id, n_tokens, n_chars_meas,
+               CASE WHEN n_chars_meas = 0 THEN 0.0
+                    ELSE CAST(n_punct AS DOUBLE) / n_chars_meas END AS punct_ratio,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
+               md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM m
+    )
+    SELECT doc_id, n_tokens, n_chars_meas, punct_ratio, stopword_ratio,
+           least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+             * greatest(0.0, 1.0 - punct_ratio * 5.0)
+             * (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+               AS quality,
+           fingerprint
+    FROM r
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: marker-token argmax (deterministic tie-break by language code).
+def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scores = T.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        *[scores[lang].alias(f"s_{lang}") for lang in sorted(scores)],
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = []
+    for lang in sorted(T.LANG_MARKERS):
+        markers = ",".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(toks, x -> list_contains([{markers}], lower(x)))) AS INTEGER) AS s_{lang}"
+        )
+    langs = sorted(T.LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    chain = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for lang in langs:
+        chain += f"WHEN s_{lang} = {mx} THEN '{lang}' "
+    chain += "ELSE 'und' END"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang AS lang_true, {_TOKS} AS toks FROM documents
+    ), scored AS (
+        SELECT doc_id, lang_true, {", ".join(score_cols)} FROM tok
+    )
+    SELECT doc_id, lang_true, {", ".join(f"s_{lang}" for lang in langs)},
+           {chain} AS lang_pred
+    FROM scored
+    """
+
+
+register("ext_lang_id", q_ext_lang_id, _lang_id_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: group identical texts by md5 fingerprint (16-byte shuffle key
+# instead of the document — the at-scale trick), keep min id.
+def q_ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_keep_min(_t(spark, sf_dir, "documents"))
+
+
+register(
+    "ext_exact_dedup",
+    q_ext_exact_dedup,
+    """
+    SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (portable hash), exploded to (doc_id, seed, minhash)
+# rows so the value-hash covers every signature slot.
+_MH_HASHES = 8
+_MH_SHINGLE = 3
+
+
+def q_ext_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signature(F.col("text"), _MH_HASHES, _MH_SHINGLE, portable=True)
+    return docs.select("doc_id", F.posexplode(sig).alias("seed", "minhash"))
+
+
+register(
+    "ext_minhash_sig",
+    q_ext_minhash_sig,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, {_grams_sql("toks", _MH_SHINGLE)} AS g FROM tok
+    )
+    SELECT doc_id, CAST(s AS INTEGER) AS seed,
+           list_min(list_transform(g, x -> {_phash_sql("s", "x")})) AS minhash
+    FROM sh, range(0, {_MH_HASHES}) r(s)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs, fully oracle-checked: portable signatures,
+# band buckets (oracle buckets on the raw band string — same partition as
+# Spark's 64-bit band hash modulo ~2^-64 collisions), skew guard, exact
+# Jaccard verification. Spark plan: shuffles carry only (id, signature),
+# never documents; quadratic work confined to buckets (operators/dedup.py).
+_LSH_BANDS = 4
+_LSH_ROWS = _MH_HASHES // _LSH_BANDS
+_LSH_THRESH = 0.6
+_LSH_MAXBUCKET = 100
+
+
+def q_ext_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        num_hashes=_MH_HASHES,
+        bands=_LSH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        jaccard_threshold=_LSH_THRESH,
+        max_bucket=_LSH_MAXBUCKET,
+        portable=True,
+        round_to=None,
+    )
+
+
+register(
+    "ext_minhash_lsh_neardup",
+    q_ext_minhash_lsh_neardup,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, {_grams_sql("toks", _MH_SHINGLE)} AS g FROM tok
+    ), sig AS (
+        SELECT doc_id, g,
+               list_transform(range(0, {_MH_HASHES}),
+                   s -> list_min(list_transform(g, x -> {_phash_sql("s", "x")}))) AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, g, b AS band,
+               array_to_string(list_slice(sig, b * {_LSH_ROWS} + 1,
+                                          b * {_LSH_ROWS} + {_LSH_ROWS}), ',') AS bucket
+        FROM sig, range(0, {_LSH_BANDS}) r(b)
+    ), kept AS (
+        SELECT band, bucket FROM banded
+        GROUP BY band, bucket HAVING COUNT(*) <= {_LSH_MAXBUCKET}
+    ), keep AS (
+        SELECT banded.* FROM banded JOIN kept USING (band, bucket)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keep a JOIN keep b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT id_a, id_b, a.g AS ga, b.g AS gb
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+    )
+    SELECT id_a, id_b, {_JACCARD} AS jaccard
+    FROM verified
+    WHERE {_JACCARD} >= {_LSH_THRESH}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs blocked by language (the standalone verifier;
+# at scale the block key is an LSH bucket or (lang, length-band)).
+def q_ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, block_cols=["lang"], shingle_n=3, threshold=0.5, round_to=None
+    )
+
+
+register(
+    "ext_ngram_jaccard",
+    q_ext_ngram_jaccard,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, lang, {_grams_sql("toks", 3)} AS g FROM tok
+    ), pairs AS (
+        SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+               a.g AS ga, b.g AS gb
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT lang, id_a, id_b, {_JACCARD} AS jaccard
+    FROM pairs
+    WHERE {_JACCARD} >= 0.5
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (xxhash64 bit-vote) — not SQL-expressible cross-engine (no
+# xxhash64 in DuckDB): rows-only driver check; exactness is covered by a
+# pure-Python reference in tests/test_extensions.py.
+def q_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+register("ext_simhash", q_ext_simhash, None)
+
+
+def q_ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+register("ext_simhash_neardup", q_ext_simhash_neardup, None)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k (baseline path). The
+# query set broadcasts; one narrow pass over the embedding table; per-query
+# top-k window. Unrounded cosine = identical IEEE fold in both engines.
+_TOPK = 5
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _queries_df(emb), k=_TOPK, round_to=None)
+
+
+register(
+    "ext_cosine_topk",
+    q_ext_cosine_topk,
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0
+                         OR sqrt({_dot_sql("e.embedding", "e.embedding")}) = 0
+                    THEN 0.0
+                    ELSE {_dot_sql("q.qv", "e.embedding")}
+                         / (sqrt({_dot_sql("q.qv", "q.qv")})
+                            * sqrt({_dot_sql("e.embedding", "e.embedding")})) END
+                   AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs, blocked by label (at scale: LSH bucket).
+# Synthetic embeddings have no true near-dups (global max pairwise cosine
+# ~0.51 at sf0.01), so the registered query uses a low threshold to produce
+# non-trivial, value-checked output; production default stays high.
+_COS_THRESH = 0.35
+
+
+def q_ext_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_above(
+        emb, block_cols=["label"], threshold=_COS_THRESH, round_to=None
+    )
+
+
+register(
+    "ext_cosine_neardup",
+    q_ext_cosine_neardup,
+    f"""
+    WITH pairs AS (
+        SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS va, b.embedding AS vb
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT label, id_a, id_b,
+               CASE WHEN sqrt({_dot_sql("va", "va")}) = 0
+                         OR sqrt({_dot_sql("vb", "vb")}) = 0
+                    THEN 0.0
+                    ELSE {_dot_sql("va", "vb")}
+                         / (sqrt({_dot_sql("va", "va")}) * sqrt({_dot_sql("vb", "vb")})) END
+                   AS cos_sim
+        FROM pairs
+    )
+    SELECT label, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {_COS_THRESH}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate NN (random hyperplanes) — the scale path.
+# Hyperplanes are deterministic but driver-generated; recall < 1 by design,
+# so there is no SQL twin: rows-only driver check + recall test in pytest.
+def q_ext_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_ann(
+        emb, _queries_df(emb), dim=64, n_planes=6, k=_TOPK, round_to=None
+    )
+
+
+register("ext_lsh_ann", q_ext_lsh_ann, None)
+
+
+# ---------------------------------------------------------------------------
+# P11/P12/P17 string-surface parity: trailing-zero strip + empty->null on
+# deterministically constructed messy strings.
+def q_ext_strip_zeros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.functions import empty_to_null, strip_trailing_zeros
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw = F.when(
+        F.col("l_linenumber") % 7 == 0, F.lit("")
+    ).otherwise(
+        F.concat(
+            (F.col("l_partkey") % 100).cast("string"),
+            F.lit("."),
+            F.lpad((F.col("l_suppkey") % 100).cast("string"), 2, "0"),
+            F.repeat(F.lit("0"), (F.col("l_linenumber") % 3).cast("int")),
+        )
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        raw.alias("raw"),
+        strip_trailing_zeros(raw).alias("stripped"),
+        empty_to_null(strip_trailing_zeros(raw)).alias("nulled"),
+    )
+
+
+register(
+    "ext_strip_zeros",
+    q_ext_strip_zeros,
+    r"""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber % 7 = 0 THEN ''
+                    ELSE CAST(l_partkey % 100 AS VARCHAR) || '.'
+                         || lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0')
+                         || repeat('0', l_linenumber % 3) END AS raw
+        FROM lineitem
+    ), s AS (
+        SELECT l_orderkey, l_linenumber, raw,
+               CASE WHEN regexp_matches(raw, '^[0-9]+\.[0-9]+$')
+                    THEN regexp_replace(
+                             regexp_replace(raw, '^([0-9]+)\.0+$', '\1'),
+                             '^([0-9]+\.[0-9]*?)0+$', '\1')
+                    ELSE raw END AS stripped
+        FROM base
+    )
+    SELECT l_orderkey, l_linenumber, raw, stripped,
+           CASE WHEN trim(stripped) = '' THEN NULL ELSE stripped END AS nulled
+    FROM s
+    """,
+)

