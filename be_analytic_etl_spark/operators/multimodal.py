@@ -1,0 +1,191 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque
+``BinaryType`` column (or a (path, offset, length) pointer into an object
+store); metadata (modality, codec, dims, duration) is typed columns that
+Catalyst can filter/prune WITHOUT touching bytes. Heavy per-item work
+(decode, resize, feature-extract, frame-sample) runs as Arrow-batched
+``mapInPandas`` — one Python worker per partition, zero-copy Arrow
+transfer, output schema declared up front.
+
+The decode kernels themselves are STUBS here (no image/audio libs in this
+container — the real kernel drops into ``_decode_payload``); everything
+Spark-side is real and tested: schema, partition sizing, UDF signatures,
+batch iteration, and the deterministic fake feature extractor used to
+validate the plumbing end-to-end.
+
+Scale notes:
+- ``repartition_for_payloads`` sizes partitions by BYTES not rows —
+  binary columns make row counts meaningless for memory planning.
+- mapInPandas streams batches (spark.sql.execution.arrow.maxRecordsPerBatch);
+  a partition never has to fit in one pandas frame.
+- Feature extraction emits fixed-width arrays -> downstream similarity
+  search (operators/similarity.py) runs unchanged on the result.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: Output schema of featurize_binary — declared up front (mapInPandas contract).
+FEATURE_SCHEMA = (
+    "item_id long, modality string, n_bytes int, sha256 string, "
+    "feature array<float>"
+)
+
+FRAME_SCHEMA = "item_id long, frame_idx int, frame_sha256 string"
+
+
+def attach_binary_metadata(
+    df: DataFrame, payload_col: str = "payload", modality_col: str = "modality"
+) -> DataFrame:
+    """Typed metadata columns computed JVM-side (no Python, no decode):
+    byte length + content hash. These are what query predicates should
+    touch — filters on them prune before any Python worker spins up."""
+    p = F.col(payload_col)
+    return df.withColumns(
+        {
+            "n_bytes": F.length(p).cast("int"),
+            "sha256": F.sha2(p, 256),
+        }
+    )
+
+
+def repartition_for_payloads(
+    df: DataFrame, payload_col: str = "payload", target_partition_bytes: int = 128 * 2**20
+) -> DataFrame:
+    """Partition by total payload BYTES (cheap count+sum job), so each
+    mapInPandas worker sees ~target bytes regardless of row width."""
+    total = df.agg(F.sum(F.length(payload_col))).first()[0] or 0
+    n = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(n)
+
+
+def _decode_payload(payload: bytes, modality: str) -> "object":
+    """The real decode kernel goes here (PIL/librosa/ffmpeg). Not available
+    in this environment — the plumbing is exercised with deterministic
+    fakes; see ``_fake_feature``."""
+    raise NotImplementedError(
+        "binary decode requires image/audio libraries not present in this "
+        "container; use deterministic_fake=True for plumbing tests"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in feature: sha256-seeded floats in [-1, 1).
+    Stable across processes/partitions -> testable end-to-end."""
+    out: list[float] = []
+    counter = 0
+    seed = hashlib.sha256(payload).digest()
+    while len(out) < dim:
+        h = hashlib.sha256(seed + counter.to_bytes(4, "little")).digest()
+        for i in range(0, 32, 4):
+            if len(out) >= dim:
+                break
+            u = int.from_bytes(h[i : i + 4], "little")
+            out.append((u / 2**31) - 1.0)
+        counter += 1
+    return out
+
+
+def featurize_binary(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    dim: int = 16,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over a binary column.
+
+    Returns (item_id, modality, n_bytes, sha256, feature array<float>).
+    ``deterministic_fake=False`` routes to the real decoder (stubbed —
+    raises NotImplementedError until decode libs exist).
+    """
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats, hashes, sizes = [], [], []
+            for payload, modality in zip(pdf[payload_col], pdf[modality_col]):
+                raw = bytes(payload) if payload is not None else b""
+                if deterministic_fake:
+                    feats.append(_fake_feature(raw, dim))
+                else:
+                    feats.append(_decode_payload(raw, modality))
+                hashes.append(hashlib.sha256(raw).hexdigest())
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col],
+                    "modality": pdf[modality_col],
+                    "n_bytes": pd.array(sizes, dtype="int32"),
+                    "sha256": hashes,
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing: emit up to ``max_frames`` "frames" per item
+    (1:N mapInPandas fan-out — the shape a video frame sampler has). The
+    stub "frame" is a hash of a byte slice; a real decoder would emit
+    decoded frame tensors on the same schema pattern."""
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                n = min(max_frames, max(1, len(raw) // every_n_bytes))
+                for i in range(n):
+                    chunk = raw[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    ids.append(item_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_sha256": hashes,
+                }
+            )
+
+    return df.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def synthesize_binary_items(docs: DataFrame, payload_repeat: int = 64) -> DataFrame:
+    """Build a multimodal-shaped table from the documents test table:
+    payload = repeated utf-8 text bytes (deterministic), modality cycled.
+    This is the fixture generator for plumbing tests and the registered
+    rows-only query."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("item_id"),
+        modality.alias("modality"),
+        F.repeat(F.col("text"), payload_repeat).cast("binary").alias("payload"),
+    )

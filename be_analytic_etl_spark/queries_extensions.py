@@ -475,3 +475,51 @@ register(
     FROM s
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload columns + typed metadata. Metadata (length,
+# content hash) is JVM-side and oracle-checked — the payload here is utf-8
+# text bytes, so DuckDB's sha256(VARCHAR) hashes the same bytes Spark's
+# sha2(BINARY, 256) does. Feature extraction (Arrow mapInPandas, stubbed
+# decode) is not SQL-expressible -> rows-only.
+def q_ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    items = M.synthesize_binary_items(docs, payload_repeat=8)
+    return M.attach_binary_metadata(items).select(
+        "item_id", "modality", "n_bytes", "sha256"
+    )
+
+
+register(
+    "ext_multimodal_meta",
+    q_ext_multimodal_meta,
+    """
+    SELECT doc_id AS item_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(octet_length(CAST(repeat(text, 8) AS BLOB)) AS INTEGER) AS n_bytes,
+           sha256(repeat(text, 8)) AS sha256
+    FROM documents
+    """,
+)
+
+
+def q_ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    items = M.synthesize_binary_items(docs, payload_repeat=8)
+    feats = M.featurize_binary(items, dim=16)
+    # project the array to scalars for a stable rows-only check
+    return feats.select(
+        "item_id",
+        "modality",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+    )
+
+
+register("ext_multimodal_features", q_ext_multimodal_features, None)

@@ -34,6 +34,15 @@ def get_spark(app_name: str = "be-analytic-etl-spark", master: str | None = None
     rely on spark-submit.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers (pandas UDFs / mapInPandas) import this package by
+    # reference; they inherit PYTHONPATH, not the driver's sys.path — make
+    # sure the package root is importable no matter where the driver runs.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")

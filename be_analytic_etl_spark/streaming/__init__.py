@@ -1,0 +1,7 @@
+from be_analytic_etl_spark.streaming.jobs import (
+    read_events_stream,
+    stream_sessionize,
+    stream_tumbling_agg,
+)
+
+__all__ = ["read_events_stream", "stream_tumbling_agg", "stream_sessionize"]

@@ -1,0 +1,120 @@
+"""Structured Streaming jobs: the streaming twins of the batch event queries.
+
+The reference is strictly batch (SURVEY.md §2.7 — one-shot
+``python main.py``, ``/root/reference/Dockerfile:7``), so streaming is an
+engine extension: the same event analytics (tumbling-window aggregation,
+gap-based sessionization) expressed over an unbounded source with
+watermark-driven late-data handling and state cleanup.
+
+Design notes (scale):
+- Watermarks bound state: the tumbling agg keeps only open windows newer
+  than the watermark; session windows are merged and evicted on watermark
+  advance. Without them state grows without bound on an unbounded stream.
+- ``session_window`` is Spark's native gap-based session operator — the
+  same semantics as the batch cumulative-flag formulation in
+  ``queries_reference.q_sessionize`` (lag > gap starts a new session), but
+  implemented with mergeable session state, so it scales to unbounded
+  input. Equivalence of the two formulations is asserted in
+  tests/test_streaming.py by running this pipeline on a bounded stream and
+  comparing to the batch query.
+- Output mode "append" + watermark means results are emitted exactly once
+  per finalized window — the at-scale pattern for downstream sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Event-table schema (TESTDATA.md); file streams need an explicit schema.
+#: ``ts`` arrives as INT64 TIMESTAMP(NANOS) parquet — read as long under the
+#: nanosAsLong legacy conf and truncate to microseconds, exactly like the
+#: batch loader (sources/tables.py), so stream and batch see identical
+#: timestamps.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based event stream (each parquet file is a micro-batch).
+
+    In production this would be a Kafka/Kinesis source; the transformation
+    pipeline below is source-agnostic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation per event_type.
+
+    Streaming twin of ``queries_reference.q_tumbling_window`` (same
+    decimal-exact sum). State per open window; closed windows emitted once
+    (append mode) and evicted.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization with native session windows.
+
+    Streaming twin of ``queries_reference.q_sessionize``: a session is a
+    maximal run of a user's events with inter-event gaps <= ``gap``. Session
+    state merges as events arrive and is finalized when the watermark passes
+    session end + gap.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+) -> None:
+    """Drive a bounded file stream to completion into an in-memory table
+    (test/debug harness; production uses a real sink + checkpoint)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -1,0 +1,98 @@
+"""Streaming jobs vs their batch twins on a bounded stream.
+
+Running the streaming pipelines with ``availableNow`` over the static
+events parquet must produce exactly the batch-query results once every
+window is finalized (the watermark passes end-of-input) — modulo windows
+still open at end-of-stream, which append mode never emits; we restrict
+the comparison to watermark-closed windows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.streaming import (
+    read_events_stream,
+    stream_sessionize,
+    stream_tumbling_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    from be_analytic_etl_spark.sources import load_table
+
+    return load_table(spark, SF_DIR, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    # file streams consume a DIRECTORY of arriving files
+    d = tmp_path_factory.mktemp("events_stream")
+    (d / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    return str(d)
+
+
+def _run(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    return spark.table(name)
+
+
+def test_stream_tumbling_matches_batch(spark, events_batch, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run(spark, stream_tumbling_agg(stream), "t_tumbling").cache()
+
+    batch = events_batch.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    # append mode withholds windows the watermark never closed (the last
+    # 2h of event time): compare on the watermark-closed prefix.
+    max_ts = events_batch.agg(F.max("ts")).first()[0]
+    closed = batch.filter(
+        F.col("hour") < F.date_trunc("hour", F.lit(max_ts) - F.expr("INTERVAL 3 HOURS"))
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in closed.collect()}
+    assert want_rows, "test needs a non-empty closed prefix"
+    assert want_rows <= got_rows
+    # everything emitted must match the batch result exactly
+    batch_all = {tuple(r) for r in batch.collect()}
+    assert got_rows <= batch_all
+
+
+def test_stream_sessionize_matches_batch(spark, events_batch, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run(spark, stream_sessionize(stream), "t_sessions").cache()
+
+    from be_analytic_etl_spark.queries_reference import q_sessionize
+
+    batch = (
+        q_sessionize(spark, SF_DIR)
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+    max_ts = events_batch.agg(F.max("ts")).first()[0]
+    closed = batch.filter(
+        F.col("session_end") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in closed.collect()}
+    assert want_rows, "test needs a non-empty closed prefix"
+    missing = want_rows - got_rows
+    assert not missing, f"sessions missing from stream output: {sorted(missing)[:3]}"
+    batch_all = {tuple(r) for r in batch.collect()}
+    extra = got_rows - batch_all
+    assert not extra, f"stream emitted sessions batch never saw: {sorted(extra)[:3]}"
