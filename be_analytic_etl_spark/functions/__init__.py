@@ -9,6 +9,7 @@ reference's per-cell ``.apply`` loops (``/root/reference/main.py:477,582,670``).
 from be_analytic_etl_spark.functions.cleaning import (
     br_number_str,
     br_number_to_double,
+    let,
     classify_service,
     empty_to_null,
     extract_year,
@@ -19,6 +20,7 @@ from be_analytic_etl_spark.functions.cleaning import (
 __all__ = [
     "br_number_str",
     "br_number_to_double",
+    "let",
     "classify_service",
     "empty_to_null",
     "extract_year",

@@ -31,8 +31,26 @@ and therefore scale-independent (no Python boundary per row).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def let(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Bind ``value`` ONCE and reference it many times in ``body``.
+
+    Column expressions have no sharing: composing f(g(x)) where f references
+    its argument k times inlines g's whole tree k times (CollapseProject),
+    and the duplication multiplies through nesting — measured 10-100x
+    slowdowns (codegen blows past JIT limits / interpreted re-evaluation).
+    A single-element ``transform`` gives the expression language a let:
+    the array [value] is evaluated once, the lambda variable is a cheap
+    slot reference.
+
+    >>> let(expensive_expr, lambda v: F.when(v > 0, v).otherwise(-v))
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 #: Tokens the reference treats as "no value" (main.py:537-540), lower-cased.
 INVALID_TOKENS = ("", "nan", "-", "--", "---", "nd", "n/d")

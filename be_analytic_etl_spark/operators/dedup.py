@@ -54,15 +54,34 @@ def exact_dedup_keep_min(
 # --- MinHash ---------------------------------------------------------------
 
 
-def portable_hash64(col: Column, seed: Column) -> Column:
-    """Seeded 60-bit hash both Spark and DuckDB can compute identically:
-    first 15 hex chars of md5(seed || '|' || value), parsed base-16.
+#: 31-bit Mersenne prime for the portable affine hash family. (p-1)^2 fits
+#: a 64-bit signed int, so neither engine overflows.
+PORTABLE_P = 2_147_483_647
 
-    DuckDB twin: ``CAST('0x' || substr(md5(seed || '|' || v), 1, 15) AS BIGINT)``.
-    Used for oracle-checked variants; the scale path uses xxhash64 (no md5
-    per shingle)."""
-    payload = F.concat(seed.cast("string"), F.lit("|"), col)
-    return F.conv(F.substring(F.md5(payload.cast("binary")), 1, 15), 16, 10).cast("long")
+
+def portable_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal hash family
+    h_i(x) = (a_i * base(x) + b_i) mod p. Knuth-style multiplicative
+    constants; a_i != 0."""
+    return [
+        (
+            (i * 2_654_435_761 + 1_640_531_527) % (PORTABLE_P - 1) + 1,
+            (i * 97_003_969 + 49_979_687) % PORTABLE_P,
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def portable_base_hash(col: Column) -> Column:
+    """Base hash both Spark and DuckDB compute identically: first 15 hex
+    chars of md5(value) parsed base-16, reduced mod p.
+
+    DuckDB twin:
+    ``CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) % 2147483647``.
+    ONE md5 per value — the k seeded hashes derive via affine transforms
+    (8x cheaper than k seeded md5 calls)."""
+    h60 = F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+    return h60 % F.lit(PORTABLE_P)
 
 
 def fast_hash64(col: Column, seed: Column) -> Column:
@@ -76,15 +95,43 @@ def minhash_signature(
     """k-minhash signature (array<long>) over word n-gram shingles.
 
     sig[i] = min over shingles of hash_i(shingle). Pure array expressions —
-    no UDF, no Python boundary. ``portable=True`` swaps xxhash64 for the
-    md5-derived hash so a SQL oracle can replicate the signature bit-for-bit.
+    no UDF, no Python boundary.
+
+    ``portable=True``: hash_i = (a_i * md5base(shingle) + b_i) mod p —
+    one md5 per shingle, k affine transforms, replicable bit-for-bit by a
+    SQL oracle. Default: k seeded xxhash64 (fastest JVM path).
     """
+    from be_analytic_etl_spark.functions import let
+
     shingles = word_ngrams(col, shingle_n)
+    if portable:
+        # let-bind the base hashes: every slot references the SAME evaluated
+        # array (without this, each of the k slots re-inlines the md5-per-
+        # shingle tree — measured ~8x overcomputation).
+        params = F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a, b in portable_affine_params(num_hashes)
+            ]
+        )
+        return let(
+            F.transform(shingles, portable_base_hash),
+            lambda bases: F.transform(
+                params,
+                lambda pr: F.array_min(
+                    F.transform(bases, lambda h: (h * pr["a"] + pr["b"]) % PORTABLE_P)
+                ),
+            ),
+        )
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    h = portable_hash64 if portable else fast_hash64
-    return F.transform(
-        seeds,
-        lambda seed: F.array_min(F.transform(shingles, lambda sh: h(sh, seed))),
+    return let(
+        shingles,
+        lambda sh_once: F.transform(
+            seeds,
+            lambda seed: F.array_min(
+                F.transform(sh_once, lambda sh: fast_hash64(sh, seed))
+            ),
+        ),
     )
 
 
@@ -107,29 +154,32 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, portable=portable)
-    docs = df.select(
-        F.col(id_col).alias("__id"),
-        word_ngrams(F.col(text_col), shingle_n).alias("__shingles"),
-        sig.alias("__sig"),
-    )
+
+    # The bucket join moves ONLY (id, band, bucket) — never shingles or
+    # documents. Shingle sets re-join after candidate-pair dedup, so the
+    # heavy payload crosses the wire once per *candidate*, not once per
+    # (doc, band).
+    from be_analytic_etl_spark.functions import let
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = docs.select(
-        "__id",
-        "__shingles",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("__sig", b * rows_per_band + 1, rows_per_band)),
-                        b,
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("__id", "__shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # let-bind the signature: the per-band lambda must slice ONE evaluated
+    # array, not re-inline the whole signature computation per band.
+    band_structs = let(
+        sig,
+        lambda sg: F.transform(
+            band_idx,
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.slice(sg, b * rows_per_band + 1, rows_per_band)),
+                    b,
+                ).alias("bucket"),
+            ),
+        ),
+    )
+    banded = df.select(
+        F.col(id_col).alias("__id"), F.explode(band_structs).alias("bb")
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # Skew guard: drop degenerate buckets before the self-join.
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
@@ -138,17 +188,24 @@ def minhash_lsh_pairs(
         ["band", "bucket"],
     )
 
-    left = banded.select(
-        F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"), F.col("__shingles").alias("sh_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"), F.col("__shingles").alias("sh_b")
-    )
+    left = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
+    right = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    shingle_sets = df.select(
+        F.col(id_col).alias("__sid"),
+        word_ngrams(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    cand = (
+        cand.join(shingle_sets, cand.id_a == shingle_sets.__sid)
+        .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
+        .join(shingle_sets, F.col("id_b") == shingle_sets.__sid)
+        .select("id_a", "id_b", "sh_a", F.col("__sh").alias("sh_b"))
     )
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

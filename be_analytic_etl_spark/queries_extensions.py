@@ -50,10 +50,26 @@ def _grams_sql(toks: str, n: int = 3) -> str:
     )
 
 
-def _phash_sql(seed: str, val: str) -> str:
-    """portable_hash64() twin: md5 hex head as a 60-bit BIGINT."""
+def _pbase_sql(val: str) -> str:
+    """portable_base_hash() twin: md5 hex head as 60-bit BIGINT mod p."""
+    from be_analytic_etl_spark.operators.dedup import PORTABLE_P
+
+    return f"(CAST('0x' || substr(md5({val}), 1, 15) AS BIGINT) % {PORTABLE_P})"
+
+
+def _sig_sql(grams: str, num_hashes: int) -> str:
+    """minhash_signature(portable=True) twin: per-shingle base hash, k
+    affine transforms mod p, min per slot."""
+    from be_analytic_etl_spark.operators.dedup import PORTABLE_P, portable_affine_params
+
+    slots = []
+    for a, b in portable_affine_params(num_hashes):
+        slots.append(
+            f"list_min(list_transform(bases, h -> (h * {a} + {b}) % {PORTABLE_P}))"
+        )
     return (
-        f"CAST('0x' || substr(md5(CAST({seed} AS VARCHAR) || '|' || {val}), 1, 15) AS BIGINT)"
+        f"(SELECT [{', '.join(slots)}] FROM "
+        f"(SELECT list_transform({grams}, x -> {_pbase_sql('x')}) AS bases))"
     )
 
 
@@ -203,10 +219,11 @@ register(
         SELECT doc_id, {_TOKS} AS toks FROM documents
     ), sh AS (
         SELECT doc_id, {_grams_sql("toks", _MH_SHINGLE)} AS g FROM tok
+    ), sig AS (
+        SELECT doc_id, {_sig_sql("g", _MH_HASHES)} AS sig FROM sh
     )
-    SELECT doc_id, CAST(s AS INTEGER) AS seed,
-           list_min(list_transform(g, x -> {_phash_sql("s", "x")})) AS minhash
-    FROM sh, range(0, {_MH_HASHES}) r(s)
+    SELECT doc_id, CAST(s AS INTEGER) AS seed, sig[s + 1] AS minhash
+    FROM sig, range(0, {_MH_HASHES}) r(s)
     """,
 )
 
@@ -246,10 +263,7 @@ register(
     ), sh AS (
         SELECT doc_id, {_grams_sql("toks", _MH_SHINGLE)} AS g FROM tok
     ), sig AS (
-        SELECT doc_id, g,
-               list_transform(range(0, {_MH_HASHES}),
-                   s -> list_min(list_transform(g, x -> {_phash_sql("s", "x")}))) AS sig
-        FROM sh
+        SELECT doc_id, g, {_sig_sql("g", _MH_HASHES)} AS sig FROM sh
     ), banded AS (
         SELECT doc_id, g, b AS band,
                array_to_string(list_slice(sig, b * {_LSH_ROWS} + 1,
@@ -276,12 +290,21 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard pairs blocked by language (the standalone verifier;
-# at scale the block key is an LSH bucket or (lang, length-band)).
+# Exact n-gram Jaccard pairs with (lang, length-band) blocking — the
+# standalone verifier. Blocking is the scale contract: lang alone leaves a
+# quadratic block (~2M pairs in the 'en' block at sf0.1, ~100x that at
+# sf10); near-dup docs have near-equal length, so a 64-char length band
+# keeps recall while bounding each block. At 100 TB the block key is an
+# LSH bucket (see ext_minhash_lsh_neardup).
+_LEN_BAND = 64
+
+
 def q_ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / _LEN_BAND)
+    )
     return D.ngram_jaccard_pairs(
-        docs, block_cols=["lang"], shingle_n=3, threshold=0.5, round_to=None
+        docs, block_cols=["lang", "len_band"], shingle_n=3, threshold=0.5, round_to=None
     )
 
 
@@ -290,15 +313,19 @@ register(
     q_ext_ngram_jaccard,
     f"""
     WITH tok AS (
-        SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+        SELECT doc_id, lang, n_chars // {_LEN_BAND} AS len_band,
+               {_TOKS} AS toks
+        FROM documents
     ), sh AS (
-        SELECT doc_id, lang, {_grams_sql("toks", 3)} AS g FROM tok
+        SELECT doc_id, lang, len_band, {_grams_sql("toks", 3)} AS g FROM tok
     ), pairs AS (
-        SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        SELECT a.lang AS lang, a.len_band AS len_band,
+               a.doc_id AS id_a, b.doc_id AS id_b,
                a.g AS ga, b.g AS gb
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
     )
-    SELECT lang, id_a, id_b, {_JACCARD} AS jaccard
+    SELECT lang, len_band, id_a, id_b, {_JACCARD} AS jaccard
     FROM pairs
     WHERE {_JACCARD} >= 0.5
     """,

@@ -32,14 +32,33 @@ def _docs(spark, n=40):
 # --- portable hash ---------------------------------------------------------
 
 
-def test_portable_hash64_matches_hashlib(spark):
+def test_portable_base_hash_matches_hashlib(spark):
     df = spark.createDataFrame([("abc",), ("x y z",), ("",)], ["s"])
-    rows = df.select(
-        "s", D.portable_hash64(F.col("s"), F.lit(7)).alias("h")
-    ).collect()
+    rows = df.select("s", D.portable_base_hash(F.col("s")).alias("h")).collect()
     for r in rows:
-        expect = int(hashlib.md5(f"7|{r['s']}".encode()).hexdigest()[:15], 16)
+        expect = int(hashlib.md5(r["s"].encode()).hexdigest()[:15], 16) % D.PORTABLE_P
         assert r["h"] == expect
+
+
+def test_portable_minhash_matches_python(spark):
+    texts = ["a b c d e f", "the quick brown fox"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["i", "t"])
+    k, n = 4, 2
+    rows = df.select(
+        "i", D.minhash_signature(F.col("t"), k, n, portable=True).alias("sig")
+    ).collect()
+    params = D.portable_affine_params(k)
+    for r in rows:
+        toks = texts[r["i"]].split()
+        grams = {
+            " ".join(toks[j : j + n]) for j in range(max(len(toks) - n, 0) + 1)
+        }
+        bases = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % D.PORTABLE_P
+            for g in grams
+        ]
+        expect = [min((h * a + b) % D.PORTABLE_P for h in bases) for a, b in params]
+        assert list(r["sig"]) == expect
 
 
 # --- simhash vs pure-python reference --------------------------------------
