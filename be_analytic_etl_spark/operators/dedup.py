@@ -300,28 +300,55 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     round_to: int | None = 4,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within blocks.
+    """Exact n-gram Jaccard similarity for pairs within blocks, computed as
+    an inverted-index set-similarity join (VernicaJoin-style).
 
-    ``block_cols`` keys the self-join (at scale: LSH buckets or cheap keys
-    like (lang, length-bucket)); without blocking this is a cross join —
-    only for small candidate sets.
+    Rather than self-joining full shingle *arrays* (which ships kilobytes
+    per candidate pair — measured multi-GB shuffle at sf0.1 for 70 result
+    rows), explode to (block, shingle-hash, id, set-size), self-join on the
+    8-byte shingle hash, and count co-occurrences: the count IS the
+    intersection size, and ``union = |A| + |B| - inter`` since shingle sets
+    are distinct. Join traffic is one row per shared shingle occurrence —
+    Σ freq² per shingle — instead of |pairs| × both arrays.
+
+    ``block_cols`` keys the join (at scale: LSH buckets or cheap keys like
+    (lang, length-band)); unblocked, every shared shingle pairs globally —
+    still exact, but only for modest corpora.
+
+    Requires ``threshold > 0``: pairs sharing zero shingles (including
+    empty documents) never materialize, which is exactly the J=0 set.
     """
-    sh = df.select(
-        *(block_cols or []),
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (J=0 pairs never materialize)")
+    blocks = list(block_cols or [])
+    tok = df.select(
+        *blocks,
         F.col(id_col).alias("__id"),
         word_ngrams(F.col(text_col), shingle_n).alias("__sh"),
+    ).select(
+        *blocks,
+        "__id",
+        F.size("__sh").alias("__sz"),
+        F.explode("__sh").alias("__g"),
+    ).withColumn("__g", F.xxhash64("__g"))
+
+    left = tok.select(
+        *blocks, "__g", F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a")
     )
-    join_keys = block_cols or []
-    left = sh.select(*join_keys, F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    right = sh.select(*join_keys, F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    cand = (
-        left.join(right, join_keys) if join_keys else left.crossJoin(right)
-    ).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+    right = tok.select(
+        *blocks, "__g", F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b")
+    )
+    co = (
+        left.join(right, [*blocks, "__g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(*blocks, "id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    inter = F.col("__c")
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    jac = inter.cast("double") / union
     jac = F.round(jac, round_to) if round_to is not None else jac
     return (
-        cand.select(*join_keys, "id_a", "id_b", jac.alias("jaccard"))
+        co.select(*blocks, "id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

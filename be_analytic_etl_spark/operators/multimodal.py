@@ -60,12 +60,22 @@ def attach_binary_metadata(
 
 
 def repartition_for_payloads(
-    df: DataFrame, payload_col: str = "payload", target_partition_bytes: int = 128 * 2**20
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_partition_bytes: int = 128 * 2**20,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Partition by total payload BYTES (cheap count+sum job), so each
-    mapInPandas worker sees ~target bytes regardless of row width."""
+    mapInPandas worker sees ~target bytes regardless of row width.
+
+    ``min_partitions`` (default: the session's default parallelism) floors
+    the count — a corpus smaller than one target chunk must still fan out
+    across workers, or the Python stage serializes on one core."""
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
     total = df.agg(F.sum(F.length(payload_col))).first()[0] or 0
-    n = max(1, int(total / target_partition_bytes) + 1)
+    n = max(min_partitions, int(total / target_partition_bytes) + 1)
     return df.repartition(n)
 
 

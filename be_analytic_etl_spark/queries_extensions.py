@@ -29,7 +29,9 @@ from be_analytic_etl_spark.registry import register
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from be_analytic_etl_spark.sources import load_table
 
-    return load_table(spark, sf_dir, name)
+    # documents/embeddings feed per-row compute-heavy ops (shingling, k
+    # hashes, vector math); spread an under-partitioned scan across cores.
+    return load_table(spark, sf_dir, name, spread=name in ("documents", "embeddings"))
 
 
 # --- shared DuckDB SQL fragments -------------------------------------------

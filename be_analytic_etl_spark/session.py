@@ -53,7 +53,14 @@ def get_spark(app_name: str = "be-analytic-etl-spark", master: str | None = None
         .config("spark.sql.ansi.enabled", "false")
         # Arrow for the few pandas-interop paths (ODS bridge, pandas UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Long-lived sessions run many queries back-to-back (bench, driver
+        # rounds): the UI status store retains per-execution metrics and the
+        # heap fills over a suite, degrading the tail. Headless engine — no
+        # UI — and a periodic context GC to release py4j-held references.
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ui.retainedExecutions", "4")
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     if master is not None:
         builder = builder.master(master)

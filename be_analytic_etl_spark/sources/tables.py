@@ -14,11 +14,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
+    """Load a test table. ``spread=True`` repartitions an under-partitioned
+    scan up to the session's default parallelism — for per-row compute-heavy
+    consumers (shingling, hashing, embedding math) a single-row-group file
+    otherwise serializes the whole pipeline onto one core. At real scale
+    inputs arrive pre-split (many files / row groups) and the repartition is
+    a no-op; the shuffle it costs here is proportional to the small input,
+    while the compute it parallelizes is the dominant term.
+    """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
