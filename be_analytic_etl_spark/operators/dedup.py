@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from be_analytic_etl_spark.operators.textstats import normalize_text, tokenize, word_ngrams
+from be_analytic_etl_spark.operators.textstats import (
+    PORTABLE_P,
+    normalize_text,
+    portable_base_hash,
+    tokenize,
+    word_ngrams,
+)
 
 
 # --- exact -----------------------------------------------------------------
@@ -54,11 +60,6 @@ def exact_dedup_keep_min(
 # --- MinHash ---------------------------------------------------------------
 
 
-#: 31-bit Mersenne prime for the portable affine hash family. (p-1)^2 fits
-#: a 64-bit signed int, so neither engine overflows.
-PORTABLE_P = 2_147_483_647
-
-
 def portable_affine_params(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) pairs for the universal hash family
     h_i(x) = (a_i * base(x) + b_i) mod p. Knuth-style multiplicative
@@ -70,18 +71,6 @@ def portable_affine_params(num_hashes: int) -> list[tuple[int, int]]:
         )
         for i in range(num_hashes)
     ]
-
-
-def portable_base_hash(col: Column) -> Column:
-    """Base hash both Spark and DuckDB compute identically: first 15 hex
-    chars of md5(value) parsed base-16, reduced mod p.
-
-    DuckDB twin:
-    ``CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) % 2147483647``.
-    ONE md5 per value — the k seeded hashes derive via affine transforms
-    (8x cheaper than k seeded md5 calls)."""
-    h60 = F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
-    return h60 % F.lit(PORTABLE_P)
 
 
 def fast_hash64(col: Column, seed: Column) -> Column:

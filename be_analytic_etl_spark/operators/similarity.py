@@ -124,6 +124,88 @@ def cosine_pairs_above(
     )
 
 
+def ivf_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """IVF-style approximate NN: coarse-quantize vectors into ``n_cells``
+    cells, probe the ``n_probe`` best cells per query, exact cosine re-rank
+    inside the probed cells only.
+
+    The coarse quantizer here is the ``n_cells`` lowest-id vectors — a
+    deterministic, oracle-replicable stand-in for k-means centroids; the
+    plumbing (and the scale behavior) is identical to a trained quantizer.
+    Like faiss, the quantizer is tiny and lives on every worker: the
+    centroids are collected driver-side (n_cells x dim doubles) and inlined
+    as literals, so CELL ASSIGNMENT IS A MAP-ONLY PASS — no join, no
+    shuffle touches the embedding table until the final per-cell re-rank,
+    which moves only the probed cells (~n_probe/n_cells of the data).
+
+    Returns (query_id, neighbor_id, cos_sim, rank) with rank <= k within
+    the probed candidate set. Ties: higher cosine first, then lower
+    neighbor id; cell argmax tie-breaks to the lowest cell index.
+    """
+    from pyspark.sql import Window
+
+    from be_analytic_etl_spark.functions import let
+
+    cent_rows = (
+        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cent_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["__v"]]) for r in cent_rows]
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(cent_rows) - 1))
+
+    def probe_cells(vec: Column, n: int) -> Column:
+        """Indices of the n best cells by cosine, first-max tie-break."""
+
+        def rank_cells(v: Column) -> Column:
+            sims = F.transform(cent_lits, lambda cv: cosine(cv, v))
+            # sort struct(-sim, idx) ascending == sim desc, idx asc
+            ranked = F.sort_array(
+                F.arrays_zip(
+                    F.transform(sims, lambda s: -s).alias("s"), idx.alias("i")
+                )
+            )
+            return F.transform(F.slice(ranked, 1, n), lambda st: st["i"].cast("int"))
+
+        return let(vec, rank_cells)
+
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev")
+    ).withColumn("cell", F.element_at(probe_cells(F.col("__ev"), 1), 1))
+    q = queries.select(
+        F.col(query_id_col), _vec(query_vec_col).alias("__qv")
+    ).withColumn("cell", F.explode(probe_cells(F.col("__qv"), n_probe)))
+
+    scored = (
+        e.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            _maybe_round(cosine(F.col("__qv"), F.col("__ev")), round_to).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _pseudo_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes without RNG state: component
     (p, i) derives from sha256(seed, p, i), mapped to [-1, 1). Driver-side,

@@ -23,6 +23,60 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+#: BPE-style pre-tokenization shape (letter runs | digit runs | single
+#: non-alnum mark), restricted to character classes whose semantics are
+#: identical in Java regex (Spark) and RE2 (DuckDB) so the count is
+#: oracle-checkable. Real BPE vocabularies pre-split on exactly this kind
+#: of pattern before merging.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: number of BPE-pretokenizer matches.
+
+    Counts letter runs, digit runs, and individual punctuation marks —
+    a closer proxy for LLM token cost than whitespace words ('don't!' is
+    1 whitespace token but 4 BPE-ish tokens).
+    """
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+#: 31-bit Mersenne prime — modulus of every portable hash in the engine.
+#: (p-1)^2 fits a 64-bit signed int, so neither engine overflows.
+PORTABLE_P = 2_147_483_647
+
+#: Polynomial base for the rolling fingerprint. p * ROLL_B + p < 2^63.
+ROLL_B = 31
+
+
+def portable_base_hash(col: Column) -> Column:
+    """Hash both Spark and DuckDB compute identically: first 15 hex chars
+    of md5(value) parsed base-16, reduced mod p.
+
+    DuckDB twin:
+    ``CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) % 2147483647``."""
+    h60 = F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+    return h60 % F.lit(PORTABLE_P)
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    ``fp = fold(acc * B + h(token)) mod p`` with the portable base hash.
+
+    Unlike ``fingerprint_md5`` (one hash of the whole normalized string),
+    the rolling form extends incrementally — the shape used for streaming /
+    shingle fingerprints at scale. Empty text folds to 0. Pure column
+    expressions; DuckDB twin is ``list_reduce([0] || hashes, ...)``.
+    """
+    toks = tokenize(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_B + portable_base_hash(t)) % PORTABLE_P,
+    )
+
+
 def char_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(F.coalesce(c, F.lit("")))

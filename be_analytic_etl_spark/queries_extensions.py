@@ -84,6 +84,15 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """similarity.cosine() twin: zero-norm guard, then dot / (|a| * |b|)."""
+    return (
+        f"CASE WHEN sqrt({_dot_sql(a, a)}) = 0 OR sqrt({_dot_sql(b, b)}) = 0 "
+        f"THEN 0.0 ELSE {_dot_sql(a, b)} "
+        f"/ (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})) END"
+    )
+
+
 _JACCARD = (
     "CASE WHEN len(list_distinct(list_cat(ga, gb))) = 0 THEN 0.0 "
     "ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE) "
@@ -138,6 +147,37 @@ register(
                AS quality,
            fingerprint
     FROM r
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish sub-word token count (regex pre-tokenizer shape) + order-sensitive
+# polynomial rolling fingerprint over the token stream — both portable
+# expressions, value-checked.
+def q_ext_bpe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_ish_token_count("text").alias("bpe_tokens"),
+        T.rolling_fingerprint("text").alias("roll_fp"),
+    )
+
+
+register(
+    "ext_bpe_fingerprint",
+    q_ext_bpe_fingerprint,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, coalesce(text, '') AS t, {_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{T.BPE_ISH_PATTERN}')) AS INTEGER)
+               AS bpe_tokens,
+           list_reduce(
+               [CAST(0 AS BIGINT)] || list_transform(toks, x -> {_pbase_sql('x')}),
+               (acc, h) -> (acc * {T.ROLL_B} + h) % {T.PORTABLE_P}) AS roll_fp
+    FROM tok
     """,
 )
 
@@ -451,6 +491,72 @@ def q_ext_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ext_lsh_ann", q_ext_lsh_ann, None)
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate NN — the other scale path. The coarse quantizer is
+# deterministic (n_cells lowest-id vectors), so unlike the hyperplane LSH
+# variant the full algorithm — cell assignment, probing, re-rank — is
+# SQL-replicable and value-checked end to end.
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+
+
+def q_ext_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_ann(
+        emb,
+        _queries_df(emb),
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        k=_TOPK,
+        round_to=None,
+    )
+
+
+register(
+    "ext_ivf_ann",
+    q_ext_ivf_ann,
+    f"""
+    WITH cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding AS cv
+        FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), assign AS (
+        SELECT neighbor_id, ev, cell FROM (
+            SELECT e.vec_id AS neighbor_id, e.embedding AS ev, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("c.cv", "e.embedding")} DESC, c.cell) AS rn
+            FROM embeddings e, cent c)
+        WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id % 100 = 0
+    ), probe AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_cos_sql("c.cv", "q.qv")} DESC, c.cell) AS rn
+            FROM q, cent c)
+        WHERE rn <= {_IVF_PROBE}
+    ), scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_cos_sql("p.qv", "a.ev")} AS cos_sim
+        FROM probe p JOIN assign a ON p.cell = a.cell
+        WHERE a.neighbor_id <> p.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
 
 
 # ---------------------------------------------------------------------------

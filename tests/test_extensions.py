@@ -195,3 +195,87 @@ def test_brute_force_topk_ranks_correctly(spark):
     for r, (c, negid) in zip(sorted(got, key=lambda r: r["rank"]), expect):
         assert r["neighbor_id"] == -negid
         assert r["cos_sim"] == pytest.approx(c, abs=1e-9)
+
+
+# --- IVF ANN ---------------------------------------------------------------
+
+
+def test_ivf_ann_exact_cosines_and_shape(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.brute_force_topk(emb, queries, k=50, round_to=None)
+    got = S.ivf_ann(emb, queries, n_cells=4, n_probe=2, k=5, round_to=None).collect()
+    exact_rows = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()
+    }
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_rows:
+            # candidate cosines must equal the exact path bit-for-bit
+            assert r["cos_sim"] == exact_rows[key]
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_ivf_probe_widening_monotone_recall(spark):
+    """n_probe = n_cells degenerates to exact search over all cells."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.brute_force_topk(emb, queries, k=5, round_to=None)
+    full_probe = S.ivf_ann(emb, queries, n_cells=4, n_probe=4, k=5, round_to=None)
+    e = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full_probe.collect()}
+    assert e == f
+
+
+# --- BPE-ish tokens + rolling fingerprint ----------------------------------
+
+
+def test_bpe_ish_token_count_cases(spark):
+    from be_analytic_etl_spark.operators import textstats as T
+
+    cases = [
+        ("don't!", 4),          # don | ' | t | !
+        ("Hello, world42 foo", 5),
+        ("", 0),
+        (None, 0),
+        ("a1b2", 4),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "t"]
+    )
+    got = {r["i"]: r["n"] for r in df.select("i", T.bpe_ish_token_count("t").alias("n")).collect()}
+    for i, (_, expect) in enumerate(cases):
+        assert got[i] == expect, f"case {i}"
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    from be_analytic_etl_spark.operators import textstats as T
+
+    texts = ["a b c", "c b a", "", "  the quick  brown fox "]
+    df = spark.createDataFrame(list(enumerate(texts)), ["i", "t"])
+    got = {
+        r["i"]: r["fp"]
+        for r in df.select("i", T.rolling_fingerprint("t").alias("fp")).collect()
+    }
+
+    def pyfp(text):
+        toks = text.split() if text.strip() else []
+        acc = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % T.PORTABLE_P
+            acc = (acc * T.ROLL_B + h) % T.PORTABLE_P
+        return acc
+
+    for i, t in enumerate(texts):
+        assert got[i] == pyfp(t), f"text {t!r}"
+    # order sensitivity: same tokens, different order, different fingerprint
+    assert got[0] != got[1]

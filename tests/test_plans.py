@@ -1,0 +1,95 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around must be visible in the plan, not just hoped for.
+
+- small dims broadcast (no shuffle join for star lookups);
+- filters and column projections reach the parquet scan (PushedFilters /
+  ReadSchema), so row groups prune and unused columns are never read;
+- aggregates run partial+final (map-side combine before the shuffle);
+- the hot path stays inside whole-stage codegen (no row-at-a-time Python);
+- the inverted-index jaccard join is a hash join, never a cartesian
+  product.
+
+These run at sf0.001 — plan shape is scale-invariant, which is the point.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from be_analytic_etl_spark.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: QUERIES[name](spark, SF_DIR)
+        for name in [
+            "star_join_broadcast",
+            "pricing_summary",
+            "flagship_mom_pivot",
+            "ext_ngram_jaccard",
+            "ext_cosine_topk",
+            "groupby_avg",
+        ]
+    }
+
+
+def test_star_join_broadcasts_small_dims(plans):
+    plan = plan_of(plans["star_join_broadcast"])
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "small dims must broadcast, not shuffle"
+
+
+def test_pricing_summary_pushes_filter_to_scan(plans):
+    plan = plan_of(plans["pricing_summary"])
+    assert "PushedFilters: [" in plan
+    # the filter is on l_shipdate: it must reach the parquet reader
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, f"expected l_shipdate pushdown, got [{pushed}]"
+
+
+def test_pricing_summary_prunes_columns(plans):
+    plan = plan_of(plans["pricing_summary"])
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # lineitem has 16 columns; the summary touches 7 — a full-width scan
+    # means pruning broke
+    assert "l_orderkey" not in read_schema, read_schema
+    assert "l_comment" not in read_schema, read_schema
+
+
+def test_aggregates_are_partial_then_final(plans):
+    plan = plan_of(plans["groupby_avg"])
+    # partial + final hash aggregate = map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_hot_paths_have_wholestage_codegen(plans):
+    for name in ("pricing_summary", "flagship_mom_pivot", "groupby_avg"):
+        df = plans[name]
+        df.collect()  # AQE only finalizes (and codegens) stages on execution
+        plan = plan_of(df)
+        # "*(n)" prefixes mark WholeStageCodegen stages in simpleString
+        assert "*(" in plan, f"{name} fell out of codegen: {plan}"
+        assert "BatchEvalPython" not in plan, f"{name} has a row-python stage"
+        assert "ArrowEvalPython" not in plan, f"{name} has a pandas-udf stage"
+
+
+def test_ngram_jaccard_is_hash_join_not_cartesian(plans):
+    plan = plan_of(plans["ext_ngram_jaccard"])
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cosine_topk_broadcasts_query_side(plans):
+    plan = plan_of(plans["ext_cosine_topk"])
+    assert "Broadcast" in plan, plan
