@@ -141,6 +141,10 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    from pyspark import StorageLevel
+
+    from be_analytic_etl_spark.functions import let
+
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, portable=portable)
 
@@ -148,8 +152,6 @@ def minhash_lsh_pairs(
     # documents. Shingle sets re-join after candidate-pair dedup, so the
     # heavy payload crosses the wire once per *candidate*, not once per
     # (doc, band).
-    from be_analytic_etl_spark.functions import let
-
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     # let-bind the signature: the per-band lambda must slice ONE evaluated
     # array, not re-inline the whole signature computation per band.
@@ -166,9 +168,15 @@ def minhash_lsh_pairs(
             ),
         ),
     )
-    banded = df.select(
-        F.col(id_col).alias("__id"), F.explode(band_structs).alias("bb")
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # Persist the banded table: it feeds the skew guard AND both sides of
+    # the bucket self-join — without a persist each reference re-runs the
+    # whole shingle+k-hash signature pass (3x overcompute, measured).
+    # Tiny payload (id, band, bucket per doc-band); spills if not.
+    banded = (
+        df.select(F.col(id_col).alias("__id"), F.explode(band_structs).alias("bb"))
+        .select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # Skew guard: drop degenerate buckets before the self-join.
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
@@ -186,10 +194,12 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # Shingle sets are read twice (id_a join, id_b join): persist so the
+    # tokenize+shingle pass runs once. Proportional to the corpus; spills.
     shingle_sets = df.select(
         F.col(id_col).alias("__sid"),
         word_ngrams(F.col(text_col), shingle_n).alias("__sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         cand.join(shingle_sets, cand.id_a == shingle_sets.__sid)
         .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
@@ -245,7 +255,11 @@ def simhash_neardup_pairs(
     """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit chunks
     (pigeonhole: hamming<=3 pairs share at least one exact chunk), bucket-join
     on chunks, verify true hamming distance."""
-    sh = simhash(df, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # chunks feed both sides of the bucket self-join; persist so the
+    # explode+64-bit-sum simhash aggregation runs once, not twice.
+    sh = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),

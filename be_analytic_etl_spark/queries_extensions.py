@@ -658,3 +658,35 @@ def q_ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ext_multimodal_features", q_ext_multimodal_features, None)
+
+
+# ---------------------------------------------------------------------------
+# Keyed first-occurrence dedup — the BATCH twin of
+# streaming.stream_dedup_first (applyInPandasWithState). Batch semantics:
+# the winner per key is min(ts, event_id); the streaming operator converges
+# to exactly this on a bounded in-watermark stream (asserted in
+# tests/test_streaming.py).
+def q_ext_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+
+register(
+    "ext_first_per_key",
+    q_ext_first_per_key,
+    """
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)

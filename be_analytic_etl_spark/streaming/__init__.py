@@ -1,7 +1,13 @@
 from be_analytic_etl_spark.streaming.jobs import (
     read_events_stream,
+    stream_dedup_first,
     stream_sessionize,
     stream_tumbling_agg,
 )
 
-__all__ = ["read_events_stream", "stream_tumbling_agg", "stream_sessionize"]
+__all__ = [
+    "read_events_stream",
+    "stream_tumbling_agg",
+    "stream_sessionize",
+    "stream_dedup_first",
+]

@@ -105,6 +105,72 @@ def stream_sessionize(
     )
 
 
+def stream_dedup_first(
+    events: DataFrame,
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 60 * 60 * 1000,
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST event per key.
+
+    The custom-stateful-operator pattern (``applyInPandasWithState``) the
+    built-in windows can't express: per-key state is a single "already
+    emitted" flag; within a micro-batch the winner is min(ts, event_id),
+    across batches first-seen wins — the dedup contract of a streaming
+    training-data pipeline (keep the first copy of a document, drop later
+    repeats).
+
+    State is bounded: each key's flag is evicted by EVENT-TIME TIMEOUT once
+    the watermark passes its timeout (``state_ttl_ms`` past the watermark at
+    emit time). After eviction a very-late duplicate would re-emit — the
+    standard watermark trade-off, same as late data beyond any watermark.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, ts timestamp, event_id long, value double"
+
+    def first_per_key(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = None
+        for pdf in pdfs:
+            if state.exists or pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            cand = pdf.iloc[0]
+            if best is None or (cand["ts"], cand["event_id"]) < (
+                best["ts"],
+                best["event_id"],
+            ):
+                best = cand
+        if not state.exists and best is not None:
+            state.update((True,))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "ts": [best["ts"]],
+                    "event_id": [best["event_id"]],
+                    "value": [best["value"]],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            first_per_key,
+            outputStructType=out_schema,
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_sec: int = 120
 ) -> None:

@@ -96,3 +96,24 @@ def test_stream_sessionize_matches_batch(spark, events_batch, events_stream_dir)
     batch_all = {tuple(r) for r in batch.collect()}
     extra = got_rows - batch_all
     assert not extra, f"stream emitted sessions batch never saw: {sorted(extra)[:3]}"
+
+
+def test_stream_dedup_first_matches_batch(spark, events_batch, events_stream_dir):
+    from be_analytic_etl_spark.streaming import stream_dedup_first
+
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run(spark, stream_dedup_first(stream), "t_dedup_first").cache()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        events_batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows == want_rows
+    # exactly one output row per distinct key
+    assert got.count() == events_batch.select("user_id").distinct().count()
