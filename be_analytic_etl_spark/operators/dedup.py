@@ -1,5 +1,14 @@
 """Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
 
+Algorithms follow the published literature: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", SEQUENCES
+1997), banded LSH (Indyk & Motwani, STOC 1998; banding scheme as in
+Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3), SimHash
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC 2002; chunk-based hamming search as in Manku/Jain/Das Sarma, WWW
+2007), and the inverted-index exact set-similarity join (Vernica/Carey/Li,
+"Efficient parallel set-similarity joins using MapReduce", SIGMOD 2010).
+
 Designed for the 100 TB training-data case:
 
 - **Exact** dedup is a hash groupBy on the text (or its md5 — cheaper

@@ -13,6 +13,14 @@ Two paths, per the scale plan:
   buckets. Shuffle carries (id, bucket, vector) once; the quadratic part is
   confined to buckets.
 
+- **IVF** (inverted-file index: coarse-quantize into cells, probe the
+  nearest cells — Sivic & Zisserman, "Video Google", ICCV 2003; Jégou/
+  Douze/Schmid, "Product quantization for nearest neighbor search", TPAMI
+  2011) — same plumbing as a trained k-means quantizer, with a
+  deterministic quantizer so the full path is oracle-checkable.
+
+Random-hyperplane sketches per Charikar (STOC 2002).
+
 All math is double-precision (cast from float32 storage) so results are
 reproducible against a double-precision oracle.
 """
