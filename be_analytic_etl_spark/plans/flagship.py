@@ -155,6 +155,66 @@ def consolidacao_de_metricas(fact: DataFrame) -> DataFrame:
     )
 
 
+def consolidacao_view_sql() -> str:
+    """S14: the reference view as executable SPARK SQL text — the dialect
+    translation of ``/root/reference/README.md:119-213`` (``TO_CHAR`` ->
+    ``date_format``, ``::numeric`` casts -> ``ROUND`` on double; identical
+    CTE / window / conditional-pivot / HAVING structure)."""
+    pivot_exprs = []
+    for group_value, name in IDA_GROUPS.items():
+        piv = (
+            "COALESCE(ROUND(AVG(CASE WHEN grupo_economico = '"
+            + group_value
+            + "' THEN taxa_var END), 1), 0.0)"
+        )
+        pivot_exprs.append(f"{piv} AS {name}")
+        pivot_exprs.append(f"ROUND({piv} - ROUND(AVG(taxa_var), 1), 1) AS {name}_diff")
+    pivot_sql = ",\n       ".join(pivot_exprs)
+    return f"""
+WITH monthly AS (
+    SELECT date_trunc('month', mes_referencia) AS mes_ref,
+           grupo_economico,
+           CAST(SUM(CAST(valor AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(valor) AS valor_atual
+    FROM be_analytic_table
+    WHERE servico = '{IDA_METRIC}'
+    GROUP BY 1, 2
+), lagged AS (
+    SELECT mes_ref, grupo_economico, valor_atual,
+           LAG(valor_atual) OVER (
+               PARTITION BY grupo_economico ORDER BY mes_ref) AS valor_anterior
+    FROM monthly
+), taxas AS (
+    SELECT mes_ref, grupo_economico,
+           ROUND((valor_atual - valor_anterior)
+                 / NULLIF(valor_anterior, 0) * 100, 1) AS taxa_var
+    FROM lagged
+    WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
+)
+SELECT date_format(mes_ref, 'yyyy-MM') AS mes,
+       ROUND(AVG(taxa_var), 1) AS taxa_media,
+       {pivot_sql}
+FROM taxas
+WHERE taxa_var IS NOT NULL
+GROUP BY mes_ref
+HAVING COUNT(DISTINCT grupo_economico) >= 2
+ORDER BY mes DESC
+"""
+
+
+def create_consolidacao_view(spark, fact: DataFrame) -> DataFrame:
+    """Register ``fact`` as ``be_analytic_table`` and create the
+    ``consolidacao_de_metricas`` temp view from the SQL text — the
+    spark.sql twin of ``consolidacao_de_metricas()`` (equivalence asserted
+    in tests/test_flagship.py)."""
+    fact.createOrReplaceTempView("be_analytic_table")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW consolidacao_de_metricas AS "
+        + consolidacao_view_sql()
+    )
+    return spark.table("consolidacao_de_metricas")
+
+
 #: Order priorities for the star-schema analog (FIXTURES.md §4).
 ORDER_PRIORITIES = {
     "1-URGENT": "urgent",

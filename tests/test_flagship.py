@@ -8,6 +8,7 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 
 from be_analytic_etl_spark.plans.flagship import (
     consolidacao_de_metricas,
+    create_consolidacao_view,
     flagship_orders,
     flagship_orders_oracle_sql,
 )
@@ -18,10 +19,9 @@ def test_flagship_orders_matches_oracle(spark, duck):
     assert_matches_oracle(df, duck, flagship_orders_oracle_sql())
 
 
-def test_consolidacao_view_on_synthetic_ida(spark):
-    """Golden-path run of the reference view on a synthetic IDA fact table
-    exercising: group gaps, NULL valores, zero previous-month average, and
-    months with a single group (HAVING filter)."""
+def _synthetic_ida_fact(spark):
+    """Synthetic IDA fact table exercising group gaps, NULL valores, zero
+    previous-month average, and months with a single group (HAVING)."""
     rows = []
     rid = 0
     groups = ["ALGAR", "CLARO", "OI", "TIM", "VIVO", "NEXTEL"]
@@ -48,11 +48,15 @@ def test_consolidacao_view_on_synthetic_ida(spark):
             )
             # noise rows under a different metric: must be filtered out
             rows.append((10000 + rid, g, "Taxa de Resolvidas em 5 dias úteis", mes, 99.9, "SMP"))
-    fact = spark.createDataFrame(
+    return spark.createDataFrame(
         rows,
         "id long, grupo_economico string, servico string, "
         "mes_referencia date, valor double, tipo_servico string",
     )
+
+
+def test_consolidacao_view_on_synthetic_ida(spark):
+    fact = _synthetic_ida_fact(spark)
     out = consolidacao_de_metricas(fact)
     res = out.collect()
     assert len(res) > 0
@@ -68,3 +72,13 @@ def test_consolidacao_view_on_synthetic_ida(spark):
     july = [r for r in res if r["mes"] == "2020-07"]
     if july:
         assert july[0]["vivo"] == 0.0
+
+
+def test_sql_view_equals_dataframe_plan(spark):
+    """The spark.sql text of the view (S14) and the DataFrame chain must be
+    the same query — identical rows, identical column order."""
+    fact = _synthetic_ida_fact(spark)
+    df_out = consolidacao_de_metricas(fact)
+    sql_out = create_consolidacao_view(spark, fact)
+    assert df_out.columns == sql_out.columns
+    assert sorted(map(tuple, df_out.collect())) == sorted(map(tuple, sql_out.collect()))
