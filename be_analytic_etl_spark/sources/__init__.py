@@ -1,5 +1,26 @@
-"""Source connectors: parquet star-schema loader, messy CSV/ODS ingest."""
+"""Source connectors: parquet star-schema loader, messy CSV/ODS ingest,
+REST manifest control plane, CSV/JDBC/bucketed-table sinks."""
 
+from be_analytic_etl_spark.sources.manifest import (
+    download,
+    find_dataset_id,
+    list_resources,
+    resources_to_manifest,
+)
+from be_analytic_etl_spark.sources.sinks import (
+    write_bucketed_table,
+    write_csv,
+    write_jdbc,
+)
 from be_analytic_etl_spark.sources.tables import load_table
 
-__all__ = ["load_table"]
+__all__ = [
+    "load_table",
+    "find_dataset_id",
+    "list_resources",
+    "download",
+    "resources_to_manifest",
+    "write_csv",
+    "write_jdbc",
+    "write_bucketed_table",
+]

@@ -62,6 +62,26 @@ def write_jdbc(
     writer.save()
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed parquet table: pay the shuffle ONCE at write time;
+    every later join/aggregate on the bucket columns reads co-located
+    buckets and plans with NO Exchange (asserted in tests/test_plans.py).
+    The at-scale pattern for fact tables that are repeatedly joined on the
+    same key (e.g. orders ⋈ lineitem on the order key)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def table_name_from_path(path: str) -> str:
     """S13: derive a snake_case table name from a file basename
     (connect_postgre.py:323-370 semantics)."""

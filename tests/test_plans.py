@@ -15,6 +15,7 @@ These run at sf0.001 — plan shape is scale-invariant, which is the point.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.registry import QUERIES
 
@@ -93,3 +94,36 @@ def test_ngram_jaccard_is_hash_join_not_cartesian(plans):
 def test_cosine_topk_broadcasts_query_side(plans):
     plan = plan_of(plans["ext_cosine_topk"])
     assert "Broadcast" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """write_bucketed_table pays the shuffle once at write; a join on the
+    bucket key then plans WITHOUT any Exchange."""
+    from be_analytic_etl_spark.sources import write_bucketed_table
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed_table(orders, "t_orders_b", buckets=4, bucket_cols=["o_orderkey"])
+    write_bucketed_table(
+        lineitem, "t_lineitem_b", buckets=4, bucket_cols=["l_orderkey"]
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_orders_b").join(
+                spark.table("t_lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, f"bucketed join still shuffles: {plan}"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
