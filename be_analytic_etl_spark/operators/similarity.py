@@ -166,29 +166,54 @@ def ivf_ann(
 
     from be_analytic_etl_spark.functions import let
 
+    import math
+
     cent_rows = (
         embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
         .orderBy(id_col)
         .limit(n_cells)
         .collect()
     )
-    cent_lits = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r["__v"]]) for r in cent_rows]
-    )
-    idx = F.sequence(F.lit(0), F.lit(len(cent_rows) - 1))
+    cent_vecs = [[float(x) for x in r["__v"]] for r in cent_rows]
+    # Centroid norms precomputed driver-side with the SAME left fold as
+    # dot(), so they are bit-identical to what the SQL oracle computes —
+    # and the per-row expression does 1 norm + k dots instead of 2k+1
+    # interpreted HOF folds (cosine() re-derives both norms per centroid).
+    cent_norms = []
+    for cv in cent_vecs:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        cent_norms.append(math.sqrt(acc))
+    idx = F.sequence(F.lit(0), F.lit(len(cent_vecs) - 1))
 
     def probe_cells(vec: Column, n: int) -> Column:
         """Indices of the n best cells by cosine, first-max tie-break."""
 
         def rank_cells(v: Column) -> Column:
-            sims = F.transform(cent_lits, lambda cv: cosine(cv, v))
-            # sort struct(-sim, idx) ascending == sim desc, idx asc
-            ranked = F.sort_array(
-                F.arrays_zip(
-                    F.transform(sims, lambda s: -s).alias("s"), idx.alias("i")
+            def body(nv: Column) -> Column:
+                sims = F.array(
+                    *[
+                        F.when(
+                            (F.lit(cent_norms[i]) == 0) | (nv == 0), F.lit(0.0)
+                        ).otherwise(
+                            dot(F.array(*[F.lit(x) for x in cent_vecs[i]]), v)
+                            / (F.lit(cent_norms[i]) * nv)
+                        )
+                        for i in range(len(cent_vecs))
+                    ]
                 )
-            )
-            return F.transform(F.slice(ranked, 1, n), lambda st: st["i"].cast("int"))
+                # sort struct(-sim, idx) ascending == sim desc, idx asc
+                ranked = F.sort_array(
+                    F.arrays_zip(
+                        F.transform(sims, lambda s: -s).alias("s"), idx.alias("i")
+                    )
+                )
+                return F.transform(
+                    F.slice(ranked, 1, n), lambda st: st["i"].cast("int")
+                )
+
+            return let(l2_norm(v), body)
 
         return let(vec, rank_cells)
 
