@@ -83,15 +83,26 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(query_id_col), _vec(query_vec_col).alias("__qv"))
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev"))
+    # Norms attach BEFORE the pair join: one fold per vector instead of
+    # re-deriving both norms inside every pair's cosine (3x less compute
+    # on the |queries| x N scored set; bit-identical — same fold, same
+    # values).
+    q = queries.select(
+        F.col(query_id_col), _vec(query_vec_col).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev")
+    ).withColumn("__en", l2_norm(F.col("__ev")))
+    cos = F.when((F.col("__qn") == 0) | (F.col("__en") == 0), F.lit(0.0)).otherwise(
+        dot(F.col("__qv"), F.col("__ev")) / (F.col("__qn") * F.col("__en"))
+    )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            _maybe_round(cosine(F.col("__qv"), F.col("__ev")), round_to).alias("cos_sim"),
+            _maybe_round(cos, round_to).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -112,21 +123,36 @@ def cosine_pairs_above(
 ) -> DataFrame:
     """All pairs with cosine >= threshold, self-joined within blocks
     (embedding-cosine near-dup detection)."""
+    # Per-vector norm computed once before the pair join (not 2 more folds
+    # per pair inside cosine()) — bit-identical, 3x less pair compute.
     base = embeddings.select(
         *(block_cols or []), F.col(id_col).alias("__id"), _vec(vec_col).alias("__v")
-    )
+    ).withColumn("__n", l2_norm(F.col("__v")))
     keys = block_cols or []
-    left = base.select(*keys, F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
-    right = base.select(*keys, F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    left = base.select(
+        *keys,
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("v_a"),
+        F.col("__n").alias("n_a"),
+    )
+    right = base.select(
+        *keys,
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("v_b"),
+        F.col("__n").alias("n_b"),
+    )
     cand = (left.join(right, keys) if keys else left.crossJoin(right)).filter(
         F.col("id_a") < F.col("id_b")
+    )
+    cos = F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(0.0)).otherwise(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     )
     return (
         cand.select(
             *keys,
             "id_a",
             "id_b",
-            _maybe_round(cosine(F.col("v_a"), F.col("v_b")), round_to).alias("cos_sim"),
+            _maybe_round(cos, round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
