@@ -12,10 +12,12 @@ Reference behavior being matched (file:line):
 Scale design — dense ids (SURVEY §7.4.2): ``row_number`` over a global
 window is exact but single-partition. ``add_dense_id`` instead computes
 per-partition counts (one tiny job), cumulative offsets on the driver
-(|partitions| integers), and a per-partition running index — fully
-parallel, two passes, no shuffle. With ``order_cols`` it first
-``repartitionByRange + sortWithinPartitions`` so the dense id follows the
-global sort order (range partitioning gives globally ordered partitions).
+(|partitions| integers), and a map-only id projection from the
+monotonic-id local counter — fully parallel, genuinely shuffle-free, with
+the input persisted so both passes see one partitioning. With
+``order_cols`` it first ``repartitionByRange + sortWithinPartitions`` so
+the dense id follows the global sort order (range partitioning gives
+globally ordered partitions).
 """
 
 from __future__ import annotations
@@ -53,39 +55,57 @@ def consolidate(dfs: list[DataFrame]) -> DataFrame:
 def add_dense_id(
     df: DataFrame, order_cols: list[str] | None = None, id_col: str = "id"
 ) -> DataFrame:
-    """Dense 1..N id without a single-partition bottleneck.
+    """Dense 1..N id without a single-partition bottleneck or a data shuffle.
 
-    Two passes: (1) count rows per partition, (2) add
-    ``offset[partition] + local_index + 1``. With ``order_cols``, rows are
-    range-partitioned and sorted first so ids follow the global order.
+    The id pass is MAP-ONLY: ``monotonically_increasing_id`` is
+    ``(partition_id << 33) + local_row_number`` with a consecutive 0-based
+    local counter, so ``id = mid + adjust[pid]`` where
+    ``adjust[pid] = global_offset[pid] - (pid << 33) + 1`` folds the bit
+    layout and the cumulative offset into one broadcast-literal map lookup.
+    No window, no Exchange — the earlier design's
+    ``Window.partitionBy(__pid)`` was itself a full hash shuffle of the
+    data.
+
+    Two jobs run: (1) per-partition counts (shuffles only |partitions|
+    partial-count rows), (2) the map-only id projection. The input is
+    persisted (MEMORY_AND_DISK) so both jobs observe the SAME partitioning —
+    ``repartitionByRange`` samples its range boundaries, and an unpersisted
+    recomputation (shuffle fetch order, speculative tasks) could repartition
+    rows between the passes. The cached blocks are released automatically on
+    GC; call ``df.sparkSession.catalog.clearCache()`` for eager cleanup.
+
+    With ``order_cols``, rows are range-partitioned and sorted first, so
+    ids follow the global sort order (range partitions are non-overlapping
+    and ordered). Per-partition row counts are bounded by 2^33 (the
+    monotonic-id local counter width).
     """
     if order_cols:
         df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
 
-    sc_df = df.withColumn("__pid", F.spark_partition_id())
-    counts = {r["__pid"]: r["cnt"] for r in sc_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    stamped = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in stamped.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    adjust, acc = {}, 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        adjust[pid] = acc - (pid << 33) + 1
         acc += counts[pid]
 
-    spark = df.sparkSession
-    offs = spark.sparkContext.broadcast(offsets)
-
-    # Per-partition running index via a window keyed on the partition id —
-    # partition-local, so no cross-executor shuffle of the data itself.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
-    offset_map = F.create_map(
-        *[x for pid, off in offs.value.items() for x in (F.lit(pid), F.lit(off))]
+    adjust_map = F.create_map(
+        *[x for pid, a in adjust.items() for x in (F.lit(pid), F.lit(a).cast("long"))]
     )
-    out = (
-        sc_df.withColumn("__local", F.row_number().over(w))
-        .withColumn(id_col, (offset_map[F.col("__pid")] + F.col("__local")).cast("long"))
-        .drop("__pid", "__local")
+    return (
+        stamped.withColumn(
+            id_col, (adjust_map[F.col("__pid")] + F.col("__mid")).cast("long")
+        )
+        .drop("__pid", "__mid")
     )
-    return out
 
 
 def finalize(df: DataFrame, dense_id: bool = True) -> DataFrame:

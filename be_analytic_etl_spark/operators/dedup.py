@@ -149,11 +149,20 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    Persisted intermediates (banded table, shingle sets) are cached until
+    GC of the returned plan; for eager cleanup in a long-lived session call
+    ``spark.catalog.clearCache()`` after materializing the result.
     """
     from pyspark import StorageLevel
 
     from be_analytic_etl_spark.functions import let
 
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) — "
+            "a remainder would silently discard trailing signature slots"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, portable=portable)
 
@@ -230,27 +239,40 @@ def minhash_lsh_pairs(
 # --- SimHash ---------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash per document: 64-bit (xxhash64, the scale path) or 60-bit
+    with ``portable=True`` (md5-head hash both engines compute identically,
+    so a DuckDB oracle can replicate every bit — same pattern as minhash).
 
-    explode tokens -> hash once per token -> 64 conditional sums in ONE
-    groupBy (partial agg map-side) -> reassemble bits. Returns
+    explode tokens -> hash once per token -> one conditional sum per bit in
+    ONE groupBy (partial agg map-side) -> reassemble bits. Returns
     (id_col, simhash long).
     """
+    from be_analytic_etl_spark.operators.textstats import portable_hash60
+
+    n_bits = 60 if portable else 64
+    tok_hash = (
+        portable_hash60(F.col("__tok")) if portable else F.xxhash64("__tok")
+    )
     toks = df.select(
         F.col(id_col), F.explode_outer(tokenize(F.col(text_col))).alias("__tok")
-    ).withColumn("__h", F.xxhash64("__tok"))
+    ).withColumn("__h", tok_hash)
     bit_sums = [
         F.sum(
             F.when(F.col("__tok").isNull(), F.lit(0))
             .when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
             .otherwise(F.lit(-1))
         ).alias(f"__b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         sim = sim + F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
@@ -260,15 +282,23 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit chunks
+    """Near-dup pairs by SimHash: band the hash bits into 4 chunks
     (pigeonhole: hamming<=3 pairs share at least one exact chunk), bucket-join
-    on chunks, verify true hamming distance."""
+    on chunks, verify true hamming distance.
+
+    The persisted simhash table stays cached until GC of the returned plan
+    (``spark.catalog.clearCache()`` for eager cleanup)."""
     from pyspark import StorageLevel
 
+    chunk_bits = (60 if portable else 64) // 4
+    chunk_mask = (1 << chunk_bits) - 1
     # chunks feed both sides of the bucket self-join; persist so the
-    # explode+64-bit-sum simhash aggregation runs once, not twice.
-    sh = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # explode+bit-sum simhash aggregation runs once, not twice.
+    sh = simhash(df, text_col, id_col, portable=portable).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = sh.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -277,8 +307,8 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("chunk"),
                     )
                     for i in range(4)

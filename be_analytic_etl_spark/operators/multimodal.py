@@ -89,6 +89,28 @@ def _decode_payload(payload: bytes, modality: str) -> "object":
     )
 
 
+def _portable_feature(payload: bytes, dim: int) -> list[float]:
+    """Oracle-replicable fake feature: the payload is hashed ONCE (seed =
+    md5 hex digest — large payloads aren't re-hashed per component), then
+    component j derives from md5(seed || '|' || j) — 60-bit hex head scaled
+    to [-1, 1).
+
+    DuckDB twin per component:
+    ``CAST('0x' || substr(md5(md5(payload_str) || '|' || j), 1, 15) AS
+    BIGINT) / 576460752303423488.0 - 1.0`` (2^59), cast to FLOAT. Both
+    engines do the identical IEEE divide/subtract then the identical
+    double->float32 rounding, so feature VALUES (not just dims) are
+    value-checked.
+    """
+    seed = hashlib.md5(payload).hexdigest()
+    out: list[float] = []
+    for j in range(dim):
+        h = hashlib.md5(f"{seed}|{j}".encode()).hexdigest()
+        u = int(h[:15], 16)
+        out.append(u / 2**59 - 1.0)
+    return out
+
+
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in feature: sha256-seeded floats in [-1, 1).
     Stable across processes/partitions -> testable end-to-end."""
@@ -113,14 +135,18 @@ def featurize_binary(
     payload_col: str = "payload",
     modality_col: str = "modality",
     dim: int = 16,
-    deterministic_fake: bool = True,
+    kernel: str = "fake",
 ) -> DataFrame:
     """Arrow-batched feature extraction over a binary column.
 
     Returns (item_id, modality, n_bytes, sha256, feature array<float>).
-    ``deterministic_fake=False`` routes to the real decoder (stubbed —
-    raises NotImplementedError until decode libs exist).
+    ``kernel``: 'fake' (sha256-seeded deterministic stand-in), 'portable'
+    (md5-based, bit-replicable by a SQL oracle — see ``_portable_feature``),
+    or 'decode' — the real decoder (stubbed, raises NotImplementedError
+    until decode libs exist).
     """
+    if kernel not in ("fake", "portable", "decode"):
+        raise ValueError(f"unknown kernel {kernel!r}")
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -129,8 +155,10 @@ def featurize_binary(
             feats, hashes, sizes = [], [], []
             for payload, modality in zip(pdf[payload_col], pdf[modality_col]):
                 raw = bytes(payload) if payload is not None else b""
-                if deterministic_fake:
+                if kernel == "fake":
                     feats.append(_fake_feature(raw, dim))
+                elif kernel == "portable":
+                    feats.append(_portable_feature(raw, dim))
                 else:
                     feats.append(_decode_payload(raw, modality))
                 hashes.append(hashlib.sha256(raw).hexdigest())

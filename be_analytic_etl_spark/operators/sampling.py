@@ -1,0 +1,67 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+The standard discipline for training-data pipelines: assign every record a
+bucket from a keyed content hash, then derive samples and train/val/test
+splits from bucket ranges. Unlike ``df.sample()`` / ``rand()`` (seeded per
+task attempt — speculative execution or a retried stage can change the
+sample), a key hash is a pure map-only column expression that is stable
+across runs, retries, cluster sizes, AND engines — re-sharding 100 TB
+never moves a document between splits, which is what prevents train/test
+leakage over pipeline re-runs.
+
+Hashing uses the engine's portable md5-head hash (same base as minhash /
+simhash) so the assignment is replicable bit-for-bit by a SQL oracle;
+salts give independent bucketings from the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators.textstats import portable_hash60
+
+#: Bucket space for all sampling/split assignments (fraction resolution 1e-4).
+SPLIT_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS) from a key column.
+
+    DuckDB twin: ``CAST('0x' || substr(md5(CAST(key AS VARCHAR) || '|salt'),
+    1, 15) AS BIGINT) % 10000``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(c.cast("string"), F.lit(f"|{salt}"))
+    return portable_hash60(keyed) % F.lit(SPLIT_BUCKETS)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows by key-hash threshold (map-only filter —
+    pushes into the scan, no shuffle, stable under re-runs)."""
+    threshold = int(round(fraction * SPLIT_BUCKETS))
+    return df.filter(hash_bucket(key_col, salt) < threshold)
+
+
+def assign_split(
+    col: Column | str,
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "split",
+) -> Column:
+    """Split label ('train'/'val'/'test' by default) from cumulative
+    bucket-range thresholds; weights must sum to 1.0."""
+    splits = splits or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    b = hash_bucket(col, salt)
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w
+        cond = b < int(round(acc * SPLIT_BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    return last if expr is None else expr.otherwise(last)

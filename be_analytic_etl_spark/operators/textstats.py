@@ -50,14 +50,20 @@ PORTABLE_P = 2_147_483_647
 ROLL_B = 31
 
 
+def portable_hash60(col: Column) -> Column:
+    """Raw 60-bit hash both Spark and DuckDB compute identically: first 15
+    hex chars of md5(value) parsed base-16 (no reduction).
+
+    DuckDB twin: ``CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
 def portable_base_hash(col: Column) -> Column:
-    """Hash both Spark and DuckDB compute identically: first 15 hex chars
-    of md5(value) parsed base-16, reduced mod p.
+    """60-bit portable hash reduced mod p (the universal-hash base).
 
     DuckDB twin:
     ``CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) % 2147483647``."""
-    h60 = F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
-    return h60 % F.lit(PORTABLE_P)
+    return portable_hash60(col) % F.lit(PORTABLE_P)
 
 
 def rolling_fingerprint(col: Column | str) -> Column:

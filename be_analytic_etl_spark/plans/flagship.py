@@ -105,7 +105,14 @@ def mom_variation_pivot(
             F.lit(0.0),
         )
         aggs.append(piv.alias(name))
-        aggs.append(F.round(piv - avg_all, 1).alias(f"{name}_diff"))
+        # Reference parity: the view's *_diff columns are the UNROUNDED
+        # difference of two 1dp-rounded values (README.md 'NEXTEL_Diff'
+        # emits e.g. 2.3-1.1 -> 1.1999999999999997), so reference mode
+        # must not add an outer round; default mode tidies to 1dp.
+        diff = piv - avg_all
+        aggs.append(
+            (diff if reference_rounding else F.round(diff, 1)).alias(f"{name}_diff")
+        )
     aggs.append(F.countDistinct(group_col).alias("__n_groups"))
 
     result = (
@@ -168,7 +175,8 @@ def consolidacao_view_sql() -> str:
             + "' THEN taxa_var END), 1), 0.0)"
         )
         pivot_exprs.append(f"{piv} AS {name}")
-        pivot_exprs.append(f"ROUND({piv} - ROUND(AVG(taxa_var), 1), 1) AS {name}_diff")
+        # unrounded diff of rounded terms — verbatim reference view output
+        pivot_exprs.append(f"{piv} - ROUND(AVG(taxa_var), 1) AS {name}_diff")
     pivot_sql = ",\n       ".join(pivot_exprs)
     return f"""
 WITH monthly AS (

@@ -375,21 +375,70 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (xxhash64 bit-vote) — not SQL-expressible cross-engine (no
-# xxhash64 in DuckDB): rows-only driver check; exactness is covered by a
-# pure-Python reference in tests/test_extensions.py.
+# SimHash — registered with the portable 60-bit hash (md5-head, the same
+# base as minhash) so every bit is value-checked by DuckDB; the xxhash64
+# 64-bit scale path keeps its pure-Python-reference pytest coverage
+# (tests/test_extensions.py). Same aggregation plan either way: one explode
+# + one groupBy with per-bit conditional sums (partial agg map-side).
+def _simhash_sql_body() -> str:
+    """DuckDB twin of simhash(portable=True): per-token 60-bit md5-head
+    hash; bit i of the result is set when set-bit votes outnumber clear-bit
+    votes (2*ones > n_tokens)."""
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {i}) & 1) = 1)) > len(hs) "
+        f"THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60)
+    )
+    return f"""
+    tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), h AS (
+        SELECT doc_id,
+               list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+        FROM tok
+    ), sim AS (
+        SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h
+    )"""
+
+
 def q_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(_t(spark, sf_dir, "documents"))
+    return D.simhash(_t(spark, sf_dir, "documents"), portable=True)
 
 
-register("ext_simhash", q_ext_simhash, None)
+register(
+    "ext_simhash",
+    q_ext_simhash,
+    f"WITH {_simhash_sql_body()} SELECT doc_id, simhash FROM sim",
+)
+
+
+_SIMHASH_MAXHAM = 6
 
 
 def q_ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    return D.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=_SIMHASH_MAXHAM, portable=True
+    )
 
 
-register("ext_simhash_neardup", q_ext_simhash_neardup, None)
+register(
+    "ext_simhash_neardup",
+    q_ext_simhash_neardup,
+    f"""
+    WITH {_simhash_sql_body()}, chunks AS (
+        SELECT doc_id, simhash, i AS chunk_id, (simhash >> (i * 15)) & 32767 AS chunk
+        FROM sim, range(0, 4) r(i)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {_SIMHASH_MAXHAM}
+    """,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -481,16 +530,66 @@ register(
 
 # ---------------------------------------------------------------------------
 # LSH-bucketed approximate NN (random hyperplanes) — the scale path.
-# Hyperplanes are deterministic but driver-generated; recall < 1 by design,
-# so there is no SQL twin: rows-only driver check + recall test in pytest.
+# The hyperplanes are deterministic driver-side doubles (sha256-derived)
+# inlined as Spark literals, so the SAME literals inline into generated
+# DuckDB SQL: bucket = fold of dot-product sign bits, exact cosine re-rank
+# within the shared bucket — the full approximate algorithm value-checked
+# end to end (recall<1 vs brute force is BY DESIGN and additionally
+# measured in pytest).
+_LSH_ANN_DIM = 64
+_LSH_ANN_PLANES = 6
+_LSH_ANN_SEED = 42
+
+
 def q_ext_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_bucket_ann(
-        emb, _queries_df(emb), dim=64, n_planes=6, k=_TOPK, round_to=None
+        emb,
+        _queries_df(emb),
+        dim=_LSH_ANN_DIM,
+        n_planes=_LSH_ANN_PLANES,
+        k=_TOPK,
+        round_to=None,
+        seed=_LSH_ANN_SEED,
     )
 
 
-register("ext_lsh_ann", q_ext_lsh_ann, None)
+def _lsh_ann_oracle() -> str:
+    planes = S._pseudo_hyperplanes(_LSH_ANN_DIM, _LSH_ANN_PLANES, _LSH_ANN_SEED)
+    rows = ",\n               ".join(
+        f"({p}, CAST([{', '.join(repr(v) for v in row)}] AS DOUBLE[]))"
+        for p, row in enumerate(planes)
+    )
+    np = _LSH_ANN_PLANES
+    return f"""
+    WITH planes(p, pv) AS (
+        VALUES {rows}
+    ), eb AS (
+        SELECT vec_id, embedding,
+               SUM(CASE WHEN {_dot_sql("pv", "embedding")} >= 0
+                        THEN (CAST(1 AS BIGINT) << ({np} - 1 - p)) ELSE 0 END) AS bucket
+        FROM embeddings, planes
+        GROUP BY vec_id, embedding
+    ), qb AS (
+        SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb
+        WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_cos_sql("q.qv", "e.embedding")} AS cos_sim
+        FROM eb e JOIN qb q ON e.bucket = q.bucket
+        WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_TOPK}
+    """
+
+
+register("ext_lsh_ann", q_ext_lsh_ann, _lsh_ann_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -642,26 +741,87 @@ register(
 )
 
 
+# The featurize path (Arrow mapInPandas) runs the PORTABLE kernel here —
+# md5-derived components both engines compute bit-identically (double IEEE
+# ops + the same double->float32 rounding), so feature VALUES, not just
+# dims, are oracle-checked. Output posexplodes the feature array so the
+# value-hash covers every component.
+_MMF_DIM = 8
+
+
 def q_ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from be_analytic_etl_spark.operators import multimodal as M
 
     docs = _t(spark, sf_dir, "documents")
     items = M.synthesize_binary_items(docs, payload_repeat=8)
-    feats = M.featurize_binary(items, dim=16)
-    # project the array to scalars for a stable rows-only check
+    feats = M.featurize_binary(items, dim=_MMF_DIM, kernel="portable")
     return feats.select(
         "item_id",
         "modality",
         "n_bytes",
-        F.size("feature").alias("feature_dim"),
+        F.posexplode("feature").alias("j", "fval"),
+    ).withColumn("fval", F.col("fval").cast("double"))
+
+
+register(
+    "ext_multimodal_features",
+    q_ext_multimodal_features,
+    f"""
+    WITH items AS (
+        SELECT doc_id AS item_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               repeat(text, 8) AS payload
+        FROM documents
     )
-
-
-register("ext_multimodal_features", q_ext_multimodal_features, None)
+    SELECT item_id, modality,
+           CAST(octet_length(CAST(payload AS BLOB)) AS INTEGER) AS n_bytes,
+           CAST(j AS INTEGER) AS j,
+           CAST(CAST(
+               CAST('0x' || substr(md5(md5(payload) || '|' || CAST(j AS VARCHAR)), 1, 15)
+                    AS BIGINT) / 576460752303423488.0 - 1.0
+               AS FLOAT) AS DOUBLE) AS fval
+    FROM items, range(0, {_MMF_DIM}) r(j)
+    """,
+)
 
 
 # ---------------------------------------------------------------------------
-# Keyed first-occurrence dedup — the BATCH twin of
+# Deterministic hash sampling + train/val/test split — the map-only,
+# engine/run/shard-stable assignment a training pipeline needs (rand()
+# sampling moves rows between splits on task retry; a key hash never does).
+def q_ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        SP.hash_bucket("doc_id", salt="split").alias("bucket"),
+        SP.assign_split("doc_id").alias("split"),
+        (SP.hash_bucket("doc_id", salt="sample") < 1000).alias("in_10pct_sample"),
+    )
+
+
+def _bucket_sql(salt: str) -> str:
+    return (
+        f"(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|{salt}'), 1, 15) "
+        f"AS BIGINT) % 10000)"
+    )
+
+
+register(
+    "ext_hash_split",
+    q_ext_hash_split,
+    f"""
+    SELECT doc_id,
+           {_bucket_sql("split")} AS bucket,
+           CASE WHEN {_bucket_sql("split")} < 9000 THEN 'train'
+                WHEN {_bucket_sql("split")} < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           {_bucket_sql("sample")} < 1000 AS in_10pct_sample
+    FROM documents
+    """,
+)
 # streaming.stream_dedup_first (applyInPandasWithState). Batch semantics:
 # the winner per key is min(ts, event_id); the streaming operator converges
 # to exactly this on a bounded in-watermark stream (asserted in

@@ -255,6 +255,303 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# P14 scale path: add_dense_id (map-only id assignment from the monotonic-id
+# local counter + broadcast per-partition offsets — no data shuffle, no
+# global window). With order_cols the id follows the global sort order, so
+# the result is exactly ROW_NUMBER() OVER (ORDER BY o_orderkey) — DuckDB-
+# expressible, making the SCALE path (not just the exact-window proof above)
+# value-checked.
+def q_dense_id_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.consolidate import add_dense_id
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return add_dense_id(orders, order_cols=["o_orderkey"])
+
+
+register(
+    "dense_id_scale",
+    q_dense_id_scale,
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS id
+    FROM orders
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Ingest E2E (P5+P6+P7+P8+P9+P10+P11 and R1-R4 as ONE chain): a synthetic
+# ANATEL-shaped wide file — preamble metadata rows, a marker header row
+# ('GRUPO ECONÔMICO'), month columns labelled 'YYYY-MM-DD HH:MM:SS', BR-
+# locale value strings, an embedded metadata row and an all-null row — is
+# built deterministically from the nation table, run through EXACTLY the
+# production transform chain (sources.ingest.transform_wide), and the long
+# fact output is value-checked against DuckDB computing the expected result
+# directly. Reference chain: /root/reference/main.py:202-590.
+_E2E_MONTHS = ["2023-01", "2023-02", "2023-03"]
+
+
+def q_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.sources import ingest as I
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    def val_expr(m: int):
+        # three BR-number branches + an empty-string case, keyed off integer
+        # columns (same style as br_number_parse)
+        i = (F.col("n_nationkey") * 100 + F.lit(m * 10)).cast("string")
+        dd = F.lpad(((F.col("n_nationkey") + F.lit(m)) % 100).cast("string"), 2, "0")
+        branch = (F.col("n_nationkey") + F.lit(m)) % 3
+        return (
+            F.when((F.col("n_nationkey") + F.lit(2 * m)) % 11 == 0, F.lit(""))
+            .when(branch == 0, F.concat(F.lit("R$ "), i, F.lit(","), dd))
+            .when(branch == 1, F.concat(F.lit(" "), i, F.lit(" ")))
+            .otherwise(F.concat(i, F.lit(","), dd))
+        )
+
+    data = nation.select(
+        (F.col("n_nationkey") + 100).alias("__ord"),
+        F.col("n_name").alias("_c0"),
+        F.lit("IDA").alias("_c1"),
+        *[val_expr(m + 1).alias(f"_c{m + 2}") for m in range(len(_E2E_MONTHS))],
+    )
+    k = F.col("r_regionkey")
+    pre = region.select(
+        F.when(k == 3, F.lit(150)).when(k == 4, F.lit(200)).otherwise(k).cast("long").alias("__ord"),
+        F.when(k == 0, F.lit("SERVIÇO: TELEFONIA FIXA COMUTADA"))
+        .when(k == 1, F.lit("FONTE: ANATEL"))
+        .when(k == 2, F.lit("GRUPO ECONÔMICO"))
+        .when(k == 3, F.lit("PARA MAIORES INFORMAÇÕES acesse o portal"))
+        .alias("_c0"),
+        F.when(k == 2, F.lit("VARIÁVEL")).alias("_c1"),
+        *[
+            F.when(k == 2, F.lit(f"{m}-01 00:00:00")).alias(f"_c{j + 2}")
+            for j, m in enumerate(_E2E_MONTHS)
+        ],
+    )
+    # single sorted partition = the physical row order of a real small file.
+    # persist() makes the fixture a materialized table like a real file
+    # read: without it, CollapseProject folds the fixture's when-chains
+    # into the transform projection and the combined expression tree trips
+    # a Spark codegen bug (subexpression elimination emits an invalid
+    # parameter name when mutable state compacts to arrays -> interpreted
+    # fallback with an ERROR log).
+    raw = (
+        pre.unionByName(data)
+        .repartition(1)
+        .sortWithinPartitions("__ord")
+        .drop("__ord")
+        .persist()
+    )
+    return I.transform_wide(raw, "STFC")
+
+
+register(
+    "ingest_e2e",
+    q_ingest_e2e,
+    """
+    WITH m(mnum, mdate) AS (
+        VALUES (1, DATE '2023-01-01'), (2, DATE '2023-02-01'), (3, DATE '2023-03-01')
+    )
+    SELECT n_name AS "GRUPO_ECONOMICO",
+           'IDA' AS "VARIAVEL",
+           mdate AS "REFERENCIA_MES",
+           CASE WHEN (n_nationkey + 2 * mnum) % 11 = 0 THEN NULL
+                WHEN (n_nationkey + mnum) % 3 = 1
+                     THEN CAST(n_nationkey * 100 + mnum * 10 AS DOUBLE)
+                ELSE CAST(CAST(n_nationkey * 100 + mnum * 10 AS VARCHAR) || '.'
+                          || lpad(CAST((n_nationkey + mnum) % 100 AS VARCHAR), 2, '0')
+                          AS DOUBLE)
+           END AS "VALOR",
+           'STFC' AS "SERVICO"
+    FROM nation, m
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# S7+S8 round-trip: aggregate -> single-file header CSV sink -> typed
+# re-read (inferSchema), value-checked against DuckDB computing the same
+# aggregate from parquet directly — proving the CSV surface preserves
+# values exactly (Spark writes shortest-round-trip doubles; the re-read
+# parses them back bit-identical). Reference: consolidated-CSV export +
+# reload, main.py:738-744 / connect_postgre.py:224-226.
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from be_analytic_etl_spark.sources.ingest import read_typed_csv
+    from be_analytic_etl_spark.sources.sinks import write_csv
+
+    cust = _t(spark, sf_dir, "customer")
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _avg_exact("c_acctbal").alias("avg_acctbal"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_csv_roundtrip_{tag}"
+    write_csv(agg, path, single_file=True)
+    return read_typed_csv(spark, path)
+
+
+register(
+    "csv_roundtrip",
+    q_csv_roundtrip,
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS INTEGER) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS avg_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# S9+S11+S12 LIVE: aggregate -> JDBC warehouse load (DROP/CREATE with
+# mapped column types + batched parallel insert) -> JDBC read-back,
+# value-checked against DuckDB computing the same aggregate from parquet.
+# The warehouse is embedded Derby (ships with the Spark distro) — the same
+# write_jdbc/read path a Postgres deployment uses, minus the network. Types
+# survive the round-trip exactly: BIGINT<->long, VARCHAR<->string,
+# DOUBLE<->double (binary, not text — no precision hazard).
+# Reference: connect_postgre.py:209-321.
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from be_analytic_etl_spark.sources.sinks import write_jdbc
+
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    agg = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    url = f"jdbc:derby:memory:graft_{tag};create=true"
+    write_jdbc(
+        agg,
+        url,
+        "nation_suppliers",
+        user="",
+        password="",
+        column_types="n_name VARCHAR(32), n_suppliers BIGINT, sum_acctbal DOUBLE",
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_suppliers")
+        .load()
+    )
+
+
+register(
+    "jdbc_roundtrip",
+    q_jdbc_roundtrip,
+    """
+    SELECT n_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shape: filter + 3-way join + groupBy + top-k. Scale: filters push
+# into all three scans; orders/lineitem co-shuffle on the order key (AQE
+# skew-handling); top-k plans as TakeOrderedAndProject (per-partition heaps,
+# no global sort materialization). Ties broken by unique l_orderkey.
+_Q3_DATE = "1995-03-15"
+
+
+def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _Q3_DATE)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _Q3_DATE)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+register(
+    "topk_revenue",
+    q_topk_revenue,
+    f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+      AND l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins: customers with vs without orders, counted per nation.
+# Scale: LeftSemi/LeftAnti ship only the join key of the build side (no
+# payload duplication, no row multiplication); both reuse one shuffle of
+# customer on c_custkey under AQE.
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    on = cust.c_custkey == orders.o_custkey
+    semi = (
+        cust.join(orders, on, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_with"))
+    )
+    anti = (
+        cust.join(orders, on, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_without"))
+    )
+    return semi.join(anti, "c_nationkey", "full_outer").select(
+        "c_nationkey",
+        F.coalesce("n_with", F.lit(0)).alias("n_with"),
+        F.coalesce("n_without", F.lit(0)).alias("n_without"),
+    )
+
+
+register(
+    "semi_anti_customers",
+    q_semi_anti_customers,
+    """
+    WITH w AS (
+        SELECT c_nationkey, COUNT(*) AS n_with FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    ), wo AS (
+        SELECT c_nationkey, COUNT(*) AS n_without FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    )
+    SELECT COALESCE(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+           COALESCE(n_with, 0) AS n_with,
+           COALESCE(n_without, 0) AS n_without
+    FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # R4: Brazilian-number normalization as a native column expression, applied
 # to messy strings built deterministically from integer columns (all three
 # locale branches). Oracle builds the canonical decimal string directly —
@@ -543,6 +840,121 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q5-shape: region-filtered 6-table join chain. Scale: nation/region
+# broadcast (zero shuffle), customer/orders/lineitem/supplier co-shuffle on
+# their keys; the n_name aggregate is partial map-side. The s_nationkey =
+# c_nationkey predicate (local-supplier rule) applies as a post-join filter.
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"))
+    )
+
+
+register(
+    "region_revenue",
+    q_region_revenue,
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND s_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP aggregate: subtotals per (returnflag, linestatus), per returnflag,
+# and grand total in ONE pass (Expand + single shuffle — Spark plans rollup
+# as an Expand node, not |levels| scans). grouping() flags disambiguate the
+# NULL-vs-subtotal rows, exactly like the SQL GROUPING() function.
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+register(
+    "rollup_revenue",
+    q_rollup_revenue,
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group: rank window over (priority ORDER BY price DESC, key) —
+# the per-group window sorts only within each group's partition slice (no
+# global sort); ties broken by unique o_orderkey for cross-engine
+# determinism.
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+register(
+    "topn_per_group",
+    q_topn_per_group,
+    """
+    SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders)
+    WHERE rk <= 3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Sessionization (gap-based) — batch twin of the streaming operator:
 # session = cumulative sum of "gap > 30 min" flags per user.
 # Scale: one shuffle on user_id; window sort is per-user (bounded).
@@ -582,9 +994,10 @@ register(
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (
+               -- CAST: DuckDB window SUM yields HUGEINT; Spark's is BIGINT.
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -71,14 +71,40 @@ def read_headerless_csv(
     return spark.read.csv(path, sep=sep, header=False, inferSchema=False, encoding=enc)
 
 
+def read_typed_csv(
+    spark: SparkSession, path: str, sep: str = ",", encoding: str = "utf-8"
+) -> DataFrame:
+    """S8: header CSV re-read with type inference — the consolidated-CSV
+    reload step (``/root/reference/connect_postgre.py:224-226``,
+    ``pd.read_csv`` with default dtype inference).
+
+    Scale note: ``inferSchema`` costs one extra pass over the file; for
+    repeated loads of a known table, pass an explicit schema via
+    ``spark.read.schema(...)`` instead. Fine here — the reference reloads
+    one consolidated export.
+    """
+    return spark.read.csv(
+        path, sep=sep, header=True, inferSchema=True, encoding=encoding
+    )
+
+
 def probe_encoding(path: str, candidates: list[str] | None = None) -> str:
-    """Pick the first encoding that decodes the file head cleanly."""
+    """Pick the first encoding that decodes the file head cleanly.
+
+    A multi-byte sequence cut by the 4 KiB probe window is not evidence
+    against the encoding (UTF-8 code points span up to 4 bytes): a decode
+    error confined to the last 3 bytes of the window is treated as a clean
+    decode, so a valid UTF-8 file can't fall through to latin-1 (which
+    never fails) and come back mojibake'd.
+    """
     head = open(path, "rb").read(4096)
     for enc in candidates or CSV_ENCODINGS:
         try:
             head.decode(enc)
             return enc
-        except UnicodeDecodeError:
+        except UnicodeDecodeError as e:
+            if len(head) == 4096 and e.start >= len(head) - 3:
+                return enc
             continue
     return "utf-8"
 
@@ -194,30 +220,70 @@ def tidy_decimal_strings(df: DataFrame, skip_cols: list[str]) -> DataFrame:
     )
 
 
-LONG_SCHEMA_COLS = ["GRUPO_ECONOMICO", "VARIAVEL", "REFERENCIA_MES", "VALOR", "SERVICO"]
+LONG_SCHEMA_COLS = ["GRUPO_ECONOMICO", "VARIAVEL", "OPERADORA", "REFERENCIA_MES", "VALOR", "SERVICO"]
 
 
 def to_long(df: DataFrame, service: str) -> DataFrame:
     """R1-R4: unpivot month columns into (REFERENCIA_MES, VALOR), parse the
     month to DateType and the value through the Brazilian-number normalizer,
     and tag the source service. Falls back to pass-through + SERVICO when no
-    id/date columns exist (main.py:505-508)."""
+    id/date columns exist (main.py:505-508).
+
+    ALL id columns survive the unpivot (main.py:499 keeps OPERADORA through
+    the melt): files keyed by operator would otherwise lose that column and
+    consolidate().dropDuplicates() could merge rows from different operators
+    that agree on the remaining columns. Files without OPERADORA null-fill
+    it at union time (``unionByName(allowMissingColumns=True)``).
+
+    Values parse BEFORE the unpivot: each month column runs the BR-number
+    expression once in a narrow Project, and the Expand then fans out plain
+    double columns. Parsing after the unpivot would make every Expand
+    branch carry the whole regex tree (duplicated work), and the combined
+    Expand x parse x subexpression-elimination expression tree is big
+    enough to trip a Spark codegen bug (invalid generated parameter name
+    when mutable state compacts to arrays -> interpreted fallback).
+    Identical per-cell semantics either way."""
     id_cols, date_cols = classify_columns(df.columns)
     if not id_cols or not date_cols:
         return df.withColumn("SERVICO", F.lit(service))
-    long_df = df.unpivot(
+    parsed = df.select(
+        *[F.col(c) for c in id_cols],
+        *[br_number_to_double(F.col(c)).alias(c) for c in date_cols],
+    )
+    long_df = parsed.unpivot(
         ids=id_cols,
         values=date_cols,
         variableColumnName="REFERENCIA_MES",
         valueColumnName="VALOR",
     )
-    out = long_df.select(
-        *[F.col(c) for c in id_cols if c.upper() in ("GRUPO_ECONOMICO", "VARIAVEL")],
+    return long_df.select(
+        *[F.col(c) for c in id_cols],
         F.to_date(F.col("REFERENCIA_MES"), "yyyy-MM").alias("REFERENCIA_MES"),
-        br_number_to_double(F.col("VALOR")).alias("VALOR"),
+        F.col("VALOR"),
         F.lit(service).alias("SERVICO"),
     )
-    return out
+
+
+def transform_wide(raw: DataFrame, service: str) -> DataFrame:
+    """The full P5-P11 + R1-R4 transform chain over an already-read raw
+    frame: discover header -> drop metadata/null rows -> positional rename
+    -> date-label normalize -> decimal tidy -> unpivot long. Shared by
+    ``ingest_wide_file`` (production) and the ``ingest_e2e`` registered
+    oracle query (synthetic fixture) so the oracle checks EXACTLY the
+    production chain."""
+    data, names = discover_header(raw)
+    data = remove_metadata_rows(data)
+    data = drop_all_null_rows(data)
+    # P9: first two columns are (group, variable)
+    renames = {}
+    if len(data.columns) >= 2:
+        renames[data.columns[0]] = "GRUPO_ECONOMICO"
+        renames[data.columns[1]] = "VARIAVEL"
+    data = data.withColumnsRenamed(renames)
+    data = normalize_date_column_names(data)
+    id_cols, _ = classify_columns(data.columns)
+    data = tidy_decimal_strings(data, skip_cols=id_cols)
+    return to_long(data, service)
 
 
 def ingest_wide_file(
@@ -232,19 +298,7 @@ def ingest_wide_file(
         raw = read_ods(spark, path)
     else:
         raw = read_headerless_csv(spark, path, sep=sep)
-    data, names = discover_header(raw)
-    data = remove_metadata_rows(data)
-    data = drop_all_null_rows(data)
-    # P9: first two columns are (group, variable)
-    renames = {}
-    if len(data.columns) >= 2:
-        renames[data.columns[0]] = "GRUPO_ECONOMICO"
-        renames[data.columns[1]] = "VARIAVEL"
-    data = data.withColumnsRenamed(renames)
-    data = normalize_date_column_names(data)
-    id_cols, _ = classify_columns(data.columns)
-    data = tidy_decimal_strings(data, skip_cols=id_cols)
-    return to_long(data, service)
+    return transform_wide(raw, service)
 
 
 # --- manifest filtering (P1-P4, main.py:138-199) --------------------------

@@ -90,6 +90,57 @@ def table_name_from_path(path: str) -> str:
     return re.sub(r"[^0-9a-zA-Z]+", "_", base).strip("_").lower()
 
 
+def import_csv_automatic(
+    spark,
+    csv_path: str,
+    *,
+    table: str | None = None,
+    url: str | None = None,
+    user: str = "",
+    password: str = "",
+    column_types: str | None = None,
+    bootstrap: dict | None = None,
+    target: str = "jdbc",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> str:
+    """EP2 orchestration parity: ONE call takes a consolidated CSV to a
+    warehouse table (``/root/reference/connect_postgre.py:323-370``) —
+    derive the table name from the file name (S13), typed re-read (S8),
+    optional CREATE DATABASE bootstrap (S10), DROP/CREATE with mapped types
+    + batched parallel load (S11-S12).
+
+    ``target='jdbc'`` loads a JDBC warehouse (``url`` required; exercised
+    live against embedded Derby in tests); ``target='table'`` loads a
+    managed parquet table in the session catalog — same orchestration,
+    filesystem-backed. Returns the table name.
+    """
+    from be_analytic_etl_spark.sources.ingest import read_typed_csv
+
+    table = table or table_name_from_path(csv_path)
+    df = read_typed_csv(spark, csv_path)
+    if target == "jdbc":
+        if url is None:
+            raise ValueError("target='jdbc' requires url")
+        if bootstrap:
+            bootstrap_database(**bootstrap)
+        write_jdbc(
+            df,
+            url,
+            table,
+            user,
+            password,
+            column_types=column_types,
+            batchsize=batchsize,
+            num_partitions=num_partitions,
+        )
+    elif target == "table":
+        df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    else:
+        raise ValueError(f"unknown target {target!r}")
+    return table
+
+
 def bootstrap_database(host: str, port: int, user: str, password: str, db_name: str) -> bool:
     """S10: CREATE DATABASE IF NOT EXISTS via psycopg2 (optional dep)."""
     try:

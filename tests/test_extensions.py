@@ -279,3 +279,49 @@ def test_rolling_fingerprint_matches_python(spark):
         assert got[i] == pyfp(t), f"text {t!r}"
     # order sensitivity: same tokens, different order, different fingerprint
     assert got[0] != got[1]
+
+
+def test_hash_split_deterministic_and_sized(spark):
+    """Split assignment is a pure key function: stable across partitionings,
+    fractions land near the configured weights, and the sample threshold
+    matches a driver-side md5 reference."""
+    import hashlib as _h
+
+    from be_analytic_etl_spark.operators import sampling as SP
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = df.select("k", SP.hash_bucket("k", salt="split").alias("b"),
+                    SP.assign_split("k").alias("split")).collect()
+    got = {r["k"]: (r["b"], r["split"]) for r in out}
+
+    def pybucket(k, salt):
+        h = _h.md5(f"{k}|{salt}".encode()).hexdigest()
+        return int(h[:15], 16) % SP.SPLIT_BUCKETS
+
+    for k, (b, split) in got.items():
+        assert b == pybucket(k, "split")
+        expect = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert split == expect
+    counts = {}
+    for _, (_, s) in got.items():
+        counts[s] = counts.get(s, 0) + 1
+    assert 0.85 <= counts["train"] / 2000 <= 0.95
+    # repartitioning must not move any key between splits
+    again = {r["k"]: r["split"] for r in df.repartition(13).select(
+        "k", SP.assign_split("k").alias("split")).collect()}
+    assert all(again[k] == got[k][1] for k in got)
+
+
+def test_deterministic_sample_fraction(spark):
+    from be_analytic_etl_spark.operators import sampling as SP
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    n = SP.deterministic_sample(df, "k", 0.2).count()
+    assert 0.17 <= n / 5000 <= 0.23
+    # stable: same rows every run
+    a = {r["k"] for r in SP.deterministic_sample(df, "k", 0.2).collect()}
+    b = {r["k"] for r in SP.deterministic_sample(df, "k", 0.2).collect()}
+    assert a == b
+
+    with pytest.raises(ValueError):
+        SP.assign_split("k", [("train", 0.5), ("test", 0.4)])

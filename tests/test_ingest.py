@@ -92,6 +92,43 @@ def test_add_dense_id_parallel(spark):
     assert all(r["id"] == r["x"] + 1 for r in rows)
 
 
+def test_add_dense_id_is_map_only(spark):
+    """The id pass must not shuffle the data: without order_cols the plan
+    has NO Exchange and NO Window — it is a projection over the cached
+    input (the point of the zip-with-index design)."""
+    df = spark.range(0, 5_000).repartition(8).withColumnRenamed("id", "x")
+    out = add_dense_id(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the only allowed exchange is the pre-existing repartition, which sits
+    # below the InMemoryRelation; nothing above the cache may shuffle
+    above_cache = plan.split("InMemoryTableScan", 1)[0]
+    assert "Exchange" not in above_cache, above_cache
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == list(range(1, 5_001))
+
+
+def test_to_long_keeps_operadora(spark, tmp_path):
+    """main.py:499 keeps OPERADORA through the melt: rows that differ only
+    by operator must survive consolidate().dropDuplicates()."""
+    content = (
+        "SERVIÇO: SMP\t\t\t\n"
+        "GRUPO ECONÔMICO\tVARIAVEL\tOPERADORA\t2020-01\n"
+        "CLARO\tIDA\tCLARO SA\t10,5\n"
+        "CLARO\tIDA\tCLARO NXT\t10,5\n"
+    )
+    p = tmp_path / "ida_operadora.csv"
+    p.write_text(content, encoding="utf-8")
+    df = ingest_wide_file(spark, str(p), service="SMP")
+    assert "OPERADORA" in df.columns
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r["OPERADORA"] for r in rows} == {"CLARO SA", "CLARO NXT"}
+    # without OPERADORA these two rows are identical — dropDuplicates must
+    # NOT merge them now that the column survives
+    assert consolidate([df]).count() == 2
+
+
 def test_filter_manifest(spark):
     res = spark.createDataFrame(
         [

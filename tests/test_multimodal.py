@@ -62,10 +62,20 @@ def test_featurize_schema_and_determinism(items):
 
 def test_real_decoder_is_stubbed(items):
     with pytest.raises(Exception) as exc_info:
-        M.featurize_binary(items, deterministic_fake=False).collect()
+        M.featurize_binary(items, kernel="decode").collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_portable_kernel_matches_driver_reference(items):
+    out = M.featurize_binary(items, dim=6, kernel="portable")
+    rows = {r["item_id"]: list(r["feature"]) for r in out.collect()}
+    raw_rows = {r["item_id"]: bytes(r["payload"]) for r in items.collect()}
+    for item_id, feat in rows.items():
+        expect = M._portable_feature(raw_rows[item_id], 6)
+        assert feat == pytest.approx(expect, abs=1e-6)
+        assert all(-1.0 <= f < 1.0 for f in feat)
 
 
 def test_frame_sampling_fanout(items):

@@ -1,0 +1,133 @@
+"""Sink tests: CSV round-trip, EP2 orchestration, and a LIVE JDBC load
+against embedded Derby (ships in the Spark distro) — the same
+write_jdbc/read path a Postgres warehouse uses, minus the network.
+Reference behavior: /root/reference/connect_postgre.py:209-370.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.sources.ingest import read_typed_csv
+from be_analytic_etl_spark.sources.sinks import (
+    import_csv_automatic,
+    table_name_from_path,
+    write_csv,
+    write_jdbc,
+)
+
+
+def _derby_available() -> bool:
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "derby-*.jar")))
+
+
+def test_csv_roundtrip_types_and_values(spark, tmp_path):
+    df = spark.range(10).select(
+        F.col("id"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        (F.col("id") / 3.0).alias("ratio"),
+    )
+    path = str(tmp_path / "export.csv")
+    write_csv(df, path, single_file=True)
+    back = read_typed_csv(spark, path)
+    # S8: types inferred, values preserved bit-exact (shortest-round-trip doubles)
+    assert dict(back.dtypes) == {"id": "int", "name": "string", "ratio": "double"}
+    got = sorted((r["id"], r["name"], r["ratio"]) for r in back.collect())
+    want = sorted((r["id"], r["name"], r["ratio"]) for r in df.collect())
+    assert got == want
+
+
+def test_import_csv_automatic_table_target(spark, tmp_path):
+    import shutil
+
+    df = spark.range(5).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    csv_dir = str(tmp_path / "My Export-2024 File.csv")
+    write_csv(df, csv_dir, single_file=True)
+    # a previous JVM may have left the managed-table location behind without
+    # a catalog entry; saveAsTable refuses to adopt an existing location
+    spark.sql("DROP TABLE IF EXISTS my_export_2024_file")
+    leftover = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        "my_export_2024_file",
+    )
+    shutil.rmtree(leftover, ignore_errors=True)
+    table = import_csv_automatic(spark, csv_dir, target="table")
+    assert table == table_name_from_path(csv_dir) == "my_export_2024_file"
+    got = sorted((r["id"], r["name"]) for r in spark.table(table).collect())
+    assert got == [(i, f"n{i}") for i in range(5)]
+
+
+@pytest.mark.skipif(not _derby_available(), reason="no embedded Derby jar")
+def test_write_jdbc_live_derby(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.25), (3, "gamma", 0.0)],
+        "id long, name string, score double",
+    )
+    url = "jdbc:derby:memory:graft_test;create=true"
+    # S11 (DROP/CREATE w/ mapped types) + S12 (batched insert, 2 writers)
+    write_jdbc(
+        df,
+        url,
+        "t_scores",
+        user="",
+        password="",
+        column_types="id BIGINT, name VARCHAR(20), score DOUBLE",
+        num_partitions=2,
+        batchsize=2,
+    )
+    back = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", "t_scores").load()
+    )
+    assert dict(back.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # overwrite mode really replaces (S11 drop/create path)
+    write_jdbc(
+        df.limit(1),
+        url,
+        "t_scores",
+        user="",
+        password="",
+        column_types="id BIGINT, name VARCHAR(20), score DOUBLE",
+    )
+    assert (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t_scores")
+        .load()
+        .count()
+        == 1
+    )
+
+
+@pytest.mark.skipif(not _derby_available(), reason="no embedded Derby jar")
+def test_import_csv_automatic_jdbc_target(spark, tmp_path):
+    df = spark.range(4).select(
+        F.col("id"), (F.col("id") * 1.25).alias("val")
+    )
+    csv_dir = str(tmp_path / "ida_consolidado.csv")
+    write_csv(df, csv_dir, single_file=True)
+    url = "jdbc:derby:memory:graft_ep2;create=true"
+    table = import_csv_automatic(
+        spark,
+        csv_dir,
+        url=url,
+        column_types="id BIGINT, val DOUBLE",
+        target="jdbc",
+    )
+    assert table == "ida_consolidado"
+    back = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+    )
+    got = sorted((r["id"], r["val"]) for r in back.collect())
+    assert got == [(i, i * 1.25) for i in range(4)]
