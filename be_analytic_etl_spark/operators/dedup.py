@@ -329,6 +329,51 @@ def simhash_neardup_pairs(
     )
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+
+def ngram_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing any word
+    n-gram with a benchmark/eval document — the standard n-gram-collision
+    check run before training (8-gram overlap, as popularized by the
+    GPT-3/PaLM decontamination appendices).
+
+    Plan shape for 100 TB: both sides explode to DISTINCT (id, gram-hash)
+    pairs — 8-byte portable hashes, never gram strings, cross the shuffle —
+    and the benchmark side is tiny (an eval suite), so the join broadcasts:
+    the corpus is scanned once, map-only. Returns
+    (id_col, n_shared_grams, n_bench_docs) for contaminated docs only;
+    self-matches (a benchmark doc vs itself) are excluded.
+    """
+    from be_analytic_etl_spark.operators.textstats import portable_hash60
+
+    def grams(frame: DataFrame, ident: str, out_id: str) -> DataFrame:
+        return (
+            frame.select(
+                F.col(ident).alias(out_id),
+                F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("__g"),
+            )
+            .select(out_id, portable_hash60(F.col("__g")).alias("__h"))
+            .dropDuplicates([out_id, "__h"])
+        )
+
+    cg = grams(df, id_col, "__cid")
+    bg = grams(bench, bench_id_col, "__bid")
+    hits = cg.join(F.broadcast(bg), "__h").filter(F.col("__cid") != F.col("__bid"))
+    return hits.groupBy(F.col("__cid").alias(id_col)).agg(
+        F.countDistinct("__h").alias("n_shared_grams"),
+        F.countDistinct("__bid").alias("n_bench_docs"),
+    )
+
+
 # --- n-gram Jaccard (exact, blocked) --------------------------------------
 
 

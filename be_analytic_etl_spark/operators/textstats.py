@@ -168,6 +168,36 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
     return chain.otherwise(F.lit(default))
 
 
+#: PII-ish redaction patterns -> replacement tokens. Restricted to regex
+#: constructs with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB) so redaction is oracle-checkable. Order matters: emails first
+#: (their local parts contain digit runs).
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email addresses and long digit runs with placeholder tokens —
+    the pre-training privacy scrub. Pure regexp_replace chain: one narrow
+    JVM-side pass, no shuffle, linear at any scale."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    for pat, tok in REDACT_PATTERNS:
+        c = F.regexp_replace(c, pat, tok)
+    return c
+
+
+def redaction_count(col: Column | str) -> Column:
+    """How many spans redact_pii would replace (audit metric)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    total = F.lit(0)
+    for pat, _ in REDACT_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, "")  # don't double-count digit runs inside emails
+    return total
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: trim, lowercase, collapse runs of
     whitespace to single spaces."""

@@ -787,6 +787,177 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# PII-ish redaction: emails + long digit runs -> placeholder tokens, with a
+# span-count audit column. One narrow regexp pass (patterns restricted to
+# Java-regex/RE2-identical constructs). PII is synthesized deterministically
+# onto each document so the redaction is exercised on every row.
+_EMAIL_PAT = T.REDACT_PATTERNS[0][0]
+_NUM_PAT = T.REDACT_PATTERNS[1][0]
+
+
+def q_ext_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        T.redact_pii(salted).alias("redacted"),
+        T.redaction_count(salted).alias("n_redactions"),
+    )
+
+
+register(
+    "ext_redact",
+    q_ext_redact,
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or call 555'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_NUM_PAT}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_PAT}'))
+                + len(regexp_extract_all(
+                      regexp_replace(t, '{_EMAIL_PAT}', '', 'g'), '{_NUM_PAT}'))
+               AS INTEGER) AS n_redactions
+    FROM s
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary top-k: token frequency + document frequency, top 50 by count.
+# Scale: partial agg absorbs hot stopword keys before the token shuffle;
+# top-k plans as TakeOrderedAndProject; the rank window runs over k rows.
+_VOCAB_K = 50
+
+
+def q_ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokenize("text")).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    top = agg.orderBy(F.col("tf").desc(), "token").limit(_VOCAB_K)
+    w = Window.orderBy(F.col("tf").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+register(
+    "ext_vocab_topk",
+    q_ext_vocab_topk,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), agg AS (
+        SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM tok GROUP BY token
+    ), r AS (
+        SELECT token, tf, df,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INTEGER) AS rank
+        FROM agg
+    )
+    SELECT token, tf, df, rank FROM r WHERE rank <= {_VOCAB_K}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF scoring (rational idf (N - df + 0.5)/(df + 0.5), BM25-style —
+# pure divisions, so cross-engine bit-identical; ln()-based idf is libm-
+# dependent and NOT safely comparable). Scale: one shuffle for (doc, token)
+# counts, one for doc-frequency; the df table is |vocab|-sized — broadcast
+# it when the vocabulary fits (it usually does after min-frequency cuts).
+def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    tok = docs.select("doc_id", F.explode(T.tokenize("text")).alias("token"))
+    dt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tok.dropDuplicates(["doc_id", "token"]).groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    dfd = F.col("df").cast("double")
+    score = F.col("tf").cast("double") * (
+        (F.lit(n_docs) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    return (
+        dt.join(F.broadcast(dfr), "token")
+        .filter(F.col("tf") >= 2)
+        .select("doc_id", "token", "tf", "df", score.alias("score"))
+    )
+
+
+register(
+    "ext_tfidf",
+    q_ext_tfidf,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), dt AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfr AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, token, tf, df,
+           CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5)) AS score
+    FROM dt JOIN dfr USING (token), n
+    WHERE tf >= 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: 8-gram collision between corpus docs and a
+# benchmark subset (doc_id % 97 == 0 stands in for the eval suite). The
+# benchmark side broadcasts; only 8-byte gram hashes cross the wire.
+def q_ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return D.ngram_contamination(docs, bench, ngram_n=8)
+
+
+register(
+    "ext_contamination",
+    q_ext_contamination,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, unnest({_grams_sql("toks", 8)}) AS gm FROM tok
+    ), gh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(gm), 1, 15) AS BIGINT) AS h
+        FROM g
+    ), bh AS (
+        SELECT doc_id AS bench_id, h FROM gh WHERE doc_id % 97 = 0
+    ), j AS (
+        SELECT gh.doc_id, gh.h, bh.bench_id
+        FROM gh JOIN bh ON gh.h = bh.h AND gh.doc_id <> bh.bench_id
+    )
+    SELECT doc_id, COUNT(DISTINCT h) AS n_shared_grams,
+           COUNT(DISTINCT bench_id) AS n_bench_docs
+    FROM j GROUP BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash sampling + train/val/test split — the map-only,
 # engine/run/shard-stable assignment a training pipeline needs (rand()
 # sampling moves rows between splits on task retry; a key hash never does).

@@ -109,20 +109,90 @@ def probe_encoding(path: str, candidates: list[str] | None = None) -> str:
     return "utf-8"
 
 
-def read_ods(spark: SparkSession, path_or_bytes) -> DataFrame:
-    """ODS bridge: no native Spark source exists, so parse with pandas/odfpy
-    on the driver (files are spreadsheet-sized) and lift to a DataFrame with
-    an all-string schema (main.py:259-305 semantics)."""
-    import pandas as pd
+_ODS_TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+_ODS_OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+_ODS_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 
-    src = io.BytesIO(path_or_bytes) if isinstance(path_or_bytes, bytes) else path_or_bytes
-    pdf = pd.read_excel(src, engine="odf", header=None, dtype=str)
-    pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]
-    pdf = pdf.astype("object").where(pd.notna(pdf), None)
+
+def _parse_ods(data: bytes) -> list[list[str | None]]:
+    """Dependency-free ODS parse: an .ods is a zip whose ``content.xml``
+    holds the sheet; cells are ``table:table-cell`` elements with
+    ``table:number-columns-repeated`` run-length encoding and values as
+    ``text:p`` children (or an ``office:value`` attribute). First sheet
+    only, like the reference's ``pd.read_excel`` default (main.py:283).
+
+    Spreadsheet writers RLE-pad rows/columns to the 16k grid edge; repeats
+    of EMPTY cells/rows above 256 are clamped and trailing empties trimmed,
+    so the grid stays data-sized."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        root = ET.fromstring(z.read("content.xml"))
+    table = root.find(f".//{_ODS_TABLE}table")
+    if table is None:
+        return []
+    rows: list[list[str | None]] = []
+    for tr in table.findall(f"{_ODS_TABLE}table-row"):
+        row_rep = int(tr.get(f"{_ODS_TABLE}number-rows-repeated", "1"))
+        cells: list[str | None] = []
+        for tc in tr.findall(f"{_ODS_TABLE}table-cell"):
+            rep = int(tc.get(f"{_ODS_TABLE}number-columns-repeated", "1"))
+            ps = tc.findall(f"{_ODS_TEXT}p")
+            if ps:
+                val: str | None = "\n".join("".join(p.itertext()) for p in ps)
+            else:
+                val = tc.get(f"{_ODS_OFFICE}value")
+            if val is None and rep > 256:
+                rep = 1
+            cells.extend([val] * rep)
+        while cells and cells[-1] is None:
+            cells.pop()
+        if not cells and row_rep > 256:
+            row_rep = 1
+        rows.extend(list(cells) for _ in range(row_rep))
+    while rows and not rows[-1]:
+        rows.pop()
+    return rows
+
+
+def read_ods(spark: SparkSession, path_or_bytes) -> DataFrame:
+    """S4: ODS reader. No native Spark source exists, so the (spreadsheet-
+    sized) file parses on the driver and lifts to an all-string DataFrame
+    (main.py:259-305 semantics: ``header=None, dtype=str``).
+
+    Primary path is the dependency-free zip+XML parser (``_parse_ods``);
+    pandas/odfpy, when installed, is used instead for full-fidelity edge
+    cases (formulas, covered cells)."""
+    if isinstance(path_or_bytes, bytes):
+        data = path_or_bytes
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+
     from pyspark.sql.types import StringType, StructField, StructType
 
-    schema = StructType([StructField(c, StringType(), True) for c in pdf.columns])
-    return spark.createDataFrame(pdf, schema=schema)
+    try:
+        import odf  # type: ignore  # noqa: F401
+        import pandas as pd
+
+        pdf = pd.read_excel(io.BytesIO(data), engine="odf", header=None, dtype=str)
+        pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]
+        pdf = pdf.astype("object").where(pd.notna(pdf), None)
+        schema = StructType(
+            [StructField(c, StringType(), True) for c in pdf.columns]
+        )
+        return spark.createDataFrame(pdf, schema=schema)
+    except ImportError:
+        pass
+
+    rows = _parse_ods(data)
+    width = max((len(r) for r in rows), default=0)
+    padded = [r + [None] * (width - len(r)) for r in rows]
+    schema = StructType(
+        [StructField(f"_c{i}", StringType(), True) for i in range(width)]
+    )
+    return spark.createDataFrame(padded, schema=schema)
 
 
 def _with_rownum(df: DataFrame) -> DataFrame:

@@ -129,6 +129,80 @@ def test_to_long_keeps_operadora(spark, tmp_path):
     assert consolidate([df]).count() == 2
 
 
+def _make_ods(rows: list[list[str | None]]) -> bytes:
+    """Minimal valid ODS: zip with mimetype + content.xml (first sheet),
+    exercising number-columns-repeated RLE and empty cells."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    body = []
+    for r in rows:
+        cells = []
+        for v in r:
+            if v is None:
+                cells.append("<table:table-cell/>")
+            else:
+                cells.append(
+                    '<table:table-cell office:value-type="string">'
+                    f"<text:p>{escape(v)}</text:p></table:table-cell>"
+                )
+        # RLE-pad to the grid edge like real writers do (must be clamped)
+        cells.append('<table:table-cell table:number-columns-repeated="16384"/>')
+        body.append("<table:table-row>" + "".join(cells) + "</table:table-row>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        "<office:document-content "
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="Sheet1">'
+        + "".join(body)
+        + '</table:table><table:table table:name="Sheet2">'
+        "<table:table-row><table:table-cell office:value-type=\"string\">"
+        "<text:p>second sheet must be ignored</text:p>"
+        "</table:table-cell></table:table-row>"
+        "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        z.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def test_ingest_ods_end_to_end(spark, tmp_path):
+    """S4+S6: the ODS reader (dependency-free zip+XML path) through the full
+    wide->long chain."""
+    from be_analytic_etl_spark.sources.ingest import read_ods
+
+    ods = _make_ods(
+        [
+            ["SERVIÇO: SMP", None, None],
+            ["GRUPO ECONÔMICO", "VARIAVEL", "2021-03-01 00:00:00"],
+            ["CLARO", "IDA", "7,5"],
+            ["VIVO", "IDA", "1.250,25"],
+        ]
+    )
+    p = tmp_path / "ida_2021.ods"
+    p.write_bytes(ods)
+
+    raw = read_ods(spark, str(p))
+    assert raw.columns == ["_c0", "_c1", "_c2"]  # RLE padding clamped
+    assert raw.count() == 4
+
+    out = ingest_wide_file(spark, str(p), service="SMP", fmt="ods")
+    rows = {r["GRUPO_ECONOMICO"]: r for r in out.collect()}
+    assert rows["CLARO"]["VALOR"] == 7.5
+    assert rows["VIVO"]["VALOR"] == 1250.25
+    assert str(rows["CLARO"]["REFERENCIA_MES"]) == "2021-03-01"
+    assert {r["SERVICO"] for r in rows.values()} == {"SMP"}
+    # bytes input path (the S3 download handoff shape)
+    assert read_ods(spark, ods).count() == 4
+
+
 def test_filter_manifest(spark):
     res = spark.createDataFrame(
         [

@@ -96,6 +96,29 @@ def test_cosine_topk_broadcasts_query_side(plans):
     assert "Broadcast" in plan, plan
 
 
+def test_topk_plans_as_take_ordered(spark):
+    """orderBy + limit must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global sort materialization."""
+    df = QUERIES["topk_revenue"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    df = QUERIES["ext_contamination"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rollup_is_single_expand_pass(spark):
+    """ROLLUP must plan as ONE Expand + aggregate, not one scan per level."""
+    df = QUERIES["rollup_revenue"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """write_bucketed_table pays the shuffle once at write; a join on the
     bucket key then plans WITHOUT any Exchange."""
