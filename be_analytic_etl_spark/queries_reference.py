@@ -1008,6 +1008,91 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window aggregation (batch twin of streaming.stream_sliding_agg):
+# 1h windows sliding every 30min — every event belongs to exactly 2 windows.
+# Spark's F.window expands each row into its window set in ONE pass (an
+# Expand, no self-join); the DuckDB oracle states the same expansion
+# explicitly (floor to the slide grid, k in 0..1).
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+register(
+    "sliding_window",
+    q_sliding_window,
+    """
+    WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    ), expanded AS (
+        -- CAST: to_timestamp yields TIMESTAMPTZ; Spark window starts are
+        -- naive TIMESTAMP (session tz UTC)
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                                 - k * 1800) AS TIMESTAMP) AS win_start,
+               event_type, value
+        FROM ev, range(0, 2) r(k)
+    )
+    SELECT win_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment (batch twin of streaming.stream_enrich): events
+# left-join a broadcast user dimension derived from customer, aggregated by
+# segment. The join side that would be static in the stream broadcasts —
+# no shuffle of the event side.
+def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    from be_analytic_etl_spark.streaming import stream_enrich
+
+    enriched = stream_enrich(ev, dim)
+    return enriched.groupBy(
+        F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+register(
+    "events_enrich",
+    q_events_enrich,
+    """
+    WITH dim AS (
+        SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer
+    )
+    SELECT COALESCE(segment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e LEFT JOIN dim ON e.user_id = dim.user_id
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Tumbling-window aggregation (batch twin of streaming windowed agg).
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")

@@ -1,13 +1,17 @@
 from be_analytic_etl_spark.streaming.jobs import (
     read_events_stream,
     stream_dedup_first,
+    stream_enrich,
     stream_sessionize,
+    stream_sliding_agg,
     stream_tumbling_agg,
 )
 
 __all__ = [
     "read_events_stream",
     "stream_tumbling_agg",
+    "stream_sliding_agg",
     "stream_sessionize",
+    "stream_enrich",
     "stream_dedup_first",
 ]

@@ -105,6 +105,43 @@ def stream_sessionize(
     )
 
 
+def stream_sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation per event_type: each event
+    lands in window/slide overlapping windows (Spark expands it once into
+    its window set — no self-join). State per open window, bounded by the
+    watermark; append mode emits each window exactly once on close.
+    Batch twin: ``queries_reference.q_sliding_window`` (value-checked
+    against DuckDB's explicit window-expansion formulation)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_enrich(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    (slowly-changing) static dimension — Spark re-plans the static side per
+    batch, so a broadcast dim costs no stream-side shuffle and no state.
+    The canonical shape for joining a 100 TB/day event stream with a user /
+    document dimension table."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def stream_dedup_first(
     events: DataFrame,
     key_col: str = "user_id",

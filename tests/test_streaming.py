@@ -98,6 +98,50 @@ def test_stream_sessionize_matches_batch(spark, events_batch, events_stream_dir)
     assert not extra, f"stream emitted sessions batch never saw: {sorted(extra)[:3]}"
 
 
+def test_stream_sliding_matches_batch(spark, events_batch, events_stream_dir):
+    from be_analytic_etl_spark.streaming import stream_sliding_agg
+
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run(spark, stream_sliding_agg(stream), "t_sliding").cache()
+
+    from be_analytic_etl_spark.queries_reference import q_sliding_window
+
+    batch = q_sliding_window(spark, SF_DIR)
+    max_ts = events_batch.agg(F.max("ts")).first()[0]
+    closed = batch.filter(
+        F.col("win_start") < F.date_trunc("hour", F.lit(max_ts) - F.expr("INTERVAL 4 HOURS"))
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in closed.collect()}
+    assert want_rows, "test needs a non-empty closed prefix"
+    assert want_rows <= got_rows
+    batch_all = {tuple(r) for r in batch.collect()}
+    assert got_rows <= batch_all
+
+
+def test_stream_enrich_is_stateless_join(spark, events_batch, events_stream_dir):
+    """Stream-static left join: every emitted row carries the dimension
+    value; rows equal the batch join exactly (no state, no loss)."""
+    from be_analytic_etl_spark.streaming import stream_enrich
+
+    dim = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run(
+        spark,
+        stream_enrich(stream, dim).select("event_id", "user_id", "segment"),
+        "t_enrich",
+    ).cache()
+    want = (
+        events_batch.join(dim, "user_id", "left")
+        .select("event_id", "user_id", "segment")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert got.count() == events_batch.count()
+
+
 def test_stream_dedup_first_matches_batch(spark, events_batch, events_stream_dir):
     from be_analytic_etl_spark.streaming import stream_dedup_first
 
