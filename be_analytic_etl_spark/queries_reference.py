@@ -371,6 +371,44 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# EP1 tail (P13+P14+P15 on real ingest output): the ingest_e2e long fact
+# through consolidate() + finalize() — union/distinct, the snake_case
+# rename TRAP (VARIAVEL -> servico, SERVICO -> tipo_servico, applied in one
+# positional select because sequential renames would collide), the map-only
+# dense id following the canonical sort, and the final column order.
+def q_ingest_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.consolidate import consolidate, finalize
+
+    return finalize(consolidate([q_ingest_e2e(spark, sf_dir)]))
+
+
+register(
+    "ingest_finalize",
+    q_ingest_finalize,
+    """
+    WITH m(mnum, mdate) AS (
+        VALUES (1, DATE '2023-01-01'), (2, DATE '2023-02-01'), (3, DATE '2023-03-01')
+    ), long AS (
+        SELECT n_name AS g, 'IDA' AS v, mdate AS mes,
+               CASE WHEN (n_nationkey + 2 * mnum) % 11 = 0 THEN NULL
+                    WHEN (n_nationkey + mnum) % 3 = 1
+                         THEN CAST(n_nationkey * 100 + mnum * 10 AS DOUBLE)
+                    ELSE CAST(CAST(n_nationkey * 100 + mnum * 10 AS VARCHAR) || '.'
+                              || lpad(CAST((n_nationkey + mnum) % 100 AS VARCHAR), 2, '0')
+                              AS DOUBLE)
+               END AS val,
+               'STFC' AS tipo
+        FROM nation, m
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY tipo, g, v, mes) AS id,
+           g AS grupo_economico, v AS servico, mes AS mes_referencia,
+           val AS valor, tipo AS tipo_servico
+    FROM long
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # S7+S8 round-trip: aggregate -> single-file header CSV sink -> typed
 # re-read (inferSchema), value-checked against DuckDB computing the same
 # aggregate from parquet directly — proving the CSV surface preserves

@@ -96,6 +96,16 @@ def test_cosine_topk_broadcasts_query_side(plans):
     assert "Broadcast" in plan, plan
 
 
+def test_ingest_chain_stays_jvm_side(spark):
+    """The whole wide->long ingest chain is native expressions: no Python
+    eval nodes anywhere in the plan."""
+    df = QUERIES["ingest_e2e"](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_topk_plans_as_take_ordered(spark):
     """orderBy + limit must plan as TakeOrderedAndProject (per-partition
     heaps), never a global sort materialization."""
