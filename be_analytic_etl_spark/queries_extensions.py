@@ -1021,3 +1021,55 @@ register(
     WHERE rn = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Dedup groups: connected components over a near-dup pair graph
+# (operators/graph.py — hash-to-min label propagation, ICDE 2013). The edge
+# fixture is two overlapping star partitions of `documents` — stars share
+# members across the two keyings, so components span multiple hops and the
+# oracle's recursive-CTE transitive closure checks real propagation, not
+# just single-star membership. Isolated nodes keep their own id.
+def q_ext_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from be_analytic_etl_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    w1 = Window.partitionBy("lang", F.pmod(F.col("n_chars"), F.lit(7)))
+    w2 = Window.partitionBy("source", F.pmod(F.col("n_chars"), F.lit(5)))
+    edges = docs.select(
+        F.min("doc_id").over(w1).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).unionByName(
+        docs.select(F.min("doc_id").over(w2).alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    comps = G.connected_components(
+        edges, nodes=docs.select(F.col("doc_id").alias("id"))
+    )
+    return comps.select(F.col("id").alias("doc_id"), "group_id")
+
+
+register(
+    "ext_dedup_groups",
+    q_ext_dedup_groups,
+    """
+    WITH RECURSIVE
+    e1 AS (SELECT MIN(doc_id) OVER (PARTITION BY lang, n_chars % 7) AS s,
+                  doc_id AS d FROM documents),
+    e2 AS (SELECT MIN(doc_id) OVER (PARTITION BY source, n_chars % 5) AS s,
+                  doc_id AS d FROM documents),
+    ed AS (SELECT s, d
+           FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) u
+           WHERE s <> d),
+    sym AS (SELECT s, d FROM ed UNION SELECT d, s FROM ed),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    )
+    SELECT n.doc_id,
+           LEAST(n.doc_id, COALESCE(MIN(r.d), n.doc_id)) AS group_id
+    FROM documents n LEFT JOIN reach r ON r.s = n.doc_id
+    GROUP BY n.doc_id
+    """,
+)

@@ -1,0 +1,57 @@
+"""Connected-components tests: known graphs with hand-computed answers.
+
+The registered ext_dedup_groups query covers the oracle path (recursive
+CTE transitive closure); here we pin the operator semantics on graphs
+where propagation depth, isolated nodes, and component merging are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators.graph import (
+    connected_components,
+    dedup_group_representatives,
+)
+
+
+def _labels(df):
+    return {r["id"]: r["group_id"] for r in df.collect()}
+
+
+def test_chain_propagates_min_over_many_hops(spark):
+    # 0-1-2-...-9 single chain: min label must travel 9 hops.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    out = _labels(connected_components(edges))
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_components_merge_and_isolated_nodes_survive(spark):
+    # two components {1,2,3,7} (via 3-7 bridge) and {5,6}; node 9 isolated.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (6, 5)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 9]], ["id"])
+    out = _labels(connected_components(edges, nodes=nodes))
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    edges = spark.createDataFrame(
+        [(4, 4), (1, 2), (2, 1), (1, 2)], ["id_a", "id_b"]
+    )
+    out = _labels(connected_components(edges))
+    # self-loop node 4 never enters via an edge endpoint pair (4,4) is
+    # filtered; only {1,2} remain.
+    assert out == {1: 1, 2: 1}
+
+
+def test_representatives_keep_min_per_group(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+    kept = dedup_group_representatives(df, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4]
