@@ -1073,3 +1073,88 @@ register(
     GROUP BY n.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py): latest purchase at-or-before each click,
+# per user — union + ordered-window carry, one shuffle, no range explosion.
+# Right side pre-aggregated to one row per (user_id, ts) so both engines
+# are deterministic (DuckDB ASOF JOIN has the same uniqueness contract).
+def q_ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    return asof_join(clicks, purchases, on=["user_id"], right_cols=["p_value"])
+
+
+register(
+    "ext_asof_join",
+    q_ext_asof_join,
+    """
+    WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.ts, c.event_id, c.value,
+           p.ts AS ts_r, p.p_value AS p_value_r
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill (operators/timeseries.py): daily per-user 'view' value series
+# densified onto a per-user day spine, silent days forward-filled and
+# flagged. sequence+explode spine, (key, day) join, ignorenulls-last fill.
+def q_ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.timeseries import gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum("value").alias("daily_value"))
+    )
+    return gapfill(daily, ["user_id"], "day", ["daily_value"], step="1 day")
+
+
+register(
+    "ext_gapfill",
+    q_ext_gapfill,
+    """
+    WITH daily AS (
+        SELECT user_id,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               SUM(value) AS daily_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           LAST_VALUE(d.daily_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS daily_value,
+           d.daily_value IS NOT NULL AS is_observed
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+)
