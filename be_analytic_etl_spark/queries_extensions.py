@@ -1158,3 +1158,37 @@ register(
     FROM spine s LEFT JOIN daily d USING (user_id, day)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (operators/skew.py): lineitem->orders with the fact side
+# salted across (key, salt) tasks, then re-aggregated. The join output is
+# invariant to salting, so the oracle is the plain join — which is exactly
+# the point: same semantics, straggler-free physical shape.
+def q_ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_quantity"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    joined = salted_join(li, orders, on=["o_orderkey"], salt_n=8)
+    return joined.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+register(
+    "ext_salted_join",
+    q_ext_salted_join,
+    """
+    SELECT o.o_orderpriority, o.o_orderstatus,
+           COUNT(*) AS n_items,
+           SUM(l.l_quantity) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority, o.o_orderstatus
+    """,
+)

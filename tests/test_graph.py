@@ -55,3 +55,25 @@ def test_representatives_keep_min_per_group(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
     kept = dedup_group_representatives(df, pairs, "doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join output is identical to the unsalted join, and the
+    physical join key carries the salt (no single-task hot key)."""
+    from be_analytic_etl_spark.operators.skew import SALT, salted_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    salted = salted_join(li, orders, on=["k"], salt_n=4)
+    plain = li.join(orders, "k")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    assert SALT not in salted.columns
+    # left-join keeps unmatched skewed rows exactly once
+    lonely = spark.createDataFrame([(999999999, 1.0)], ["k", "l_quantity"])
+    lj = salted_join(lonely, orders, on=["k"], how="left")
+    assert lj.count() == 1
