@@ -1192,3 +1192,92 @@ register(
     GROUP BY o.o_orderpriority, o.o_orderstatus
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# MERGE upsert (operators/merge.py): customer corrections — every 10th key
+# gets a new acctbal (including a NULL case: update values win wholesale,
+# no per-column COALESCE), every 37th is deleted, and a shifted key range
+# is inserted. One full-outer shuffle on the key.
+def q_ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    mods = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        F.when(F.col("c_custkey") % 20 == 0, F.col("c_acctbal") + 100.0).alias(
+            "c_acctbal"
+        ),
+        F.lit("CORRECTED").alias("c_mktsegment"),
+        (F.col("c_custkey") % 37 == 0).alias("is_deleted"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 100 == 3).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), "c_name").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("FRESH").alias("c_mktsegment"),
+        F.lit(False).alias("is_deleted"),
+    )
+    return merge_upsert(
+        cust, mods.unionByName(inserts), keys=["c_custkey"], delete_col="is_deleted"
+    )
+
+
+register(
+    "ext_merge_upsert",
+    q_ext_merge_upsert,
+    """
+    WITH mods AS (
+        SELECT c_custkey,
+               upper(c_name) AS c_name,
+               CASE WHEN c_custkey % 20 = 0 THEN c_acctbal + 100.0 END AS c_acctbal,
+               'CORRECTED' AS c_mktsegment,
+               c_custkey % 37 = 0 AS is_deleted
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW_' || c_name, 0.0, 'FRESH', FALSE
+        FROM customer WHERE c_custkey % 100 = 3
+    )
+    SELECT COALESCE(m.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN m.c_custkey IS NOT NULL THEN m.c_name ELSE c.c_name END AS c_name,
+           CASE WHEN m.c_custkey IS NOT NULL THEN m.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN m.c_custkey IS NOT NULL THEN m.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
+    FROM customer c FULL OUTER JOIN mods m ON c.c_custkey = m.c_custkey
+    WHERE NOT COALESCE(m.is_deleted, FALSE)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history (operators/merge.py): order rows as customer-state
+# versions — valid_from/valid_to intervals + current flag via lead() per
+# key. Deduped to one version per (custkey, day) for determinism.
+def q_ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.merge import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    versions = orders.groupBy(
+        "o_custkey", F.col("o_orderdate").alias("valid_from")
+    ).agg(F.max("o_totalprice").alias("state_price"))
+    return scd2_history(versions, keys=["o_custkey"], valid_from="valid_from")
+
+
+register(
+    "ext_scd2",
+    q_ext_scd2,
+    """
+    WITH versions AS (
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+               MAX(o_totalprice) AS state_price
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, valid_from, state_price,
+           LEAD(valid_from) OVER w AS valid_to,
+           LEAD(valid_from) OVER w IS NULL AS is_current
+    FROM versions
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
+    """,
+)

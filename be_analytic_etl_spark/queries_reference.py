@@ -1282,3 +1282,81 @@ register(
     JOIN customer ON o_custkey = c_custkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-frame window metrics: 7-row trailing sum/avg/max per user plus
+# rank-family functions (ntile, cume_dist) over a unique (ts, event_id)
+# order. Scale: one shuffle on user_id serves every window; frames are
+# bounded (7 rows) so state is O(1) per row.
+def q_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w7 = w.rowsBetween(-6, Window.currentRow)
+    val = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(val).over(w7).cast("double").alias("roll_sum7"),
+        (F.sum(val).over(w7) / F.count(F.lit(1)).over(w7)).cast("double").alias("roll_avg7"),
+        F.max("value").over(w7).alias("roll_max7"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+register(
+    "rolling_metrics",
+    q_rolling_metrics,
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w7 AS DOUBLE) AS roll_sum7,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w7
+                / COUNT(*) OVER w7 AS DOUBLE) AS roll_avg7,
+           MAX(value) OVER w7 AS roll_max7,
+           NTILE(4) OVER w AS quartile,
+           CUME_DIST() OVER w AS cume
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW
+        w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact distribution stats per group: interpolated median/p90 (Spark
+# `percentile` == DuckDB `quantile_cont`), min/max, exact distinct users.
+# Scale note: exact percentile requires a per-group sort — at 100 TB swap
+# in approx_percentile (t-digest, mergeable partial agg) which has no
+# cross-engine oracle; the exact form is the correctness anchor.
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+register(
+    "percentile_stats",
+    q_percentile_stats,
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
