@@ -1360,3 +1360,161 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction: typed from_json with an explicit schema (never
+# schema inference on a 100 TB scan) + path-style get_json_object, then an
+# aggregation over the extracted key. Malformed JSON -> NULL (PERMISSIVE),
+# exercised via the null-count column.
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    k = F.from_json("props", schema).getField("k")
+    k_str = F.get_json_object("props", "$.k")
+    return (
+        ev.select(
+            "event_type",
+            k.alias("k"),
+            k_str.cast("long").alias("k_path"),
+        )
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k") != F.col("k_path"), 1).otherwise(0)).alias(
+                "path_disagreements"
+            ),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+    )
+
+
+register(
+    "json_extract",
+    q_json_extract,
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                    <> CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    THEN 1 ELSE 0 END) AS path_disagreements,
+           SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: per-user earliest signup -> first click after it ->
+# first purchase after that. Three conditional-min aggregations over ONE
+# shuffle of events on user_id (stage thresholds join back on the already
+# user-keyed aggregates — tiny frames). furthest_stage feeds conversion
+# reporting.
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.when(F.col("purchase_ts").isNotNull(), 3)
+                .when(F.col("click_ts").isNotNull(), 2)
+                .otherwise(1)
+            ).alias("furthest_stage"),
+        )
+    )
+
+
+register(
+    "funnel",
+    q_funnel,
+    """
+    WITH s AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s.signup_ts
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+           CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                WHEN c.click_ts IS NOT NULL THEN 2
+                ELSE 1 END AS furthest_stage
+    FROM s
+    LEFT JOIN c ON s.user_id = c.user_id
+    LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users bucketed by first-activity week, matrix of
+# distinct active users per (cohort_week, weeks_since). Two aggregations +
+# one join, all keyed on user_id then (cohort, offset) — the standard
+# retention-curve build.
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+register(
+    "cohort_retention",
+    q_cohort_retention,
+    """
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week
+        FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(FLOOR(date_diff('day', c.cohort_week, e.week) / 7.0) AS BIGINT) AS weeks_since,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM ev e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)

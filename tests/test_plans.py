@@ -160,3 +160,46 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+# --- round-2 operators ------------------------------------------------------
+
+
+def test_asof_join_single_exchange_on_key(spark):
+    """The union+window as-of join must shuffle exactly once (on the key),
+    never expand into a range join."""
+    from be_analytic_etl_spark.operators.asof import asof_join
+    from be_analytic_etl_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    l = ev.select("user_id", "ts", "value")
+    r = ev.groupBy("user_id", "ts").agg(F.max("value").alias("v"))
+    plan = plan_of(asof_join(l, r, on=["user_id"], right_cols=["v"]))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # no join node at all: the match is carried by a window, not a join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    from be_analytic_etl_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    plan = plan_of(salted_join(li, orders, on=["k"], salt_n=4))
+    assert "__salt" in plan, "join must key on (k, __salt)"
+
+
+def test_large_orders_broadcasts_having_set(spark):
+    plan = plan_of(QUERIES["large_orders"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gapfill_and_components_stay_jvm_side(spark):
+    for name in ("ext_gapfill", "ext_dedup_groups", "ext_asof_join", "funnel"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
