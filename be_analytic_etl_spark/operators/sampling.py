@@ -65,3 +65,50 @@ def assign_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(splits[-1][0])
     return last if expr is None else expr.otherwise(last)
+
+
+#: Denominator mapping the 60-bit hash to u in (0, 1): 2^60 + 1.
+_U_DENOM = 1_152_921_504_606_846_977.0
+
+
+def es_sample_key(key: Column | str, weight: Column | str, salt: str = "wsample") -> Column:
+    """Efraimidis–Spirakis weighted-sampling key: ``u^(1/w)`` with
+    ``u = (hash60(key|salt) + 1) / (2^60 + 1)`` — taking the top-k by this
+    key draws a weighted random sample without replacement (Efraimidis &
+    Spirakis, "Weighted random sampling with a reservoir", IPL 2006),
+    deterministic across runs, retries, and engines (same md5-derived u).
+
+    A distributed one-pass weighted reservoir: per-partition top-k heaps
+    merge associatively (TakeOrdered / window top-k), so no global sort
+    and no driver-side state beyond k rows per stratum.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight) if isinstance(weight, str) else weight
+    keyed = F.concat(k.cast("string"), F.lit(f"|{salt}"))
+    u = (portable_hash60(keyed) + F.lit(1)).cast("double") / F.lit(_U_DENOM)
+    return F.pow(u, F.lit(1.0) / w.cast("double"))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata: list[str] | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sample of ``k`` rows (per stratum if ``strata`` given).
+    Rows with non-positive weight are excluded. Ties broken by key for
+    full determinism."""
+    from pyspark.sql import Window
+
+    es = es_sample_key(key_col, weight_col, salt).alias("__es")
+    base = df.filter(F.col(weight_col) > 0).select("*", es)
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(F.col("__es").desc(), F.col(key_col))
+        return (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__es", "__rn")
+        )
+    return base.orderBy(F.col("__es").desc(), F.col(key_col)).limit(k).drop("__es")

@@ -1281,3 +1281,91 @@ register(
     WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Range join (operators/rangejoin.py): clicks attributed to 2-hour error
+# windows per user via bucketized interval join (equi-join on
+# (user_id, hour-bucket) + exact residual — no nested loop; plan-asserted
+# in tests/test_plans.py). Aggregated to clicks-per-window.
+def q_ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    windows = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    joined = range_join(
+        clicks, windows, "ts", "w_start", "w_end", keys=["user_id"],
+        bucket_width_seconds=3600,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("click_id").alias("first_click_id"),
+    )
+
+
+register(
+    "ext_range_join",
+    q_ext_range_join,
+    """
+    WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    win AS (
+        SELECT user_id, event_id AS window_id,
+               CAST(ts AS TIMESTAMP) AS w_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT w.window_id, COUNT(*) AS n_clicks, MIN(c.click_id) AS first_click_id
+    FROM clicks c JOIN win w
+      ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts < w.w_end
+    GROUP BY w.window_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (operators/sampling.py): Efraimidis–Spirakis u^(1/w)
+# top-k per language, weight = n_chars — longer docs proportionally more
+# likely, yet fully deterministic (portable md5 u) so the DuckDB twin
+# draws the identical sample.
+def q_ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        docs.select("doc_id", "lang", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=10,
+        strata=["lang"],
+    )
+
+
+register(
+    "ext_weighted_sample",
+    q_ext_weighted_sample,
+    """
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               POW((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 15)
+                         AS BIGINT) + 1) / 1152921504606846977.0,
+                   1.0 / CAST(n_chars AS DOUBLE)) AS es
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS rn
+        FROM t
+    ) WHERE rn <= 10
+    """,
+)

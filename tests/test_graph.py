@@ -77,3 +77,32 @@ def test_salted_join_equals_plain_join(spark):
     lonely = spark.createDataFrame([(999999999, 1.0)], ["k", "l_quantity"])
     lj = salted_join(lonely, orders, on=["k"], how="left")
     assert lj.count() == 1
+
+
+def test_range_join_equals_naive_range_predicate(spark):
+    """Bucketized range join == naive cross-filter, including intervals
+    spanning many buckets and points on bucket boundaries."""
+    import datetime as dt
+
+    from be_analytic_etl_spark.operators.rangejoin import range_join
+
+    d = dt.datetime
+    pts = spark.createDataFrame(
+        [(1, d(2024, 1, 1, h, m), f"p{h}{m}") for h in range(6) for m in (0, 30)],
+        ["k", "ts", "pid"],
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 0, 30), d(2024, 1, 1, 4, 0), "long"),  # 3.5h span
+            (1, d(2024, 1, 1, 2, 0), d(2024, 1, 1, 2, 30), "short"),
+            (2, d(2024, 1, 1, 0, 0), d(2024, 1, 2, 0, 0), "wrong-key"),
+        ],
+        ["k", "s", "e", "iid"],
+    )
+    fast = range_join(pts, iv, "ts", "s", "e", keys=["k"], bucket_width_seconds=3600)
+    naive = pts.join(iv, "k").filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+    got = sorted((r["pid"], r["iid"]) for r in fast.collect())
+    want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    assert got == want and len(got) > 0
+    # boundary semantics: point exactly at start included, at end excluded
+    assert ("p030", "long") in got and ("p40", "long") not in got

@@ -203,3 +203,9 @@ def test_gapfill_and_components_stay_jvm_side(spark):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    plan = plan_of(QUERIES["ext_range_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
