@@ -1369,3 +1369,39 @@ register(
     ) WHERE rn <= 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (operators/sketches.py): per-event-type user
+# cardinality, p=8 (256 registers, ~6.5% SE), alongside the exact count so
+# the estimate's error is visible. The oracle computes the *identical*
+# estimate (portable md5 hash, integer-exact register sums, one final
+# division) via hll_sql_twin — generated from the same parameters, so
+# operator and oracle cannot drift.
+def q_ext_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = hll_distinct(ev, ["event_type"], "user_id", p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return sketch.join(exact, "event_type")
+
+
+def _hll_oracle() -> str:
+    from be_analytic_etl_spark.operators.sketches import hll_sql_twin
+
+    twin = hll_sql_twin("events", ["event_type"], "user_id", p=8)
+    return f"""
+    WITH sketch AS ({twin}),
+    exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.hll_estimate, s.n_registers_used, e.exact_users
+    FROM sketch s JOIN exact e USING (event_type)
+    """
+
+
+register("ext_hll_distinct", q_ext_hll_distinct, _hll_oracle())
