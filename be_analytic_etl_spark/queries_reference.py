@@ -1518,3 +1518,56 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Click->purchase attribution, batch twin of
+# streaming.stream_attribution_join — composed from the bucketized
+# range_join operator (clicks become 30-minute intervals; purchases are
+# the points), so the batch path is also nested-loop-free.
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("click_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return range_join(
+        purchases, clicks, "purchase_ts", "click_ts", "click_end",
+        keys=["user_id"], bucket_width_seconds=1800,
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )
+
+
+register(
+    "click_attribution",
+    q_click_attribution,
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+               event_id AS purchase_id, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, c.click_ts,
+           p.purchase_id, p.purchase_ts, p.purchase_value
+    FROM purch p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
+    """,
+)

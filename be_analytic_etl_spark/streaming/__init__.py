@@ -1,5 +1,6 @@
 from be_analytic_etl_spark.streaming.jobs import (
     read_events_stream,
+    stream_attribution_join,
     stream_dedup_first,
     stream_enrich,
     stream_sessionize,
@@ -9,6 +10,7 @@ from be_analytic_etl_spark.streaming.jobs import (
 
 __all__ = [
     "read_events_stream",
+    "stream_attribution_join",
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_sessionize",

@@ -221,3 +221,46 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream inner join: each purchase attributed to the click(s)
+    it followed within ``horizon_minutes``, per user.
+
+    THE canonical two-unbounded-sides join. Both sides carry watermarks
+    and the join condition time-bounds purchase_ts against click_ts, which
+    is what lets Spark evict buffered click state once the watermark
+    passes ``click_ts + horizon`` (without the bound, both sides' state
+    grows forever). Append mode emits each matched pair exactly once.
+
+    Batch twin: ``queries_reference.q_click_attribution`` (the same
+    semantics through operators/rangejoin.py, DuckDB-oracled); bounded
+    equivalence asserted in tests/test_streaming.py.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )

@@ -161,3 +161,26 @@ def test_stream_dedup_first_matches_batch(spark, events_batch, events_stream_dir
     assert got_rows == want_rows
     # exactly one output row per distinct key
     assert got.count() == events_batch.select("user_id").distinct().count()
+
+
+def test_stream_stream_attribution_matches_batch_twin(
+    spark, events_batch, events_stream_dir
+):
+    """Bounded stream-stream join == the registered batch twin
+    (click_attribution via range_join): same matched pairs."""
+    from be_analytic_etl_spark.registry import QUERIES
+    from be_analytic_etl_spark.streaming import (
+        read_events_stream,
+        stream_attribution_join,
+    )
+
+    ev = read_events_stream(spark, events_stream_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    got = _run(
+        spark, stream_attribution_join(clicks, purchases), "attribution_ss"
+    )
+    want = QUERIES["click_attribution"](spark, SF_DIR)
+    key = lambda r: (r["click_id"], r["purchase_id"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.count() > 0
