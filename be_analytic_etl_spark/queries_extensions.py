@@ -1405,3 +1405,25 @@ def _hll_oracle() -> str:
 
 
 register("ext_hll_distinct", q_ext_hll_distinct, _hll_oracle())
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering (operators/clustering.py): 2 Lloyd iterations over the
+# embeddings table in exact quantized arithmetic — assignment is map-only
+# with literal centroids, update is one partial-agg groupBy; the DuckDB
+# twin (kmeans_sql_twin, generated from the same parameters) replays the
+# identical iterations, making an ITERATIVE algorithm value-checkable.
+def q_ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.clustering import kmeans_fit_predict
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_fit_predict(emb, "vec_id", "embedding", k=4, iters=2, dim=64)
+
+
+def _kmeans_oracle() -> str:
+    from be_analytic_etl_spark.operators.clustering import kmeans_sql_twin
+
+    return kmeans_sql_twin("embeddings", "vec_id", "embedding", k=4, iters=2, dim=64)
+
+
+register("ext_kmeans", q_ext_kmeans, _kmeans_oracle())

@@ -345,3 +345,23 @@ def test_hll_estimate_within_error_bound(spark):
         "hll_estimate"
     ]
     assert abs(est_corr - 30) / 30 < 0.2, est_corr
+
+
+def test_kmeans_separates_known_blobs(spark):
+    """Three well-separated 2-D blobs -> 3 pure clusters after 3 iters."""
+    from be_analytic_etl_spark.operators.clustering import kmeans_fit_predict
+
+    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 5.0)]
+    rows = []
+    i = 0
+    for bx, by in centers:
+        for dx in (-0.5, 0.0, 0.5):
+            for dy in (-0.5, 0.0, 0.5):
+                rows.append((i, [bx + dx, by + dy]))
+                i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_fit_predict(df, "vec_id", "embedding", k=3, iters=3, dim=2)
+    labels = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    blobs = [{labels[j] for j in range(b * 9, b * 9 + 9)} for b in range(3)]
+    assert all(len(b) == 1 for b in blobs), blobs
+    assert len(set().union(*blobs)) == 3
