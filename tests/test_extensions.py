@@ -351,17 +351,20 @@ def test_kmeans_separates_known_blobs(spark):
     """Three well-separated 2-D blobs -> 3 pure clusters after 3 iters."""
     from be_analytic_etl_spark.operators.clustering import kmeans_fit_predict
 
+    # ids interleaved across blobs (id % 3 == blob) so the min-id init
+    # seeds one centroid per blob — with all seeds in one blob Lloyd
+    # correctly converges to a split-that-blob local optimum instead.
     centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 5.0)]
     rows = []
-    i = 0
-    for bx, by in centers:
+    for b, (bx, by) in enumerate(centers):
+        j = 0
         for dx in (-0.5, 0.0, 0.5):
             for dy in (-0.5, 0.0, 0.5):
-                rows.append((i, [bx + dx, by + dy]))
-                i += 1
+                rows.append((j * 3 + b, [bx + dx, by + dy]))
+                j += 1
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = kmeans_fit_predict(df, "vec_id", "embedding", k=3, iters=3, dim=2)
     labels = {r["vec_id"]: r["cluster"] for r in out.collect()}
-    blobs = [{labels[j] for j in range(b * 9, b * 9 + 9)} for b in range(3)]
+    blobs = [{labels[j * 3 + b] for j in range(9)} for b in range(3)]
     assert all(len(b) == 1 for b in blobs), blobs
     assert len(set().union(*blobs)) == 3
