@@ -1,0 +1,86 @@
+"""Table profiling and multi-dimensional layout keys.
+
+``profile``: the ANALYZE-TABLE primitive — per-column null rate, exact
+distinct count, numeric min/max — computed in as few passes as Spark's
+aggregation allows (one job; each exact distinct adds an Expand path,
+which is the documented cost of exactness — swap in
+``approx_count_distinct`` at 100 TB). Output is long format (one row per
+column) so downstream quality checks can join on column name.
+
+``zorder_key``: bit-interleaved Morton code over two integer columns.
+Sorting/range-partitioning 100 TB by this key co-locates rows that are
+close in BOTH dimensions, so min/max row-group statistics prune scans for
+predicates on either column — the layout trick behind Delta/Iceberg
+Z-ORDER, as a plain deterministic column expression (usable with
+``repartitionByRange(zkey)`` + sortWithinPartitions before a parquet
+write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Long-format profile: (column, n_rows, n_null, n_distinct,
+    min_value, max_value) with min/max as doubles for numeric columns,
+    NULL otherwise."""
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    columns = columns or df.columns
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            (F.min(c).cast("double") if c in numeric else F.lit(None).cast("double")).alias(
+                f"__mn_{c}"
+            ),
+            (F.max(c).cast("double") if c in numeric else F.lit(None).cast("double")).alias(
+                f"__mx_{c}"
+            ),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
+    )
+
+
+def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Morton code: interleave the low ``bits`` bits of two non-negative
+    integer columns (a's bit i -> position 2i, b's -> 2i+1). 2*bits <= 62."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    ca = (F.col(a) if isinstance(a, str) else a).cast("long")
+    cb = (F.col(b) if isinstance(b, str) else b).cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(ca, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def zorder_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB twin of ``zorder_key`` (same bit ops)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)

@@ -149,3 +149,72 @@ def hll_sql_twin(
            n_registers_used
     FROM agg
     """
+
+
+def countmin_estimates(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
+    summary: the count-min sketch and its applications", J. Algorithms
+    2005) of ``value_col`` frequencies, probed for every distinct value:
+    ``estimate = min_i counter[i][h_i(x)]`` with d portable-hash rows of
+    width w. Estimates never undercount; collisions only inflate.
+
+    Fully integer + portable hash -> the DuckDB twin reproduces every
+    counter and estimate exactly (``countmin_sql_twin``).
+
+    Scale: the sketch is d*w counters built by one explode(d) + groupBy —
+    mergeable partial aggregates, the classic streaming-summary shape; the
+    probe joins only distinct values against d*w rows (broadcast).
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    portable_hash60(
+                        F.concat(
+                            F.col(value_col).cast("string"), F.lit(f"|{salt}{i}")
+                        )
+                    )
+                    % F.lit(w)
+                ).alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    hashed = df.select(F.col(value_col).alias("v"), F.explode(rows).alias("rb")).select(
+        "v", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    counters = hashed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = hashed.distinct()
+    return (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy(F.col("v").alias(value_col))
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+
+
+def countmin_sql_twin(
+    table: str, value_expr: str, d: int = 4, w: int = 64, salt: str = "cms"
+) -> str:
+    """DuckDB twin of ``countmin_estimates`` (generated together)."""
+    branches = " UNION ALL ".join(
+        f"SELECT v, {i} AS row, "
+        f"CAST('0x' || substr(md5(CAST(v AS VARCHAR) || '|{salt}{i}'), 1, 15) AS BIGINT) "
+        f"% {w} AS bucket FROM vals"
+        for i in range(d)
+    )
+    return f"""
+    WITH vals AS (SELECT {value_expr} AS v FROM {table}),
+    hashed AS ({branches}),
+    counters AS (SELECT row, bucket, COUNT(*) AS c FROM hashed GROUP BY row, bucket),
+    probes AS (SELECT DISTINCT v, row, bucket FROM hashed)
+    SELECT p.v, MIN(c.c) AS cms_estimate
+    FROM probes p JOIN counters c USING (row, bucket)
+    GROUP BY p.v
+    """

@@ -1427,3 +1427,108 @@ def _kmeans_oracle() -> str:
 
 
 register("ext_kmeans", q_ext_kmeans, _kmeans_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters (operators/sketches.py): per-user event-count
+# estimates from a 4x64 sketch, joined to exact counts — the overcount
+# (collision) error is visible, and every counter is reproduced exactly by
+# the generated DuckDB twin.
+def q_ext_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.sketches import countmin_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = countmin_estimates(ev, "user_id", d=4, w=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return sketch.join(exact, "user_id")
+
+
+def _countmin_oracle() -> str:
+    from be_analytic_etl_spark.operators.sketches import countmin_sql_twin
+
+    twin = countmin_sql_twin("events", "user_id", d=4, w=64)
+    return f"""
+    WITH sketch AS ({twin}),
+    exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id)
+    SELECT e.user_id, s.cms_estimate, e.exact_count
+    FROM sketch s JOIN exact e ON s.v = e.user_id
+    """
+
+
+register("ext_countmin", q_ext_countmin, _countmin_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (operators/profiling.py): ANALYZE-TABLE stats for the
+# lineitem fact in one aggregation job, long format.
+def q_ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.profiling import profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile(
+        li, ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    )
+
+
+def _profile_branch(c: str, numeric: bool) -> str:
+    mn = f"CAST(MIN({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    mx = f"CAST(MAX({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    return (
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+        f"COUNT(DISTINCT {c}) AS n_distinct, {mn} AS min_value, {mx} AS max_value "
+        f"FROM lineitem"
+    )
+
+
+register(
+    "ext_profile",
+    q_ext_profile,
+    " UNION ALL ".join(
+        _profile_branch(c, num)
+        for c, num in [
+            ("l_orderkey", True),
+            ("l_quantity", True),
+            ("l_extendedprice", True),
+            ("l_returnflag", False),
+            ("l_shipdate", False),
+        ]
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (operators/profiling.py): Morton interleave of
+# (orderkey, partkey) low bits — the Delta/Iceberg Z-ORDER clustering key
+# as a deterministic expression; aggregated into key-range buckets so the
+# oracle result is compact while every key value still feeds the hash.
+def q_ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.profiling import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    zk = zorder_key("l_orderkey", "l_partkey", bits=16)
+    return (
+        li.select(zk.alias("zkey"))
+        .groupBy((F.col("zkey") % 97).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("zkey").alias("zsum"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    from be_analytic_etl_spark.operators.profiling import zorder_sql
+
+    z = zorder_sql("l_orderkey", "l_partkey", bits=16)
+    return f"""
+    WITH z AS (SELECT {z} AS zkey FROM lineitem)
+    SELECT zkey % 97 AS zbucket, COUNT(*) AS n, SUM(zkey) AS zsum,
+           MIN(zkey) AS zmin, MAX(zkey) AS zmax
+    FROM z GROUP BY 1
+    """
+
+
+register("ext_zorder", q_ext_zorder, _zorder_oracle())
