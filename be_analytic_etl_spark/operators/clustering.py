@@ -103,7 +103,10 @@ def kmeans_fit_predict(
         ]
         assigned = assign(cents)
 
-    out = assigned.select(id_col, "cluster")
+    # materialize the final assignment, then release the cached points —
+    # callers get a stable plan and the long-lived session leaks nothing
+    out = assigned.select(id_col, "cluster").localCheckpoint(eager=True)
+    pts.unpersist()
     return out
 
 

@@ -1532,3 +1532,109 @@ def _zorder_oracle() -> str:
 
 
 register("ext_zorder", q_ext_zorder, _zorder_oracle())
+
+
+# ---------------------------------------------------------------------------
+# THE END-TO-END TRAINING-DATA PIPELINE: what the whole extension suite
+# exists for, composed as one lazy plan —
+#   quality gate (length + token floor)
+#   -> exact dedup (md5 keep-min)
+#   -> MinHash-LSH near-dup pairs (portable)
+#   -> connected components -> one representative per dup group
+#   -> deterministic train/val/test split
+# and value-checked END TO END by a single DuckDB oracle (the LSH CTE
+# chain feeding a recursive-CTE transitive closure). Every stage shuffles
+# only ids/hashes, never documents; stages fuse into ~4 shuffle
+# boundaries under AQE.
+_PIPE_MIN_CHARS = 40
+_PIPE_MIN_TOKENS = 5
+
+
+def q_ext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import graph as G
+    from be_analytic_etl_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", "lang", F.size(T.tokenize(F.col("text"))).alias("n_tokens")
+    ).filter(
+        (F.col("n_chars") >= _PIPE_MIN_CHARS) & (F.size(T.tokenize(F.col("text"))) >= _PIPE_MIN_TOKENS)
+    )
+    survivors = base.join(
+        D.exact_dedup_keep_min(base).select(F.col("keep_id").alias("doc_id")),
+        "doc_id",
+    )
+    pairs = D.minhash_lsh_pairs(
+        survivors,
+        num_hashes=_MH_HASHES,
+        bands=_LSH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        jaccard_threshold=_LSH_THRESH,
+        max_bucket=_LSH_MAXBUCKET,
+        portable=True,
+        round_to=None,
+    )
+    final = G.dedup_group_representatives(survivors, pairs, "doc_id")
+    return final.select(
+        "doc_id", "lang", "n_tokens", SP.assign_split("doc_id").alias("split")
+    )
+
+
+register(
+    "ext_pipeline",
+    q_ext_pipeline,
+    f"""
+    WITH RECURSIVE
+    base AS (
+        SELECT doc_id, text, lang, len({_TOKS}) AS n_tokens
+        FROM documents
+        WHERE n_chars >= {_PIPE_MIN_CHARS} AND len({_TOKS}) >= {_PIPE_MIN_TOKENS}
+    ),
+    keepmin AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+    ex AS (SELECT b.* FROM base b JOIN keepmin k USING (doc_id)),
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM ex),
+    sh AS (SELECT doc_id, {_grams_sql("toks", _MH_SHINGLE)} AS g FROM tok),
+    sig AS (SELECT doc_id, g, {_sig_sql("g", _MH_HASHES)} AS sig FROM sh),
+    banded AS (
+        SELECT doc_id, g, b AS band,
+               array_to_string(list_slice(sig, b * {_LSH_ROWS} + 1,
+                                          b * {_LSH_ROWS} + {_LSH_ROWS}), ',') AS bucket
+        FROM sig, range(0, {_LSH_BANDS}) r(b)
+    ),
+    kept AS (
+        SELECT band, bucket FROM banded
+        GROUP BY band, bucket HAVING COUNT(*) <= {_LSH_MAXBUCKET}
+    ),
+    keep AS (SELECT banded.* FROM banded JOIN kept USING (band, bucket)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keep a JOIN keep b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT id_a, id_b, a.g AS ga, b.g AS gb
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM verified WHERE {_JACCARD} >= {_LSH_THRESH}
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    ),
+    comp AS (
+        SELECT e.doc_id, LEAST(e.doc_id, COALESCE(MIN(r.d), e.doc_id)) AS gid
+        FROM ex e LEFT JOIN reach r ON r.s = e.doc_id
+        GROUP BY e.doc_id
+    )
+    SELECT e.doc_id, e.lang, e.n_tokens,
+           CASE WHEN {_bucket_sql("split")} < 9000 THEN 'train'
+                WHEN {_bucket_sql("split")} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ex e JOIN comp c USING (doc_id)
+    WHERE c.gid = e.doc_id
+    """,
+)
