@@ -9,6 +9,7 @@ from be_analytic_etl_spark.sources.manifest import (
 )
 from be_analytic_etl_spark.sources.sinks import (
     write_bucketed_table,
+    write_partitioned,
     write_csv,
     write_jdbc,
 )
@@ -23,4 +24,5 @@ __all__ = [
     "write_csv",
     "write_jdbc",
     "write_bucketed_table",
+    "write_partitioned",
 ]

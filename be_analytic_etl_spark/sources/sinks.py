@@ -17,6 +17,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 #: Effective warehouse schema of the reference table
 #: (connect_postgre.py:162-169).
@@ -80,6 +81,40 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+    zorder_cols: tuple[str, str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet layout: one directory per partition value,
+    so any filter on ``partition_cols`` prunes whole directories at
+    planning time (PartitionFilters — asserted in tests/test_plans.py)
+    before a single row group is opened. The first lever of 100 TB scan
+    economics; partition by low-cardinality columns only (dates, regions)
+    — high-cardinality partitioning produces the small-files problem.
+
+    ``zorder_cols`` additionally range-partitions and sorts each write
+    task by the Morton key of two columns (operators/profiling.py), so
+    within every partition directory the row-group min/max statistics are
+    tight on BOTH columns — predicate pushdown then skips row groups for
+    non-partition filters too.
+    """
+    if zorder_cols:
+        from be_analytic_etl_spark.operators.profiling import zorder_key
+
+        zk = zorder_key(*zorder_cols).alias("__zk")
+        df = (
+            df.select("*", zk)
+            .repartitionByRange(F.col("__zk"))
+            .sortWithinPartitions("__zk")
+            .drop("__zk")
+        )
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
 def table_name_from_path(path: str) -> str:

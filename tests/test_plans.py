@@ -209,3 +209,28 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = plan_of(QUERIES["ext_range_join"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning at planning time) — zero data files of other
+    partitions are even opened."""
+    from be_analytic_etl_spark.sources import write_partitioned
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_part")
+    write_partitioned(
+        orders, out, partition_cols=["o_year"],
+        zorder_cols=("o_orderkey", "o_custkey"),
+    )
+    df = spark.read.parquet(out).filter(F.col("o_year") == 1996)
+    plan = plan_of(df)
+    assert "PartitionFilters: [" in plan, plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_year" in pf, plan
+    # and the result is right
+    n = df.count()
+    want = orders.filter(F.col("o_year") == 1996).count()
+    assert n == want > 0
