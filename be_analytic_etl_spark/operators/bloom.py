@@ -1,0 +1,87 @@
+"""Bloom-filter semi-join reduction: prune the probe side before the
+shuffle.
+
+The classic 100 TB join economics move (Bloom, CACM 1970; the same idea
+behind Spark's own runtime row-level filtering,
+``spark.sql.optimizer.runtime.bloomFilter.enabled``): when a big fact
+table joins a selective dimension subset, ship a tiny bit-set summary of
+the build keys to every probe task and drop non-matching rows MAP-SIDE —
+the shuffle then carries only candidate rows. False positives are
+harmless (the join itself re-verifies); false negatives are impossible.
+
+This explicit operator complements the planner's version with an
+engine-controlled, portable-hash variant: the filter is deterministic and
+reproducible (same md5-derived positions in any engine), so pruned
+pipelines stay value-checkable. Build cost: one distinct + aggregation to
+set-bit positions, collected to the driver (m bits — control-plane-sized,
+like the IVF coarse quantizer) and inlined as a literal boolean array;
+probe cost: k element_at lookups per row, pure map-side, no shuffle, no
+state. For build sides too big for driver literals, raise m and switch
+the collect to a broadcast join on word index — same shape, same
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators.textstats import portable_hash60
+
+
+def _positions(key: Column, m_bits: int, k: int, salt: str) -> list[Column]:
+    return [
+        portable_hash60(F.concat(key.cast("string"), F.lit(f"|{salt}{i}")))
+        % F.lit(m_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    build: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3, salt: str = "bloom"
+) -> list[bool]:
+    """Collect the bit-set of the build side's keys (driver-side list of
+    ``m_bits`` booleans)."""
+    pos = _positions(F.col(key_col), m_bits, k, salt)
+    rows = (
+        build.select(F.explode(F.array(*pos)).alias("p")).distinct().collect()
+    )
+    bits = [False] * m_bits
+    for r in rows:
+        bits[r["p"]] = True
+    return bits
+
+
+def bloom_prune(
+    probe: DataFrame,
+    bits: list[bool],
+    key_col: str,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Drop probe rows whose key cannot be in the build set (map-only
+    literal-array lookups; keeps all true matches, passes ~fp-rate of the
+    rest)."""
+    m_bits = len(bits)
+    arr = F.array(*[F.lit(b) for b in bits])
+    cond = None
+    for p in _positions(F.col(key_col), m_bits, k, salt):
+        c = F.element_at(arr, (p + 1).cast("int"))
+        cond = c if cond is None else cond & c
+    return probe.filter(cond)
+
+
+def bloom_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    m_bits: int = 4096,
+    k: int = 3,
+    how: str = "inner",
+    salt: str = "bloom",
+) -> DataFrame:
+    """Join with the probe side Bloom-pruned on the first key first.
+    Result is IDENTICAL to ``probe.join(build, on, how)`` — the filter
+    only removes rows the join would drop anyway."""
+    bits = bloom_build(build, on[0], m_bits, k, salt)
+    return bloom_prune(probe, bits, on[0], k, salt).join(build, on, how)

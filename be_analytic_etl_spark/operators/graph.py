@@ -90,7 +90,9 @@ def connected_components(
                 (F.col("nbr_min") < F.col("group_id")).alias("__changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence probe right below is the action
+        # that materializes it — one job per round instead of two
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

@@ -1638,3 +1638,43 @@ register(
     WHERE c.gid = e.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join (operators/bloom.py): lineitem probed against the
+# urgent-order subset — the map-side bit-set filter drops most fact rows
+# before the join shuffle; the result is provably identical to the plain
+# join, which is exactly what the oracle checks.
+def q_ext_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.bloom import bloom_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        bloom_join(li, urgent, on=["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+register(
+    "ext_bloom_join",
+    q_ext_bloom_join,
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_items, SUM(l.l_quantity) AS sum_qty
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_orderpriority = '1-URGENT') o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)

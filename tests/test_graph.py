@@ -106,3 +106,29 @@ def test_range_join_equals_naive_range_predicate(spark):
     assert got == want and len(got) > 0
     # boundary semantics: point exactly at start included, at end excluded
     assert ("p030", "long") in got and ("p40", "long") not in got
+
+
+def test_bloom_prune_keeps_all_matches(spark):
+    """Bloom pruning never drops a true match; join result identical to
+    the plain join; pruning actually removes rows."""
+    from be_analytic_etl_spark.operators.bloom import bloom_build, bloom_prune
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    sub = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    bits = bloom_build(sub, "k", m_bits=2048, k=3)
+    pruned = bloom_prune(li, bits, "k")
+    # superset of true matches
+    true_matches = li.join(sub, "k", "left_semi")
+    assert true_matches.exceptAll(pruned.join(sub, "k", "left_semi")).count() == 0
+    # actually prunes (fp rate << 1 at this fill factor)
+    assert 0 < pruned.count() < li.count()
+    # join equivalence
+    a = pruned.join(sub, "k").groupBy().agg(F.sum("l_quantity")).collect()
+    b = li.join(sub, "k").groupBy().agg(F.sum("l_quantity")).collect()
+    assert a == b
