@@ -122,3 +122,101 @@ def dedup_group_representatives(
     # survivors are a small id set relative to df at dedup ratios; the join
     # shuffles only ids.
     return df.join(keep, id_col, "inner")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Brin & Page, WWW 1998) over a directed
+    edge list, in quantized-exact arithmetic so a fixed run is
+    value-checkable cross-engine (same discipline as
+    ``clustering.kmeans_fit_predict``).
+
+    Scores are BIGINTs on a 1e-9 grid: each iteration distributes
+    ``score // outdeg`` (floor division, exact) along out-edges, sums
+    exactly, and requantizes through one double multiply-add + round —
+    identical in Spark and DuckDB (``pagerank_sql_twin``). Dangling-node
+    mass is dropped (the simplest published variant; redistribute upstream
+    if needed). Per iteration: one join + one partial-agg groupBy, state
+    is (node, outdeg, score) — the CC loop's scale shape.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .union(e.select(F.col("d").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("s").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    n = nodes.count()  # control plane: one scalar
+    base = (1.0 - damping) * float(scale) / float(n)  # single double literal
+    init = int(float(scale) / float(n))  # floor, matching CAST(... AS BIGINT)
+
+    state = nodes.join(outdeg, "id", "left").select(
+        "id",
+        F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        F.lit(init).cast("long").alias("score"),
+    )
+    state = state.localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        contrib = (
+            e.join(state.filter(F.col("outdeg") > 0), e["s"] == F.col("id"))
+            .select(F.col("d").alias("id"), F.expr("score div outdeg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("mass"))
+        )
+        state = (
+            state.join(contrib, "id", "left")
+            .select(
+                "id",
+                "outdeg",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0)).cast("double")
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    e.unpersist()
+    return state.select("id", "score")
+
+
+def pagerank_sql_twin(
+    edges_sql: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    scale: int = 1_000_000_000,
+) -> str:
+    """DuckDB twin of ``pagerank`` over ``edges_sql`` (must yield columns
+    (s, d)); generated beside the operator so they cannot drift."""
+    d = repr(damping)
+    sc = repr(float(scale))
+    parts = [
+        f"WITH e AS (SELECT DISTINCT s, d FROM ({edges_sql}))",
+        "nodes AS (SELECT s AS id FROM e UNION SELECT d FROM e)",
+        "odeg AS (SELECT s AS id, COUNT(*) AS outdeg FROM e GROUP BY s)",
+        f"s0 AS (SELECT n.id, COALESCE(o.outdeg, 0) AS outdeg, "
+        f"CAST(floor({sc} / (SELECT COUNT(*) FROM nodes)) AS BIGINT) AS score "
+        f"FROM nodes n LEFT JOIN odeg o USING (id))",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"s{t} AS (SELECT p.id, p.outdeg, "
+            f"CAST(round((1.0 - {d}) * {sc} / (SELECT COUNT(*) FROM nodes) "
+            f"+ {d} * CAST(COALESCE(c.mass, 0) AS DOUBLE)) AS BIGINT) AS score "
+            f"FROM s{t - 1} p LEFT JOIN ("
+            f"SELECT e.d AS id, SUM(s.score // s.outdeg) AS mass "
+            f"FROM e JOIN s{t - 1} s ON e.s = s.id WHERE s.outdeg > 0 "
+            f"GROUP BY e.d) c USING (id))"
+        )
+    body = ",\n    ".join(parts)
+    return f"{body}\n    SELECT id, score FROM s{iters}"

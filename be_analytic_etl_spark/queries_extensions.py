@@ -1678,3 +1678,31 @@ register(
     GROUP BY o.o_orderpriority
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py): 3 fixed iterations over a deterministic
+# 500-node directed graph derived from lineitem (orderkey%500 ->
+# partkey%500) — an iterative link-analysis algorithm value-checked
+# bit-for-bit via quantized-exact arithmetic (generated SQL twin).
+def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    return pagerank(edges, iters=3)
+
+
+def _pagerank_oracle() -> str:
+    from be_analytic_etl_spark.operators.graph import pagerank_sql_twin
+
+    return pagerank_sql_twin(
+        "SELECT l_orderkey % 500 AS s, l_partkey % 500 AS d FROM lineitem",
+        iters=3,
+    )
+
+
+register("ext_pagerank", q_ext_pagerank, _pagerank_oracle())

@@ -132,3 +132,20 @@ def test_bloom_prune_keeps_all_matches(spark):
     a = pruned.join(sub, "k").groupBy().agg(F.sum("l_quantity")).collect()
     b = li.join(sub, "k").groupBy().agg(F.sum("l_quantity")).collect()
     assert a == b
+
+
+def test_pagerank_favors_sink_hub(spark):
+    """Star pointing at a hub: the hub's rank ends far above the leaves,
+    and leaves keep the teleport floor."""
+    from be_analytic_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 10)], ["src", "dst"]
+    )
+    out = {r["id"]: r["score"] for r in pagerank(edges, iters=5).collect()}
+    hub, leaves = out[0], [out[i] for i in range(1, 10)]
+    assert hub > 5 * max(leaves)
+    # total mass conserved within rounding (dangling hub loses its mass
+    # each round, so total < scale but every score stays >= teleport base)
+    base = 0.15 * 1_000_000_000 / 10
+    assert all(s >= int(base) - 1 for s in leaves)
