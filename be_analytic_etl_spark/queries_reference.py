@@ -1571,3 +1571,149 @@ register(
      AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-shape: correlated scalar aggregate, decorrelated the way
+# Catalyst (and every modern planner) executes it — join the fact against
+# its own per-key aggregate. Small-quantity items priced against 20% of
+# their part's average quantity.
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.pk)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")) / 7
+            ).cast("double").alias("avg_yearly"),
+        )
+    )
+
+
+register(
+    "small_quantity_revenue",
+    q_small_quantity_revenue,
+    """
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) / 7 AS DOUBLE)
+               AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey AS pk, AVG(l_quantity) * 0.2 AS qty_cut
+          FROM lineitem GROUP BY l_partkey) a
+      ON l.l_partkey = a.pk
+    WHERE l.l_quantity < a.qty_cut
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# CUBE + GROUPING() id: all 4 aggregation levels of (returnflag,
+# linestatus) in ONE Expand pass, with grouping_id disambiguating the
+# NULL-as-total rows from genuine NULLs — the warehouse reporting shape.
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity")).alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+register(
+    "cube_revenue",
+    q_cube_revenue,
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           SUM(l_quantity) AS sum_qty,
+           GROUPING(l_returnflag, l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT between two deterministic key sets
+# (customers with urgent vs high-priority orders). Spark plans both as
+# aggregated semi/anti joins — no materialized temp sets.
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    both = urgent.intersect(high).select(F.col("o_custkey"), F.lit("both").alias("tag"))
+    only_urgent = urgent.distinct().subtract(high.distinct()).select(
+        F.col("o_custkey"), F.lit("urgent_only").alias("tag")
+    )
+    return both.unionByName(only_urgent)
+
+
+register(
+    "set_ops",
+    q_set_ops,
+    """
+    SELECT o_custkey, 'both' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    UNION ALL
+    SELECT o_custkey, 'urgent_only' AS tag FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching: Levenshtein-distance self-join over part names, blocked
+# by name length band (edit distance <= 2 implies |len difference| <= 2,
+# so banding by length/4 with adjacent-band probing keeps full recall
+# while bounding each block — same blocking discipline as
+# ext_ngram_jaccard).
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.floor(F.length("p_name") / 4).alias("band"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.explode(
+            F.array(
+                F.floor(F.length("p_name") / 4) - 1,
+                F.floor(F.length("p_name") / 4),
+                F.floor(F.length("p_name") / 4) + 1,
+            )
+        ).alias("band"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("id_a", "id_b", F.levenshtein("name_a", "name_b").alias("distance"))
+        .distinct()
+    )
+
+
+register(
+    "fuzzy_match",
+    q_fuzzy_match,
+    """
+    SELECT DISTINCT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS distance
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
