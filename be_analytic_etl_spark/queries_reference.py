@@ -1673,20 +1673,24 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Fuzzy matching: Levenshtein-distance self-join over part names, blocked
-# by name length band (edit distance <= 2 implies |len difference| <= 2,
-# so banding by length/4 with adjacent-band probing keeps full recall
-# while bounding each block — same blocking discipline as
-# ext_ngram_jaccard).
+# Fuzzy matching: Levenshtein-distance self-join over the DISTINCT part
+# vocabulary (aggregate first — the fact table repeats each name thousands
+# of times; the vocab is what fuzzy dedup operates on at any scale),
+# blocked by name length band with adjacent-band probing (edit distance
+# <= 2 implies |len diff| <= 2 — full recall, bounded blocks).
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    a = part.select(
-        F.col("p_partkey").alias("id_a"),
+    vocab = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+    )
+    a = vocab.select(
+        F.col("name_id").alias("id_a"),
         F.col("p_name").alias("name_a"),
         F.floor(F.length("p_name") / 4).alias("band"),
     )
-    b = part.select(
-        F.col("p_partkey").alias("id_b"),
+    b = vocab.select(
+        F.col("name_id").alias("id_b"),
         F.col("p_name").alias("name_b"),
         F.explode(
             F.array(
@@ -1700,7 +1704,10 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "band")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.levenshtein("name_a", "name_b") <= 2)
-        .select("id_a", "id_b", F.levenshtein("name_a", "name_b").alias("distance"))
+        .select(
+            "id_a", "id_b", "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").alias("distance"),
+        )
         .distinct()
     )
 
@@ -1709,10 +1716,14 @@ register(
     "fuzzy_match",
     q_fuzzy_match,
     """
-    SELECT DISTINCT a.p_partkey AS id_a, b.p_partkey AS id_b,
+    WITH vocab AS (
+        SELECT p_name, MIN(p_partkey) AS name_id FROM part GROUP BY p_name
+    )
+    SELECT DISTINCT a.name_id AS id_a, b.name_id AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
            levenshtein(a.p_name, b.p_name) AS distance
-    FROM part a JOIN part b
-      ON a.p_partkey < b.p_partkey
+    FROM vocab a JOIN vocab b
+      ON a.name_id < b.name_id
      AND abs(length(a.p_name) - length(b.p_name)) <= 2
     WHERE levenshtein(a.p_name, b.p_name) <= 2
     """,
