@@ -234,3 +234,21 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     n = df.count()
     want = orders.filter(F.col("o_year") == 1996).count()
     assert n == want > 0
+
+
+def test_cube_is_single_expand_single_scan(spark):
+    plan = plan_of(QUERIES["cube_revenue"](spark, SF_DIR))
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_small_quantity_broadcasts_per_part_averages(spark):
+    plan = plan_of(QUERIES["small_quantity_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pipeline_stays_jvm_side_and_cartesian_free(spark):
+    df = QUERIES["ext_pipeline"](spark, SF_DIR)
+    plan = plan_of(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan, bad

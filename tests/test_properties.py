@@ -129,3 +129,49 @@ def test_br_number_parse_roundtrip(spark, nums):
     got = df.select("i", br_number_to_double("raw").alias("got"), "want").collect()
     for r in got:
         assert r["got"] == r["want"], (r["i"], r["got"], r["want"])
+
+
+@st.composite
+def interval_case(draw):
+    pts = draw(
+        st.lists(st.tuples(KEYS, TS), min_size=1, max_size=25)
+    )
+    ivs = draw(
+        st.lists(
+            st.tuples(KEYS, TS, st.integers(0, 20)), min_size=1, max_size=10
+        )
+    )
+    return pts, ivs
+
+
+@given(case=interval_case(), width=st.sampled_from([1, 3, 7]))
+@settings(**SETTINGS)
+def test_range_join_matches_naive_on_random_intervals(spark, case, width):
+    """Bucketized range join == brute force for every bucket width
+    (width only changes the physical plan, never the result)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from be_analytic_etl_spark.operators.rangejoin import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts, ivs = case
+    p = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=t), i) for i, (k, t) in enumerate(pts)],
+        ["k", "ts", "pid"],
+    )
+    iv = spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d), j)
+            for j, (k, s, d) in enumerate(ivs)
+        ],
+        ["k", "s", "e", "iid"],
+    )
+    fast = range_join(p, iv, "ts", "s", "e", keys=["k"], bucket_width_seconds=width)
+    naive = p.join(iv, "k").filter(
+        (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+    )
+    got = sorted((r["pid"], r["iid"]) for r in fast.collect())
+    want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    assert got == want
