@@ -29,20 +29,36 @@ from pyspark.sql import functions as F
 from be_analytic_etl_spark.operators.textstats import portable_hash60
 
 
-def _positions(key: Column, m_bits: int, k: int, salt: str) -> list[Column]:
+def _positions(
+    key: Column, m_bits: int, k: int, salt: str, portable: bool
+) -> list[Column]:
+    if portable:
+        return [
+            portable_hash60(F.concat(key.cast("string"), F.lit(f"|{salt}{i}")))
+            % F.lit(m_bits)
+            for i in range(k)
+        ]
+    # fast path: xxhash64 is ~100x cheaper per row than md5 and the filter
+    # is semantically transparent (the join re-verifies), so probe-side
+    # cost is what matters; use portable=True only when the bit-set itself
+    # must be reproduced by another engine.
     return [
-        portable_hash60(F.concat(key.cast("string"), F.lit(f"|{salt}{i}")))
-        % F.lit(m_bits)
+        F.pmod(F.xxhash64(key, F.lit(f"{salt}{i}")), F.lit(m_bits)).cast("int")
         for i in range(k)
     ]
 
 
 def bloom_build(
-    build: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3, salt: str = "bloom"
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    salt: str = "bloom",
+    portable: bool = False,
 ) -> list[bool]:
     """Collect the bit-set of the build side's keys (driver-side list of
     ``m_bits`` booleans)."""
-    pos = _positions(F.col(key_col), m_bits, k, salt)
+    pos = _positions(F.col(key_col), m_bits, k, salt, portable)
     rows = (
         build.select(F.explode(F.array(*pos)).alias("p")).distinct().collect()
     )
@@ -58,14 +74,17 @@ def bloom_prune(
     key_col: str,
     k: int = 3,
     salt: str = "bloom",
+    portable: bool = False,
 ) -> DataFrame:
     """Drop probe rows whose key cannot be in the build set (map-only
     literal-array lookups; keeps all true matches, passes ~fp-rate of the
     rest)."""
     m_bits = len(bits)
-    arr = F.array(*[F.lit(b) for b in bits])
+    # one true array literal — F.array(*4096 lits) builds a CreateArray
+    # expression evaluated per row; F.lit(list) is a folded constant
+    arr = F.lit(bits)
     cond = None
-    for p in _positions(F.col(key_col), m_bits, k, salt):
+    for p in _positions(F.col(key_col), m_bits, k, salt, portable):
         c = F.element_at(arr, (p + 1).cast("int"))
         cond = c if cond is None else cond & c
     return probe.filter(cond)
@@ -79,9 +98,10 @@ def bloom_join(
     k: int = 3,
     how: str = "inner",
     salt: str = "bloom",
+    portable: bool = False,
 ) -> DataFrame:
     """Join with the probe side Bloom-pruned on the first key first.
     Result is IDENTICAL to ``probe.join(build, on, how)`` — the filter
     only removes rows the join would drop anyway."""
-    bits = bloom_build(build, on[0], m_bits, k, salt)
-    return bloom_prune(probe, bits, on[0], k, salt).join(build, on, how)
+    bits = bloom_build(build, on[0], m_bits, k, salt, portable)
+    return bloom_prune(probe, bits, on[0], k, salt, portable).join(build, on, how)
