@@ -1,0 +1,415 @@
+"""Second TPC-H-shaped batch: outer-join distributions, conditional shares,
+scalar-subquery selections, disjunctive pushdown, anti-join + scalar
+threshold, and the full ranking-window function family.
+
+These widen the join/subquery plan coverage beyond round 1's Q1/Q3/Q4/Q5/
+Q7/Q12/Q17/Q18 analogues: LEFT OUTER with a compound join condition (Q13),
+promo share (Q14), MAX scalar subquery (Q15), OR-of-ANDs partial pushdown
+(Q19), NOT EXISTS + AVG scalar subquery (Q22), returned-item top-k (Q10),
+and yearly market share (Q8).  All revenue sums go through DECIMAL so
+Spark's partial-aggregate merge order and DuckDB's sequential fold yield
+bit-identical doubles (see queries_reference module docstring).
+
+Reference parity: the reference delegates all querying to Postgres views
+(README.md consolidacao view; connect_postgre.py:209-321) — these shapes
+are the standard relational surface a user of that warehouse would run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.queries_reference import _t
+from be_analytic_etl_spark.registry import register
+
+_DEC = "decimal(28,6)"
+
+
+def _revenue() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+
+
+# ---------------------------------------------------------------------------
+# Q13-shape: customer order-count distribution. LEFT OUTER join with a
+# compound condition (the non-key predicate must stay IN the join condition,
+# not a post-filter — a post-filter would turn the outer join inner), then
+# two cascaded aggregations.
+# Scale: join shuffles on custkey; both groupBys are partial-agg'd map-side;
+# the second groupBy input is |customers| rows, the third |distinct counts|.
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+register(
+    "custdist",
+    q_custdist,
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q14-shape: promo revenue share — conditional aggregate over a fact-dim
+# join, ONE output row. Scale: part is the small side (broadcast); both
+# SUMs ride the same partial aggregate (one pass, no second scan); the
+# month filter prunes the lineitem scan before the join.
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+register(
+    "promo_revenue",
+    q_promo_revenue,
+    """
+    SELECT 100.0
+           * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q15-shape: top supplier by quarterly revenue — aggregate, then keep rows
+# equal to the global MAX (scalar subquery). Spark-first decorrelation: the
+# MAX is a second tiny aggregate over the |suppliers|-row result,
+# cross-joined back as a broadcast literal — NOT a global window (a window
+# without PARTITION BY would single-partition the exchange; fine at
+# |suppliers| rows but the agg+broadcast shape stays shuffle-free and is
+# the habit worth keeping).  Exact-decimal revenue makes the MAX tie-safe.
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("total_revenue_dec"))
+    )
+    best = rev.agg(F.max("total_revenue_dec").alias("__best"))
+    return (
+        rev.join(F.broadcast(best), rev.total_revenue_dec == best.__best)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+register(
+    "top_supplier",
+    q_top_supplier,
+    """
+    WITH revenue0 AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                   AS total_revenue_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+    FROM revenue0 JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue_dec = (SELECT MAX(total_revenue_dec) FROM revenue0)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q19-shape: disjunctive (OR-of-ANDs) predicates across a join. Catalyst
+# extracts the common l_partkey = p_partkey equi-condition so the join stays
+# a hash join, keeps the OR residual as a post-join filter, and pushes the
+# single-side conjuncts it can derive (l_quantity range union, p_size >= 1)
+# down to the scans — the classic partial-pushdown test.
+def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+register(
+    "disjunctive_parts",
+    q_disjunctive_parts,
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q22-shape: rich-but-idle customers — AVG scalar subquery as the threshold
+# + NOT EXISTS anti join (no orders since 2000-01-01; an unconditioned
+# NOT EXISTS is vacuous on the synthetic data — every customer has orders),
+# grouped report. Scale: the AVG collapses to one
+# broadcast row; the anti join shuffles on custkey (or broadcasts orders'
+# distinct custkeys if small); exact-decimal mean keeps the threshold
+# bit-identical across engines.
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("__avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+register(
+    "idle_rich_customers",
+    q_idle_rich_customers,
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(c_acctbal)
+            FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q10-shape: returned-item reporting — top 20 customers by returned revenue
+# in a quarter. Scale: orders' date filter prunes before the join; customer
+# join shuffles on custkey; top-k is a partial TakeOrdered (each partition
+# keeps 20, driver merges 20·P rows — never a global sort of the aggregate).
+# c_custkey tiebreak makes the LIMIT deterministic for the oracle hash.
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+register(
+    "returned_revenue",
+    q_returned_revenue,
+    """
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q8-shape: yearly market share of one supplier-nation inside one customer-
+# region. Scale: nation/region broadcast twice (supplier side + customer
+# side); the share is two decimal sums in ONE partial aggregate per year,
+# divided once at the end — no second pass over the join.
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = _revenue()
+    brazil = F.when(F.col("sn_name") == "BRAZIL", rev).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(brazil).cast("double") / F.sum(rev).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+register(
+    "market_share",
+    q_market_share,
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'BRAZIL'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                  AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window family: ntile / percent_rank / cume_dist / lead /
+# first_value / last_value-with-frame in ONE window spec. The partition
+# ORDER BY ends in the unique o_orderkey, so every rank function is total-
+# order deterministic (percent_rank and cume_dist are exact rationals both
+# engines evaluate as (rank-1)/(n-1) and peers/n in doubles).
+# Scale: one shuffle on o_orderpriority (5 partitions — skewed by design;
+# a real deployment would sub-bucket, noted in SCALE.md), sort within.
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-04-01"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    w_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_frame)
+        .cast("double")
+        .alias("running_max_price"),
+    )
+
+
+register(
+    "window_suite",
+    q_window_suite,
+    """
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           LEAD(o_totalprice, 1) OVER w AS next_price,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_max_price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+    """,
+)

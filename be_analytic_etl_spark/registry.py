@@ -33,4 +33,5 @@ register("flagship_mom_pivot", flagship_orders, flagship_orders_oracle_sql())
 
 # Operator-coverage queries are registered on import:
 from be_analytic_etl_spark import queries_reference  # noqa: E402,F401
+from be_analytic_etl_spark import queries_joins  # noqa: E402,F401
 from be_analytic_etl_spark import queries_extensions  # noqa: E402,F401
