@@ -84,3 +84,57 @@ def zorder_sql(a: str, b: str, bits: int = 16) -> str:
         terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
     return " | ".join(terms)
+
+
+def group_zscore_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z: float = 3.0,
+    sum_dec: str = "decimal(28,2)",
+    sumsq_dec: str = "decimal(38,4)",
+) -> DataFrame:
+    """Per-group outlier census: rows whose squared deviation exceeds
+    ``z² · variance`` of their group, via the textbook two-pass formula
+    collapsed into one aggregate pass.
+
+    Determinism discipline: SUM(x) and SUM(x²) are exact DECIMAL (the
+    input's decimal content squared fits ``sumsq_dec``), so partial-agg
+    merge order cannot perturb them; mean/variance/outlier threshold are
+    then a fixed sequence of double ops both engines replay identically.
+    The outlier test compares ``(x - mean)² > z²·var`` — no sqrt needed.
+
+    One shuffle on ``group_cols`` for the stats (partial map-side), one
+    broadcast join back for the census (group stats are tiny by
+    construction). Returns per-group ``(…group_cols, n, mean_value,
+    variance, n_outliers)``.
+    """
+    x_dec = F.col(value_col).cast(sum_dec)
+    xsq_dec = (F.col(value_col) * F.col(value_col)).cast(sumsq_dec)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        F.sum(x_dec).cast("double").alias("__sum"),
+        F.sum(xsq_dec).cast("double").alias("__sumsq"),
+    )
+    mean = F.col("__sum") / F.col("n")
+    var = (F.col("__sumsq") - F.col("__sum") * F.col("__sum") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    stats = stats.select(
+        *group_cols,
+        "n",
+        mean.alias("mean_value"),
+        var.alias("variance"),
+    )
+    dev = F.col(value_col) - F.col("mean_value")
+    is_out = (dev * dev) > (F.lit(z * z) * F.col("variance"))
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("mean_value").alias("mean_value"),
+            F.first("variance").alias("variance"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )

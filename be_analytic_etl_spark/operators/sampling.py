@@ -112,3 +112,44 @@ def weighted_sample_topk(
             .drop("__es", "__rn")
         )
     return base.orderBy(F.col("__es").desc(), F.col(key_col)).limit(k).drop("__es")
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: list[str],
+    fraction: float,
+    key_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-count stratified sample: ``ceil(fraction * n_g)`` rows from
+    every stratum ``g``, chosen by ranking the portable key hash inside the
+    stratum (deterministic across runs, retries, and engines — the same
+    discipline as ``deterministic_sample``, but with a per-stratum count
+    guarantee that a plain hash threshold only hits in expectation).
+
+    DuckDB twin: rank with ``ROW_NUMBER() OVER (PARTITION BY strata ORDER
+    BY md5-head-hash, key)`` against ``CEIL(fraction * COUNT(*) OVER
+    (PARTITION BY strata))``.
+
+    Scale: ONE shuffle on the strata columns (rank and per-stratum count
+    share the same window partitioning → one Exchange). Low-cardinality
+    strata put each stratum on one task; for heavy skew, pre-aggregate the
+    per-stratum counts (tiny) and broadcast them, then rank inside salted
+    sub-buckets and take per-bucket quotas — same output, bounded tasks.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    h = portable_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"|{salt}"))
+    )
+    w = Window.partitionBy(*strata)
+    rank = F.row_number().over(w.orderBy(h, F.col(key_col)))
+    quota = F.ceil(F.lit(fraction) * F.count(F.lit(1)).over(w))
+    return (
+        df.withColumn("__rk", rank)
+        .withColumn("__q", quota)
+        .filter(F.col("__rk") <= F.col("__q"))
+        .drop("__rk", "__q")
+    )

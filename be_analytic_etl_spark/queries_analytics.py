@@ -1,0 +1,207 @@
+"""Analytics-extension queries: stratified sampling, graph triangle census,
+statistical outlier detection, and n-gram frequency — the exploratory /
+data-quality layer of a training-data pipeline, each with a DuckDB twin.
+
+Determinism follows the module-wide playbook: portable md5-head hashing for
+anything sampled, exact DECIMAL accumulation for anything summed, and a
+fixed double-op sequence (replayed verbatim in the oracle SQL) for derived
+statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators.graph import triangle_count
+from be_analytic_etl_spark.operators.profiling import group_zscore_outliers
+from be_analytic_etl_spark.operators.sampling import (
+    SPLIT_BUCKETS,
+    hash_bucket,
+    stratified_sample_exact,
+)
+from be_analytic_etl_spark.operators.textstats import tokenize
+from be_analytic_etl_spark.queries_extensions import _TOKS, _t
+from be_analytic_etl_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Exact-count stratified sample: ceil(20%) of documents per language,
+# chosen by portable key-hash rank (stable across runs/retries/engines).
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(
+        docs, strata=["lang"], fraction=0.2, key_col="doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+register(
+    "ext_stratified_sample",
+    q_stratified_sample,
+    """
+    SELECT doc_id, lang, source
+    FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                 || '|strat'), 1, 15) AS BIGINT), doc_id
+               ) AS rk,
+               CAST(ceil(0.2 * COUNT(*) OVER (PARTITION BY lang)) AS BIGINT)
+                   AS quota
+        FROM documents
+    )
+    WHERE rk <= quota
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Triangle census over the supplier co-purchase graph (suppliers sharing an
+# order are adjacent). The raw co-occurrence graph on the synthetic data is
+# near-complete, so edges are deterministically hash-thinned to 5% first —
+# the same portable-bucket discipline as deterministic_sample, replicated
+# in the oracle. Scale: the thinning is a map-side filter; the triangle
+# join inherits compact-forward's wedge bound (operators/graph.py).
+_TRI_KEEP = SPLIT_BUCKETS // 20  # 5% of edges
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s"),
+            F.col("b.l_suppkey").alias("d"),
+        )
+        .distinct()
+        .filter(
+            hash_bucket(
+                F.concat_ws("|", F.col("s"), F.col("d")), salt="tri"
+            )
+            < F.lit(_TRI_KEEP)
+        )
+    )
+    return triangle_count(edges)
+
+
+register(
+    "ext_triangles",
+    q_triangles,
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS d
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    e AS (
+        SELECT s, d FROM pairs
+        WHERE CAST('0x' || substr(md5(CAST(s AS VARCHAR) || '|'
+                   || CAST(d AS VARCHAR) || '|tri'), 1, 15) AS BIGINT)
+              % {SPLIT_BUCKETS} < {_TRI_KEEP}
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.d = e2.s
+    JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score outlier census on lineitem prices. Exact decimal
+# SUM/SUM(x²), then a fixed double sequence for mean/variance/threshold —
+# the oracle replays the identical expression tree.
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return group_zscore_outliers(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", z=2.0
+    )
+
+
+register(
+    "ext_zscore_outliers",
+    q_zscore_outliers,
+    """
+    WITH stats AS (
+        SELECT l_returnflag, l_linestatus,
+               COUNT(l_extendedprice) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    ),
+    derived AS (
+        SELECT l_returnflag, l_linestatus, n,
+               s1 / n AS mean_value,
+               (s2 - s1 * s1 / n) / (n - 1) AS variance
+        FROM stats
+    )
+    SELECT d.l_returnflag, d.l_linestatus,
+           MIN(d.n) AS n,
+           MIN(d.mean_value) AS mean_value,
+           MIN(d.variance) AS variance,
+           SUM(CASE WHEN (l.l_extendedprice - d.mean_value)
+                         * (l.l_extendedprice - d.mean_value)
+                        > 4.0 * d.variance THEN 1 ELSE 0 END) AS n_outliers
+    FROM lineitem l
+    JOIN derived d USING (l_returnflag, l_linestatus)
+    GROUP BY d.l_returnflag, d.l_linestatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Top-20 bigrams over the corpus: tokenize -> adjacent pairs -> count ->
+# deterministic top-k (count DESC, bigram ASC — total order, so LIMIT is
+# hash-stable). Scale: bigram generation is map-side; ONE shuffle for the
+# count (partial agg collapses duplicates per partition first); top-k is a
+# TakeOrdered, never a global sort.
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn("__toks", tokenize("text"))
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(__toks) - 2), "
+                    "i -> concat(__toks[i], ' ', __toks[i + 1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+register(
+    "ext_bigram_topk",
+    q_bigram_topk,
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    bigrams AS (
+        SELECT unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                                     i -> t[i + 1] || ' ' || t[i + 2]))
+               AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)

@@ -35,3 +35,4 @@ register("flagship_mom_pivot", flagship_orders, flagship_orders_oracle_sql())
 from be_analytic_etl_spark import queries_reference  # noqa: E402,F401
 from be_analytic_etl_spark import queries_joins  # noqa: E402,F401
 from be_analytic_etl_spark import queries_extensions  # noqa: E402,F401
+from be_analytic_etl_spark import queries_analytics  # noqa: E402,F401

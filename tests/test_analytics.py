@@ -1,0 +1,106 @@
+"""Unit tests for the analytics operators: triangle count (known graphs),
+exact stratified sampling (quota + determinism), z-score outlier census
+(vs a NumPy reference)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from be_analytic_etl_spark.operators.graph import triangle_count
+from be_analytic_etl_spark.operators.profiling import group_zscore_outliers
+from be_analytic_etl_spark.operators.sampling import stratified_sample_exact
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "s long, d long")
+    return triangle_count(df).collect()[0]["n_triangles"]
+
+
+def test_triangle_count_known_graphs(spark):
+    # K3: one triangle
+    assert _tri(spark, [(1, 2), (2, 3), (1, 3)]) == 1
+    # K4: 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, k4) == 4
+    # path graph: none
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == 0
+    # orientation + duplicate + self-loop robustness
+    messy = [(2, 1), (3, 2), (1, 3), (1, 3), (2, 2)]
+    assert _tri(spark, messy) == 1
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    rng = np.random.RandomState(7)
+    n = 20
+    edges = [
+        (int(a), int(b))
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.rand() < 0.3
+    ]
+    eset = set(edges)
+    expected = sum(
+        1
+        for a in range(n)
+        for b in range(a + 1, n)
+        for c in range(b + 1, n)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    assert _tri(spark, edges) == expected
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out1 = stratified_sample_exact(df, ["g"], 0.25, "id")
+    got1 = sorted((r["g"], r["id"]) for r in out1.collect())
+    # per-stratum quota is ceil(0.25 * n_g), exactly
+    sizes = {}
+    for g, _ in got1:
+        sizes[g] = sizes.get(g, 0) + 1
+    counts = {"g0": 34, "g1": 33, "g2": 33}
+    assert sizes == {g: math.ceil(0.25 * n) for g, n in counts.items()}
+    # re-run is bit-identical (portable hash, no rand())
+    got2 = sorted(
+        (r["g"], r["id"])
+        for r in stratified_sample_exact(df, ["g"], 0.25, "id").collect()
+    )
+    assert got1 == got2
+    # a different salt draws a different sample
+    got3 = sorted(
+        (r["g"], r["id"])
+        for r in stratified_sample_exact(df, ["g"], 0.25, "id", salt="other").collect()
+    )
+    assert got1 != got3
+
+
+def test_stratified_sample_rejects_bad_fraction(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError):
+        stratified_sample_exact(df, ["g"], 0.0, "id")
+    with pytest.raises(ValueError):
+        stratified_sample_exact(df, ["g"], 1.5, "id")
+
+
+def test_group_zscore_outliers_vs_numpy(spark):
+    rng = np.random.RandomState(11)
+    vals_a = np.round(rng.normal(100, 10, 500), 2)
+    vals_b = np.round(rng.normal(50, 5, 300), 2)
+    # plant unambiguous outliers
+    vals_a[:3] = [200.0, 210.0, -50.0]
+    rows = [("a", float(v)) for v in vals_a] + [("b", float(v)) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r["g"]: r for r in group_zscore_outliers(df, ["g"], "x", z=3.0).collect()}
+    for g, vals in (("a", vals_a), ("b", vals_b)):
+        n = len(vals)
+        mean = vals.sum() / n
+        var = ((vals**2).sum() - vals.sum() ** 2 / n) / (n - 1)
+        expected = int((((vals - mean) ** 2) > 9.0 * var).sum())
+        assert out[g]["n"] == n
+        assert out[g]["mean_value"] == pytest.approx(mean, rel=1e-12)
+        assert out[g]["variance"] == pytest.approx(var, rel=1e-9)
+        assert out[g]["n_outliers"] == expected
+    assert out["a"]["n_outliers"] >= 3
