@@ -439,3 +439,68 @@ def ngram_jaccard_pairs(
         co.select(*blocks, "id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Aligned-chunk exact substring dedup census (the scalable core of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — their suffix-array spans, restricted to fixed
+    token-aligned chunks so the match test is a hash equality).
+
+    Every document is cut into consecutive ``chunk_tokens``-token chunks;
+    a chunk *survives* iff it is the corpus-wide first occurrence of its
+    content (ordered by (id, chunk_idx) — deterministic). Returns per
+    document: ``(id_col, n_chunks, n_kept, dup_ratio)`` where
+    ``dup_ratio = (n_chunks - n_kept) / n_chunks`` (0.0 for empty docs).
+
+    Scale: the shuffle carries ``(md5(chunk), id, idx)`` — 16-byte hashes,
+    never text. First-occurrence is one window over the chunk hash (same
+    single shuffle as a groupBy); per-doc stats partial-aggregate on the
+    id. At 100 TB this is exactly the layout of a production span-dedup:
+    chunk table ∝ corpus tokens / chunk_tokens, each row a few dozen
+    bytes.
+    """
+    from be_analytic_etl_spark.operators.textstats import tokenize
+
+    from pyspark.sql import Window
+
+    toks = tokenize(text_col)
+    n_chunks_expr = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            F.posexplode_outer(
+                F.when(
+                    F.size("__toks") > 0,
+                    F.expr(
+                        f"transform(sequence(0, cast(ceil(size(__toks) / {chunk_tokens}) as int) - 1), "
+                        f"i -> array_join(slice(__toks, i * {chunk_tokens} + 1, {chunk_tokens}), ' '))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("idx", "chunk"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk").cast("binary"))).orderBy(
+        F.col(id_col), F.col("idx")
+    )
+    marked = chunks.withColumn(
+        "__keep",
+        F.when(F.col("chunk").isNull(), F.lit(None).cast("int")).otherwise(
+            F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+        ),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("chunk").cast("int").alias("n_chunks"),
+        F.coalesce(F.sum("__keep"), F.lit(0)).cast("int").alias("n_kept"),
+        F.when(F.count("chunk") == 0, F.lit(0.0))
+        .otherwise(
+            (F.count("chunk") - F.sum("__keep")).cast("double") / F.count("chunk")
+        )
+        .alias("dup_ratio"),
+    )

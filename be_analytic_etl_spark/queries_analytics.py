@@ -205,3 +205,113 @@ register(
     LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Aligned-chunk exact substring dedup census (Lee et al. 2022, fixed-chunk
+# restriction). The oracle rebuilds the identical chunking with DuckDB list
+# slicing and replays the first-occurrence window.
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.dedup import chunk_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_dedup_stats(docs, "doc_id", "text", chunk_tokens=10)
+
+
+register(
+    "ext_chunk_dedup",
+    q_chunk_dedup,
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    chunks AS (
+        SELECT doc_id, (u).idx AS idx, (u).chunk AS chunk
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                       i -> {{'idx': i,
+                             'chunk': array_to_string(
+                                 list_slice(t, i * 10 + 1, i * 10 + 10), ' ')}}))
+                       AS u
+            FROM toks WHERE len(t) > 0
+        )
+    ),
+    marked AS (
+        SELECT doc_id, idx,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY md5(chunk) ORDER BY doc_id, idx) = 1
+                    THEN 1 ELSE 0 END AS keep
+        FROM chunks
+    ),
+    stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+               CAST(SUM(keep) AS INT) AS n_kept,
+               CAST(COUNT(*) - SUM(keep) AS DOUBLE) / COUNT(*) AS dup_ratio
+        FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_chunks, 0) AS n_chunks,
+           COALESCE(s.n_kept, 0) AS n_kept,
+           COALESCE(s.dup_ratio, 0.0) AS dup_ratio
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup preprocessing). The synthetic corpus
+# has no URL column, so one is synthesized deterministically from
+# (doc_id, lang, source) — mixed-case scheme/host, default port, utm_*
+# tracking params, unsorted query, fragment — then canonicalized and
+# grouped per host. Map-only until the per-host count's single shuffle.
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.urls import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Example-"),
+        F.col("source"),
+        F.lit(".COM:443/Docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("lang"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x#frag-"),
+        F.col("source"),
+    )
+    urls = docs.select(F.col("doc_id"), raw.alias("url"))
+    canon = urls.select("doc_id", canonical_url("url").alias("url_canon"))
+    host = F.regexp_extract("url_canon", r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    return canon.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("url_canon").alias("sample_url"),
+    )
+
+
+from be_analytic_etl_spark.operators.urls import canonical_url_sql  # noqa: E402
+
+_RAW_URL_SQL = (
+    "'HTTPS://WWW.Example-' || source || '.COM:443/Docs/' || lang || '/' "
+    "|| CAST(doc_id AS VARCHAR) || '/?utm_source=feed&ref=' || lang "
+    "|| '&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#frag-' || source"
+)
+
+register(
+    "ext_url_normalize",
+    q_url_normalize,
+    f"""
+    WITH canon AS (
+        SELECT doc_id, {canonical_url_sql(_RAW_URL_SQL)} AS url_canon
+        FROM documents
+    )
+    SELECT regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+               AS host,
+           COUNT(*) AS n_urls,
+           MIN(url_canon) AS sample_url
+    FROM canon
+    GROUP BY host
+    """,
+)
