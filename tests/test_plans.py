@@ -252,3 +252,84 @@ def test_pipeline_stays_jvm_side_and_cartesian_free(spark):
     plan = plan_of(df)
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+# --- round-2 batch-2 queries ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def plans2(spark):
+    return {
+        name: QUERIES[name](spark, SF_DIR)
+        for name in [
+            "custdist",
+            "disjunctive_parts",
+            "returned_revenue",
+            "promo_revenue",
+            "ext_stratified_sample",
+            "ext_chunk_dedup",
+            "ext_triangles",
+            "ext_zscore_outliers",
+        ]
+    }
+
+
+def test_custdist_keeps_outer_join_with_compound_condition(plans2):
+    opt = optimized_of(plans2["custdist"])
+    # the join must stay outer (an inner join would drop zero-order
+    # customers from the distribution)...
+    assert "LeftOuter" in opt, opt
+    # ...and Catalyst pushes the right-side-only priority predicate BELOW
+    # the join (legal for the null-supplying side, becomes a scan filter)
+    # instead of leaving it above (which would turn the join inner).
+    below_join = opt.split("Join LeftOuter", 1)[1]
+    assert "o_orderpriority" in below_join, opt
+    above_join = opt.split("Join LeftOuter", 1)[0]
+    assert "o_orderpriority" not in above_join, opt
+
+
+def test_disjunctive_parts_pushes_derived_conjuncts(plans2):
+    plan = plan_of(plans2["disjunctive_parts"])
+    # Catalyst must extract scan-level conjuncts from the OR-of-ANDs:
+    # l_quantity's union range reaches the lineitem scan...
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_quantity" in pushed or "p_brand" in pushed, plan
+    # ...and the join itself stays a broadcast hash join on the equi-key
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_returned_revenue_is_take_ordered_not_global_sort(plans2):
+    plan = plan_of(plans2["returned_revenue"])
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_promo_revenue_single_aggregate_pass(plans2):
+    plan = plan_of(plans2["promo_revenue"])
+    # both conditional sums ride one partial+final aggregate (no second scan)
+    assert plan.count("Scan parquet") == 2, plan  # lineitem + part, once each
+
+
+def test_stratified_sample_single_exchange(plans2):
+    df = plans2["ext_stratified_sample"]
+    df.collect()
+    # AQE plan strings repeat the tree under "== Initial Plan =="; count
+    # exchanges in the final plan only
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    # rank + per-stratum quota share one window partitioning -> one shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_new_ops_stay_out_of_python(plans2):
+    for name in ("ext_chunk_dedup", "ext_triangles", "ext_zscore_outliers"):
+        df = plans2[name]
+        df.collect()
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, f"{name} has a row-python stage"
+        assert "ArrowEvalPython" not in plan, f"{name} has a pandas-udf stage"
+
+
+def test_triangles_no_cartesian(plans2):
+    plan = plan_of(plans2["ext_triangles"])
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
