@@ -315,3 +315,29 @@ register(
     GROUP BY host
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA of purchase values — the recurrence is an ordered fold per
+# key (see operators/timeseries.py::ewma_last); the oracle replays the
+# same left fold with list_reduce, bit-identically.
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.timeseries import ewma_last
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ewma_last(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+
+
+def _ewma_oracle() -> str:
+    from be_analytic_etl_spark.operators.timeseries import ewma_sql_twin
+
+    return ewma_sql_twin(
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        alpha=0.3,
+    )
+
+
+register("ext_ewma", q_ewma, _ewma_oracle())

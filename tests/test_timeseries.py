@@ -40,3 +40,37 @@ def test_gapfill_hourly_step(spark):
     out = gapfill(df, ["k"], "ts", ["v"], step="1 hour")
     assert out.count() == 4
     assert out.filter(~F.col("is_observed")).count() == 2
+
+
+def test_ewma_last_matches_pandas_ewm(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from be_analytic_etl_spark.operators.timeseries import ewma_last
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for key in (1, 2):
+        for i in range(50):
+            rows.append((key, i, float(np.round(rng.uniform(0, 100), 2))))
+    df = spark.createDataFrame(rows, "k long, seq long, x double")
+    out = {r["k"]: r for r in ewma_last(df, "k", ["seq"], "x", alpha=0.25).collect()}
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "x"])
+    for key, g in pdf.groupby("k"):
+        # adjust=False is exactly s_1 = x_1; s_t = a*x_t + (1-a)*s_{t-1}
+        expected = g.sort_values("seq")["x"].ewm(alpha=0.25, adjust=False).mean().iloc[-1]
+        assert out[key]["n_events"] == len(g)
+        assert out[key]["ewma"] == _pytest.approx(expected, rel=1e-12)
+
+
+def test_ewma_single_event_and_bad_alpha(spark):
+    import pytest as _pytest
+
+    from be_analytic_etl_spark.operators.timeseries import ewma_last
+
+    df = spark.createDataFrame([(1, 0, 42.5)], "k long, seq long, x double")
+    row = ewma_last(df, "k", ["seq"], "x").collect()[0]
+    assert (row["n_events"], row["ewma"]) == (1, 42.5)
+    with _pytest.raises(ValueError):
+        ewma_last(df, "k", ["seq"], "x", alpha=0.0)
