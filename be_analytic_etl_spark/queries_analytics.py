@@ -341,3 +341,71 @@ def _ewma_oracle() -> str:
 
 
 register("ext_ewma", q_ewma, _ewma_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint audit over the orders table (deequ/dbt-style):
+# null-ness, key uniqueness, value domain, range, and referential
+# integrity in one report. All row-local rules share ONE aggregate pass;
+# uniqueness is one groupBy; the FK check is a broadcast anti join.
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rules = [
+        Q.not_null("o_orderkey_not_null", "o_orderkey"),
+        Q.not_null("o_custkey_not_null", "o_custkey"),
+        Q.unique("o_orderkey_unique", "o_orderkey"),
+        Q.in_set(
+            "o_orderstatus_domain", "o_orderstatus", "F", "O", "P"
+        ),
+        Q.in_range("o_totalprice_range", "o_totalprice", 0.0, 600000.0),
+        Q.matches("o_orderpriority_shape", "o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        Q.foreign_key("o_custkey_fk_customer", "o_custkey", customer, "c_custkey"),
+    ]
+    return Q.constraint_audit(orders, rules)
+
+
+register(
+    "ext_dq_audit",
+    q_dq_audit,
+    """
+    SELECT 'o_orderkey_not_null' AS rule,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           CAST(SUM(extra) AS BIGINT)
+    FROM (SELECT COUNT(*) - 1 AS extra FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'o_orderstatus_domain',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                           OR o_orderstatus NOT IN ('F', 'O', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_range',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+                           OR o_totalprice > 600000.0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority_shape',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                           OR NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-[A-Z ]+$')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_fk_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)

@@ -413,3 +413,85 @@ register(
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q2-shape: cheapest supplier per part (correlated-MIN subquery,
+# decorrelated as a ranking window — the standard Spark argmin shape:
+# rank by (price, suppkey) inside the part and keep rank 1; the unique
+# suppkey tiebreak makes the pick total-order deterministic, which a raw
+# MIN-equality join is not when two suppliers tie on price).
+# Scale: one shuffle on partkey for the window; supplier dim broadcasts.
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    unit_price = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    offers = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_partkey", "p_brand", "l_suppkey", unit_price
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_price", "l_suppkey")
+    return (
+        offers.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_price")
+    )
+
+
+register(
+    "min_cost_supplier",
+    q_min_cost_supplier,
+    """
+    SELECT p_partkey, p_brand, s_suppkey, s_name, unit_price
+    FROM (
+        SELECT p_partkey, p_brand, l_suppkey,
+               l_extendedprice / l_quantity AS unit_price,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_partkey
+                   ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rk
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+    )
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rk = 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with non-hierarchical sets (not expressible as a rollup or
+# cube) through the spark.sql() surface — one Expand + ONE shuffle for all
+# three grouping combinations; grouping_id disambiguates subtotal rows
+# from genuine NULL keys, exactly as in the ROLLUP/CUBE twins.
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+register(
+    "grouping_sets",
+    q_grouping_sets,
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+)
