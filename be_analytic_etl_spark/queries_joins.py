@@ -495,3 +495,95 @@ register(
                             (l_returnflag, l_linestatus))
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q6-shape: pure scan-pushdown forecast — no join, every predicate reaches
+# the parquet reader (date + discount + quantity), one partial+final agg
+# over the surviving rows. The canonical "is pushdown actually working"
+# probe: at 100 TB this query's cost is footer pruning + one column scan.
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+register(
+    "forecast_revenue",
+    q_forecast_revenue,
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q21-shape: suppliers solely responsible for returned lines in
+# multi-supplier orders — the EXISTS + NOT EXISTS double correlation.
+# Spark-first decorrelation: ONE aggregate over lineitem computes per-order
+# (n_suppliers, n_return_suppliers); candidates join those stats instead of
+# re-probing lineitem twice. The oracle keeps the textbook correlated
+# EXISTS/NOT EXISTS form — same semantics, so DuckDB's own decorrelation
+# must agree with ours. Top-k has a (numwait, s_name) total order.
+def q_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_return_suppliers"),
+    )
+    # row-level candidates (each qualifying R line counts, as in Q21's
+    # count(*) over l1 — no distinct)
+    candidates = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    blamed = (
+        candidates.join(order_stats, "l_orderkey")
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_return_suppliers") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+register(
+    "sole_blame_supplier",
+    q_sole_blame_supplier,
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1
+    WHERE l1.l_suppkey = s_suppkey
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+)
