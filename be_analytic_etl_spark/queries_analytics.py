@@ -80,13 +80,16 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("s"),
             F.col("b.l_suppkey").alias("d"),
         )
-        .distinct()
+        # thin BEFORE distinct: the keep-decision is a pure function of the
+        # pair, so filtering raw co-occurrences first shrinks the distinct's
+        # shuffle by the keep ratio (20x) without changing the edge set
         .filter(
             hash_bucket(
                 F.concat_ws("|", F.col("s"), F.col("d")), salt="tri"
             )
             < F.lit(_TRI_KEEP)
         )
+        .distinct()
     )
     return triangle_count(edges)
 
@@ -407,5 +410,38 @@ register(
            CAST(COUNT(*) AS BIGINT)
     FROM orders o
     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy expansion vs a recursive CTE: a binary-tree org chart is
+# synthesized over suppliers (parent = suppkey div 2), expanded to every
+# (node, ancestor, depth) by level-synchronous joins, and checked against
+# DuckDB's WITH RECURSIVE — the one query family SQL engines express
+# natively and Spark must iterate.
+def q_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.hierarchy import transitive_ancestors
+
+    supp = _t(spark, sf_dir, "supplier")
+    edges = supp.filter(F.col("s_suppkey") >= 2).select(
+        F.col("s_suppkey").alias("child"),
+        F.expr("s_suppkey div 2").alias("parent"),
+    )
+    return transitive_ancestors(edges)
+
+
+register(
+    "ext_ancestors",
+    q_ancestors,
+    """
+    WITH RECURSIVE anc AS (
+        SELECT s_suppkey AS node, s_suppkey // 2 AS ancestor, 1 AS depth
+        FROM supplier WHERE s_suppkey >= 2
+        UNION ALL
+        SELECT a.node, a.ancestor // 2, a.depth + 1
+        FROM anc a WHERE a.ancestor >= 2
+    )
+    SELECT node, ancestor, depth FROM anc
     """,
 )

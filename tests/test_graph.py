@@ -149,3 +149,32 @@ def test_pagerank_favors_sink_hub(spark):
     # each round, so total < scale but every score stays >= teleport base)
     base = 0.15 * 1_000_000_000 / 10
     assert all(s >= int(base) - 1 for s in leaves)
+
+
+def test_transitive_ancestors_known_tree(spark):
+    from be_analytic_etl_spark.operators.hierarchy import transitive_ancestors
+
+    # 1 <- 2,3 ; 2 <- 4,5 ; 3 <- 6
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (5, 2), (6, 3)], "child long, parent long"
+    )
+    out = sorted(
+        (r["node"], r["ancestor"], r["depth"])
+        for r in transitive_ancestors(edges).collect()
+    )
+    assert out == sorted(
+        [
+            (2, 1, 1), (3, 1, 1), (4, 2, 1), (5, 2, 1), (6, 3, 1),
+            (4, 1, 2), (5, 1, 2), (6, 1, 2),
+        ]
+    )
+
+
+def test_transitive_ancestors_cycle_raises(spark):
+    import pytest as _pytest
+
+    from be_analytic_etl_spark.operators.hierarchy import transitive_ancestors
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    with _pytest.raises(RuntimeError):
+        transitive_ancestors(cyc, max_iter=5)
