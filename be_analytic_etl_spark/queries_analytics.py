@@ -445,3 +445,90 @@ register(
     SELECT node, ancestor, depth FROM anc
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus health report: one grouped pass composing token stats, quality
+# scoring, and language-ID agreement per labeled language — the dashboard
+# query a corpus curator runs after every pipeline stage. Determinism:
+# token sums are BIGINT; mean quality quantizes each row to 6dp DECIMAL
+# before summing (doubles summed raw would be merge-order-dependent);
+# agreement share is an exact integer division.
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import textstats as T
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        T.token_count("text").alias("__nt"),
+        F.round(T.quality_score("text", round_to=None), 6)
+        .cast("decimal(18,6)")
+        .alias("__q6"),
+        (T.lang_id("text") == F.col("lang")).cast("int").alias("__match"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("sum_tokens"),
+        (F.sum("__nt").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        (F.sum("__match").cast("double") / F.count(F.lit(1))).alias(
+            "langid_agreement"
+        ),
+        (F.sum("__q6").cast("double") / F.count(F.lit(1))).alias("mean_quality"),
+    )
+
+
+def _corpus_report_oracle() -> str:
+    from be_analytic_etl_spark.operators import textstats as T
+    from be_analytic_etl_spark.queries_extensions import _STOP_SQL
+
+    langs = sorted(T.LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        markers = ",".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{markers}], lower(x)))) AS s_{lang}"
+        )
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    chain = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for lang in langs:
+        chain += f"WHEN s_{lang} = {mx} THEN '{lang}' "
+    chain += "ELSE 'und' END"
+    return f"""
+    WITH tok AS (
+        SELECT lang, coalesce(text, '') AS t, {_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT lang, toks,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g'))
+                   AS n_punct,
+               CAST(length(t) AS INTEGER) AS n_chars,
+               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))
+                   AS n_stop,
+               {", ".join(score_cols)}
+        FROM tok
+    ), r AS (
+        SELECT lang, n_tokens,
+               CASE WHEN {chain} = lang THEN 1 ELSE 0 END AS is_match,
+               CAST(round(
+                   least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+                   * greatest(0.0, 1.0 -
+                       (CASE WHEN n_chars = 0 THEN 0.0
+                             ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 5.0)
+                   * (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+                                      ELSE CAST(n_stop AS DOUBLE) / n_tokens END)
+                               BETWEEN 0.01 AND 0.6
+                           THEN 1.0 ELSE 0.5 END), 6) AS DECIMAL(18,6)) AS q6
+        FROM m
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           CAST(SUM(is_match) AS DOUBLE) / COUNT(*) AS langid_agreement,
+           CAST(SUM(q6) AS DOUBLE) / COUNT(*) AS mean_quality
+    FROM r
+    GROUP BY lang
+    """
+
+
+register("ext_corpus_report", q_corpus_report, _corpus_report_oracle())
