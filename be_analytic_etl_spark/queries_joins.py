@@ -587,3 +587,202 @@ register(
     LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q9-shape: product-type profit by supplier nation and year. The testdata
+# star schema carries no partsupp table, so supply cost is proxied as
+# 10% of retail price x quantity (the SHAPE under test is the 5-way join +
+# profit expression, not TPC-H's cost model). lineitem-orders co-shuffles
+# on orderkey (fact-fact); part/supplier/nation are broadcast dims; profit
+# stays DECIMAL end to end so partial-aggregate merge order is moot.
+# Scale: ONE fact-fact shuffle; the p_name filter prunes the broadcast
+# side before the join, shrinking the fact early via the join itself.
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = _revenue() - (
+        F.lit(0.10).cast("double") * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(_DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+register(
+    "nation_profit",
+    q_nation_profit,
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                    - CAST(CAST(0.10 AS DOUBLE) * p_retailprice * l_quantity
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, o_year
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q11-shape: "important stock" — per-part shipped value for one nation's
+# suppliers, kept only where it exceeds a fraction of the nation total
+# (scalar subquery threshold). No partsupp table: shipped value
+# (quantity x retail price) over lineitem stands in for availqty x
+# supplycost; the shape under test is agg -> tiny global agg -> broadcast
+# threshold join. Scale: the per-part agg shuffles on l_partkey once; the
+# nation-total reuses the SAME aggregated frame (|parts| rows, not a
+# second fact scan) and broadcasts one row back.
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    value = (F.col("l_quantity") * F.col("p_retailprice")).cast(_DEC)
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    threshold = per_part.agg(
+        (F.sum("value_dec") * F.lit(0.001).cast("double")).alias("__thresh")
+    )
+    return (
+        per_part.join(F.broadcast(threshold), per_part.value_dec > threshold.__thresh)
+        .select("p_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+register(
+    "important_parts",
+    q_important_parts,
+    """
+    WITH per_part AS (
+        SELECT p_partkey,
+               SUM(CAST(l_quantity * p_retailprice AS DECIMAL(28,6))) AS value_dec
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY p_partkey
+    )
+    SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM per_part
+    WHERE value_dec > (SELECT SUM(value_dec) * CAST(0.001 AS DOUBLE) FROM per_part)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q16-shape: supplier variety per part attribute — COUNT(DISTINCT suppkey)
+# over the observed part-supplier relation (distinct lineitem pairs stand
+# in for the absent partsupp), excluding a blacklist of suppliers via
+# broadcast ANTI join (Q16's NOT IN subquery; negative account balance
+# stands in for the complaints-comment filter). Scale: the pair-distinct
+# and the count-distinct share one shuffle on l_partkey-derived keys; the
+# anti join is map-side (blacklist is control-plane-sized).
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size").isin(5, 15, 25, 35, 45))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+register(
+    "supplier_variety",
+    q_supplier_variety,
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (5, 15, 25, 35, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q20-shape: suppliers who moved serious volume of a part family in a year
+# — the nested semi-join chain: part filter -> per-(supplier, part) shipped
+# quantity -> threshold -> DISTINCT suppliers -> semi join supplier ->
+# nation filter. No partsupp: the 0.5 x availqty bound becomes a flat
+# quantity threshold on the year's shipments. Scale: one shuffle on
+# (l_suppkey, l_partkey) for the agg; everything after operates on
+# |suppliers|-sized sets; part and nation are broadcast.
+def q_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_13", "NATION_23")
+    )
+    qualifying = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+register(
+    "volume_suppliers",
+    q_volume_suppliers,
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_13', 'NATION_23')
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 30
+      )
+    """,
+)

@@ -333,3 +333,36 @@ def test_triangles_no_cartesian(plans2):
     plan = plan_of(plans2["ext_triangles"])
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# --- round-2 batch-3 queries (Q9/Q11/Q16/Q20 analogues) ---------------------
+
+
+def test_nation_profit_one_fact_fact_shuffle_rest_broadcast(spark):
+    plan = plan_of(QUERIES["nation_profit"](spark, SF_DIR))
+    # part/supplier/nation always broadcast (at test SF even orders fits
+    # under the threshold, which is the right call — only lineitem-orders
+    # may legitimately co-shuffle at scale)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    # the p_name filter prunes the broadcast build side before the join
+    assert "bolt" in plan, plan
+
+
+def test_important_parts_threshold_is_broadcast_not_window(spark):
+    plan = plan_of(QUERIES["important_parts"](spark, SF_DIR))
+    # the nation-total threshold joins back as a broadcast, never a
+    # single-partition global window
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_supplier_variety_anti_join_is_broadcast(spark):
+    plan = plan_of(QUERIES["supplier_variety"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_volume_suppliers_semi_join_chain(spark):
+    plan = plan_of(QUERIES["volume_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
