@@ -323,3 +323,69 @@ def lsh_bucket_ann(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Map-only IVF cell assignment: adds ``cell_col`` = index of the
+    argmax-cosine centroid (first-max tie-break, i.e. equal similarity
+    resolves to the lowest cell index).
+
+    The coarse quantizer is the ``n_cells`` lowest-id vectors — the same
+    deterministic, oracle-replicable stand-in ``ivf_ann`` uses. Centroids
+    are collected driver-side (n_cells x dim — control-plane-sized, the
+    faiss deployment shape) and inlined as literals, so assignment adds
+    ZERO shuffles: the full table is never joined, only mapped. This is
+    the blocking front half of semantic dedup — downstream pair search is
+    confined to within-cell candidates.
+    """
+    import math
+
+    from be_analytic_etl_spark.functions import let
+
+    cent_rows = (
+        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cent_vecs = [[float(x) for x in r["__v"]] for r in cent_rows]
+    cent_norms = []
+    for cv in cent_vecs:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        cent_norms.append(math.sqrt(acc))
+
+    def cell_of(vec: Column) -> Column:
+        def body(v: Column) -> Column:
+            def with_norm(nv: Column) -> Column:
+                sims = F.array(
+                    *[
+                        F.when(
+                            (F.lit(cent_norms[i]) == 0) | (nv == 0), F.lit(0.0)
+                        ).otherwise(
+                            dot(F.array(*[F.lit(x) for x in cent_vecs[i]]), v)
+                            / (F.lit(cent_norms[i]) * nv)
+                        )
+                        for i in range(len(cent_vecs))
+                    ]
+                )
+                return let(
+                    sims,
+                    lambda s: (
+                        F.array_position(s, F.array_max(s)).cast("int") - 1
+                    ),
+                )
+
+            return let(l2_norm(v), with_norm)
+
+        return let(vec, body)
+
+    return embeddings.withColumn(cell_col, cell_of(_vec(vec_col)))

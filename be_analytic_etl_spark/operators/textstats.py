@@ -230,3 +230,85 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
         )
 
     return let(tokenize(col), body)
+
+
+def word_ngrams_all(col: Column | str, n: int = 2) -> Column:
+    """ALL consecutive word n-grams, duplicates kept (array<string>) —
+    the counting companion to ``word_ngrams`` (which dedups for shingle
+    sets). Documents shorter than ``n`` tokens yield an empty array:
+    repetition statistics over them are undefined, not "one short gram".
+    Let-bound for the same CollapseProject reason as ``word_ngrams``.
+    """
+    from be_analytic_etl_spark.functions import let
+
+    def body(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        idx = F.sequence(F.lit(0), n_tok - n)
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        return F.when(n_tok < n, F.array().cast("array<string>")).otherwise(grams)
+
+    return let(tokenize(col), body)
+
+
+def repetition_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+):
+    """Intra-document repetition metrics — the Gopher/MassiveText-style
+    repetition filters (Rae et al. 2021, §A1.1): duplicate-token fraction
+    and most-frequent-n-gram fraction. High values flag boilerplate,
+    keyword stuffing, and degenerate generations before they reach
+    training.
+
+    Returns one row per document:
+      n_tokens, n_distinct_tokens, dup_token_frac (1 - distinct/total),
+      n_grams, top_gram_cnt, top_gram_frac (count of the modal n-gram /
+      all n-grams; 0 when the doc is shorter than ``ngram_n``).
+
+    Scale: token stats are pure map-side array expressions; the n-gram
+    mode needs one shuffle on (id, gram) + one map-side-combined rollup to
+    (id) — the shuffle carries grams of repeated text only once per
+    (doc, gram) after partial aggregation. Nothing is quadratic; no
+    Python.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (typing only)
+
+    base = df.select(
+        F.col(id_col),
+        tokenize(text_col).alias("__toks"),
+        word_ngrams_all(text_col, ngram_n).alias("__grams"),
+    )
+    doc = base.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct_tokens"),
+    )
+    gram_cnt = (
+        base.select(id_col, F.explode("__grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = gram_cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"), F.max("c").alias("top_gram_cnt")
+    )
+    dup_frac = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
+    )
+    top_frac = F.when(F.coalesce(F.col("n_grams"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
+        F.col("top_gram_cnt").cast("double") / F.col("n_grams").cast("double")
+    )
+    return (
+        doc.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            dup_frac.alias("dup_token_frac"),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("top_gram_cnt"), F.lit(0)).alias("top_gram_cnt"),
+            top_frac.alias("top_gram_frac"),
+        )
+    )

@@ -532,3 +532,101 @@ def _corpus_report_oracle() -> str:
 
 
 register("ext_corpus_report", q_corpus_report, _corpus_report_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix over the fact table's numeric
+# columns — the feature-stats pass of a profiling pipeline. Built-in
+# F.corr/DuckDB corr() accumulate doubles in engine-specific orders (not
+# cross-checkable); instead each column is quantized exactly (x100 — all
+# four have <= 2 decimal places; Pearson r is invariant to linear
+# scaling), the moments (n, Σx, Σx², Σxy) accumulate as integers in
+# DECIMAL(38,0) (exact, merge-order-free) in ONE partial-aggregated pass,
+# and the textbook formula runs as a fixed double-op sequence replayed
+# verbatim in the oracle. Scale: one scan, one single-row aggregate — the
+# matrix itself is |cols|²-sized control-plane data.
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def q_ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def qz(c: str) -> F.Column:
+        return F.round(F.col(c) * 100).cast("bigint")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(qz(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((qz(c) * qz(c)).cast("decimal(38,0)")).alias(f"s2_{c}_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((qz(a) * qz(b)).cast("decimal(38,0)")).alias(f"s2_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> F.Column:
+        nd = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s2_{a}_{b}").cast("double")
+        saa = F.col(f"s2_{a}_{a}").cast("double")
+        sbb = F.col(f"s2_{b}_{b}").cast("double")
+        return (nd * sab - sa * sb) / (
+            F.sqrt(nd * saa - sa * sa) * F.sqrt(nd * sbb - sb * sb)
+        )
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    corr_expr(a, b).alias("corr"),
+                )
+                for a, b in _CORR_PAIRS
+            ]
+        )
+    ).alias("r")
+    return m.select(rows).select("r.col_a", "r.col_b", "r.corr")
+
+
+def _corr_matrix_oracle() -> str:
+    def qz(c: str) -> str:
+        return f"CAST(round({c} * 100) AS BIGINT)"
+
+    moments = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        moments.append(f"SUM(CAST({qz(c)} AS DECIMAL(38,0))) AS s_{c}")
+        moments.append(
+            f"SUM(CAST({qz(c)} * {qz(c)} AS DECIMAL(38,0))) AS s2_{c}_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        moments.append(
+            f"SUM(CAST({qz(a)} * {qz(b)} AS DECIMAL(38,0))) AS s2_{a}_{b}"
+        )
+    branches = []
+    for a, b in _CORR_PAIRS:
+        branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"(CAST(n AS DOUBLE) * CAST(s2_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) / "
+            f"(sqrt(CAST(n AS DOUBLE) * CAST(s2_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) * "
+            f"sqrt(CAST(n AS DOUBLE) * CAST(s2_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))) AS corr "
+            f"FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+register("ext_corr_matrix", q_ext_corr_matrix, _corr_matrix_oracle())

@@ -1706,3 +1706,102 @@ def _pagerank_oracle() -> str:
 
 
 register("ext_pagerank", q_ext_pagerank, _pagerank_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition metrics — the Gopher/MassiveText repetition
+# filters (duplicate-token fraction, modal-bigram fraction). Map-side array
+# stats + ONE (doc, gram) shuffle with map-side combine; no Python.
+def q_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, ngram_n=2)
+
+
+register(
+    "ext_repetition",
+    q_ext_repetition,
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), doc AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
+        FROM t
+    ), g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                           ELSE list_transform(range(0, len(toks) - 1),
+                                               i -> toks[i + 1] || ' ' || toks[i + 2])
+                      END) AS gram
+        FROM t
+    ), cnt AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    ), pd AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(MAX(c) AS BIGINT) AS top_gram_cnt
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc.doc_id, n_tokens, n_distinct_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(1 AS DOUBLE)
+                     - CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           END AS dup_token_frac,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(top_gram_cnt, 0) AS top_gram_cnt,
+           CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                ELSE CAST(top_gram_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           END AS top_gram_frac
+    FROM doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Semantic near-dup pairs — embedding-space dedup at scale: map-only IVF
+# cell assignment (centroid literals, zero shuffles) blocks the quadratic
+# pair search into cells, then exact within-cell cosine >= threshold.
+# Feed the pairs into graph.connected_components for group representatives
+# (exactly what ext_dedup_groups does for MinHash pairs). Recall < 1 by
+# design: pairs straddling a cell boundary are missed — the standard
+# IVF-dedup tradeoff; raise n_cells' overlap (multi-assign) to trade
+# compute for recall.
+_SEM_THRESH = 0.35
+
+
+def q_ext_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = S.assign_cells(emb, n_cells=_IVF_CELLS)
+    return S.cosine_pairs_above(
+        cells, block_cols=["cell"], threshold=_SEM_THRESH, round_to=None
+    )
+
+
+register(
+    "ext_semantic_neardup",
+    q_ext_semantic_neardup,
+    f"""
+    WITH cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding AS cv
+        FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), assign AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("c.cv", "e.embedding")} DESC, c.cell) AS rn
+            FROM embeddings e, cent c)
+        WHERE rn = 1
+    ), pairs AS (
+        SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS va, b.embedding AS vb
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT cell, id_a, id_b, {_cos_sql("va", "vb")} AS cos_sim FROM pairs
+    )
+    SELECT cell, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {_SEM_THRESH}
+    """,
+)

@@ -1782,3 +1782,44 @@ register(
     GROUP BY user_id, sid
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# JSONL round-trip: aggregate -> newline-delimited JSON sink -> schema'd
+# re-read — the interchange format every LLM-corpus pipeline speaks
+# (sinks.write_jsonl). Value-checked against DuckDB computing the same
+# aggregate from parquet: proves JSON serialization preserves longs and
+# shortest-round-trip doubles exactly. The re-read passes an explicit
+# schema (production shape — no inference pass).
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from be_analytic_etl_spark.sources import read_jsonl, write_jsonl
+
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/spark_graft_jsonl_roundtrip_{tag}"
+    write_jsonl(agg, path, single_file=True)
+    return read_jsonl(
+        spark,
+        path,
+        schema="event_type STRING, n_events BIGINT, n_users BIGINT, sum_value DOUBLE",
+    )
+
+
+register(
+    "jsonl_roundtrip",
+    q_jsonl_roundtrip,
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)

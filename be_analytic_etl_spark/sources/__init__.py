@@ -10,8 +10,10 @@ from be_analytic_etl_spark.sources.manifest import (
 from be_analytic_etl_spark.sources.sinks import (
     write_bucketed_table,
     write_partitioned,
+    read_jsonl,
     write_csv,
     write_jdbc,
+    write_jsonl,
 )
 from be_analytic_etl_spark.sources.tables import load_table
 
@@ -21,8 +23,10 @@ __all__ = [
     "list_resources",
     "download",
     "resources_to_manifest",
+    "read_jsonl",
     "write_csv",
     "write_jdbc",
+    "write_jsonl",
     "write_bucketed_table",
     "write_partitioned",
 ]

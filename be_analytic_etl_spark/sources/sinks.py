@@ -194,3 +194,24 @@ def bootstrap_database(host: str, port: int, user: str, password: str, db_name: 
         return True
     finally:
         conn.close()
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines sink — the interchange format of LLM-corpus tooling
+    (one JSON object per line, newline-delimited). Spark's json source
+    writes exactly this shape per partition; ``single_file=True`` funnels
+    through one task for small exports, default stays partitioned for
+    scale. Doubles serialize shortest-round-trip, so a re-read parses
+    back bit-identical values."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSON-lines reader. Pass an explicit schema for production loads
+    (schema inference costs one extra pass and can widen types on dirty
+    data); None infers — fine for re-reading our own exports."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -366,3 +366,22 @@ def test_volume_suppliers_semi_join_chain(spark):
     plan = plan_of(QUERIES["volume_suppliers"](spark, SF_DIR))
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_repetition_and_corr_stay_jvm_side(spark):
+    for name in ("ext_repetition", "ext_corr_matrix"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_corr_matrix_single_scan(spark):
+    plan = plan_of(QUERIES["ext_corr_matrix"](spark, SF_DIR))
+    # all 14 moments ride one partial+final aggregate over one scan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_semantic_neardup_blocked_not_cartesian(spark):
+    plan = plan_of(QUERIES["ext_semantic_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
