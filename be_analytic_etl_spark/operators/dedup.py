@@ -133,6 +133,57 @@ def minhash_signature(
     )
 
 
+def band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH banding table: one (__id, band, bucket) row per document band.
+
+    Two docs are LSH candidates iff they share a (band, bucket) row — this
+    table IS the near-dup index (at scale it's what you persist between
+    incremental runs). ``portable=True`` keeps the bucket as the band's
+    signature-slice string — exactly reproducible by a SQL oracle with no
+    hash-collision caveat; default hashes the slice to 8 bytes (xxhash64)
+    for the cheapest shuffle payload. Collisions only ever ADD candidates,
+    and callers verify candidates with exact Jaccard.
+    """
+    from be_analytic_etl_spark.functions import let
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) — "
+            "a remainder would silently discard trailing signature slots"
+        )
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, portable=portable)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+
+    def bucket_of(sg: Column, b: Column) -> Column:
+        s = F.concat_ws(",", F.slice(sg, b * rows_per_band + 1, rows_per_band))
+        return s if portable else F.xxhash64(s, b)
+
+    # let-bind the signature: the per-band lambda must slice ONE evaluated
+    # array, not re-inline the whole signature computation per band.
+    band_structs = let(
+        sig,
+        lambda sg: F.transform(
+            band_idx,
+            lambda b: F.struct(b.alias("band"), bucket_of(sg, b).alias("bucket")),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("__id"), F.explode(band_structs).alias("bb")
+    ).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -156,45 +207,23 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    from be_analytic_etl_spark.functions import let
-
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) — "
-            "a remainder would silently discard trailing signature slots"
-        )
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, portable=portable)
-
     # The bucket join moves ONLY (id, band, bucket) — never shingles or
     # documents. Shingle sets re-join after candidate-pair dedup, so the
     # heavy payload crosses the wire once per *candidate*, not once per
     # (doc, band).
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    # let-bind the signature: the per-band lambda must slice ONE evaluated
-    # array, not re-inline the whole signature computation per band.
-    band_structs = let(
-        sig,
-        lambda sg: F.transform(
-            band_idx,
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", F.slice(sg, b * rows_per_band + 1, rows_per_band)),
-                    b,
-                ).alias("bucket"),
-            ),
-        ),
-    )
     # Persist the banded table: it feeds the skew guard AND both sides of
     # the bucket self-join — without a persist each reference re-runs the
     # whole shingle+k-hash signature pass (3x overcompute, measured).
     # Tiny payload (id, band, bucket per doc-band); spills if not.
-    banded = (
-        df.select(F.col(id_col).alias("__id"), F.explode(band_structs).alias("bb"))
-        .select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    banded = band_buckets(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        portable=portable,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Skew guard: drop degenerate buckets before the self-join.
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
@@ -503,4 +532,85 @@ def chunk_dedup_stats(
             (F.count("chunk") - F.sum("__keep")).cast("double") / F.count("chunk")
         )
         .alias("dup_ratio"),
+    )
+
+
+def incremental_dedup_status(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    portable: bool = False,
+) -> DataFrame:
+    """Classify each NEW document against an already-ingested corpus:
+    ``exact_dup`` (normalized-text fingerprint already present),
+    ``near_dup`` (shares an LSH band bucket with an old doc AND exact
+    n-gram Jaccard >= threshold), else ``unique``.
+
+    This is the dedup shape of a RUNNING crawl pipeline — each batch
+    checks against the historical index instead of re-deduping the whole
+    corpus. At 100 TB the two old-side tables (fingerprint set,
+    ``band_buckets`` index) are incremental state: persist them once,
+    append each batch's rows, and each new batch joins new-side tables
+    (batch-sized) against them — cost ∝ batch, not corpus. Shuffles carry
+    fingerprints and (id, band, bucket) only; full text never moves.
+    Exact-dup precedence: an exact dup is also an LSH candidate; the
+    status CASE reports the stronger signal.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    fp_new = new_docs.select(F.col(id_col).alias("__id"), fp.alias("__fp"))
+    fp_old = old_docs.select(fp.alias("__fp")).dropDuplicates()
+    exact_ids = (
+        fp_new.join(fp_old, "__fp", "left_semi")
+        .select("__id")
+        .withColumn("__exact", F.lit(True))
+    )
+
+    kw = dict(
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, portable=portable
+    )
+    nb = band_buckets(new_docs, text_col, id_col, **kw)
+    ob = band_buckets(old_docs, text_col, id_col, **kw).select(
+        F.col("__id").alias("__old_id"), "band", "bucket"
+    )
+    cand = (
+        nb.join(ob, ["band", "bucket"])
+        .select("__id", "__old_id")
+        .dropDuplicates(["__id", "__old_id"])
+    )
+    sh_new = new_docs.select(
+        F.col(id_col).alias("__sid"), word_ngrams(F.col(text_col), shingle_n).alias("__sh")
+    )
+    sh_old = old_docs.select(
+        F.col(id_col).alias("__soid"),
+        word_ngrams(F.col(text_col), shingle_n).alias("__osh"),
+    )
+    inter = F.size(F.array_intersect("__sh", "__osh"))
+    union = F.size(F.array_union("__sh", "__osh"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+    near_ids = (
+        cand.join(sh_new, cand.__id == sh_new.__sid)
+        .join(sh_old, cand.__old_id == sh_old.__soid)
+        .filter(jac >= jaccard_threshold)
+        .select("__id")
+        .dropDuplicates()
+        .withColumn("__near", F.lit(True))
+    )
+
+    return (
+        new_docs.select(F.col(id_col))
+        .join(exact_ids.withColumnRenamed("__id", id_col), id_col, "left")
+        .join(near_ids.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact"), F.lit("exact_dup"))
+            .when(F.col("__near"), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
     )

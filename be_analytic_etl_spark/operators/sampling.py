@@ -153,3 +153,53 @@ def stratified_sample_exact(
         .filter(F.col("__rk") <= F.col("__q"))
         .drop("__rk", "__q")
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    token_budget: int = 4096,
+    n_buckets: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Token-budget shard assignment — the "pack documents into ~B-token
+    training shards" step of an LLM data pipeline, deterministic across
+    runs/retries/engines.
+
+    Documents are hash-scattered into ``n_buckets`` independent packing
+    streams (so packing parallelizes — one global stream would serialize
+    the cumulative sum), ordered inside each bucket by (key hash, key),
+    and assigned shard = floor(start_offset / token_budget) where
+    start_offset is the running token total before the document. A
+    document straddling a boundary counts toward the shard it starts in —
+    contiguous streaming packing, the standard approximation (exact
+    bin-packing is NP-hard and order-unstable).
+
+    Returns per-document (key, bucket, shard, n_tokens). Scale: ONE
+    shuffle on bucket (the window partitioning); per-bucket state is a
+    running sum. More buckets = more parallelism and slightly more
+    under-filled tail shards (one per bucket).
+    """
+    from pyspark.sql import Window
+
+    from be_analytic_etl_spark.operators.textstats import portable_hash60
+
+    key = F.col(key_col)
+    h = portable_hash60(F.concat(key.cast("string"), F.lit(f"|{salt}")))
+    base = df.select(
+        key, F.col(size_col), h.alias("__h"), (h % n_buckets).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(size_col).over(w) - F.col(size_col)
+    return base.select(
+        key_col,
+        "bucket",
+        F.floor(start / token_budget).cast("int").alias("shard"),
+        F.col(size_col),
+    )

@@ -1805,3 +1805,199 @@ register(
     SELECT cell, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {_SEM_THRESH}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: each NEW batch (doc_id % 5 == 0 stands in for today's
+# crawl) classified against the already-ingested corpus — exact_dup by
+# normalized fingerprint, near_dup by LSH-candidate + exact-Jaccard
+# verification, else unique. The running-pipeline dedup shape: old-side
+# fingerprint set and band index are incremental state (persist + append),
+# so per-batch cost ∝ batch size, not corpus size.
+_INC_FP_SQL = (
+    "md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))"
+)
+
+
+def q_ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_dedup_status(
+        new,
+        old,
+        num_hashes=_MH_HASHES,
+        bands=_LSH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        jaccard_threshold=_LSH_THRESH,
+        portable=True,
+    )
+
+
+register(
+    "ext_incremental_dedup",
+    q_ext_incremental_dedup,
+    f"""
+    WITH nd AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), od AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ), fpn AS (
+        SELECT doc_id, {_INC_FP_SQL} AS fp FROM nd
+    ), fpo AS (
+        SELECT DISTINCT {_INC_FP_SQL} AS fp FROM od
+    ), exact AS (
+        SELECT DISTINCT doc_id FROM fpn JOIN fpo USING (fp)
+    ), tn AS (
+        SELECT doc_id, {_TOKS} AS toks FROM nd
+    ), shn AS (
+        SELECT doc_id, {_grams_sql("toks", _MH_SHINGLE)} AS g FROM tn
+    ), sgn AS (
+        SELECT doc_id, g, {_sig_sql("g", _MH_HASHES)} AS sig FROM shn
+    ), bn AS (
+        SELECT doc_id, b AS band,
+               array_to_string(list_slice(sig, b * {_LSH_ROWS} + 1,
+                                          b * {_LSH_ROWS} + {_LSH_ROWS}), ',') AS bucket
+        FROM sgn, range(0, {_LSH_BANDS}) r(b)
+    ), t_o AS (
+        SELECT doc_id, {_TOKS} AS toks FROM od
+    ), sho AS (
+        SELECT doc_id, {_grams_sql("toks", _MH_SHINGLE)} AS g FROM t_o
+    ), sgo AS (
+        SELECT doc_id, g, {_sig_sql("g", _MH_HASHES)} AS sig FROM sho
+    ), bo AS (
+        SELECT doc_id, b AS band,
+               array_to_string(list_slice(sig, b * {_LSH_ROWS} + 1,
+                                          b * {_LSH_ROWS} + {_LSH_ROWS}), ',') AS bucket
+        FROM sgo, range(0, {_LSH_BANDS}) r(b)
+    ), cand AS (
+        SELECT DISTINCT bn.doc_id, bo.doc_id AS old_id
+        FROM bn JOIN bo USING (band, bucket)
+    ), ver AS (
+        SELECT DISTINCT cand.doc_id
+        FROM cand
+        JOIN (SELECT doc_id, g AS ga FROM shn) a ON cand.doc_id = a.doc_id
+        JOIN (SELECT doc_id, g AS gb FROM sho) b ON cand.old_id = b.doc_id
+        WHERE {_JACCARD} >= {_LSH_THRESH}
+    )
+    SELECT nd.doc_id,
+           CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN ver.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status
+    FROM nd
+    LEFT JOIN exact ON nd.doc_id = exact.doc_id
+    LEFT JOIN ver   ON nd.doc_id = ver.doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing: hash-scatter docs into parallel packing
+# streams, running-total the token counts, shard = floor(start/budget) —
+# the "write ~N-token training shards" step, deterministic across
+# runs/retries/engines (sampling.pack_shards).
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 8
+
+
+def q_ext_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.sampling import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+    return pack_shards(
+        sized, token_budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+
+
+register(
+    "ext_pack_shards",
+    q_ext_pack_shards,
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 15)
+                    AS BIGINT) AS h
+        FROM documents
+    ), w AS (
+        SELECT doc_id, h % {_PACK_BUCKETS} AS bucket, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY h % {_PACK_BUCKETS} ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        FROM t
+    )
+    SELECT doc_id, bucket,
+           CAST(floor(start / {_PACK_BUDGET}) AS INTEGER) AS shard,
+           n_tokens
+    FROM w
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate: corpus top-V vocabulary (TakeOrdered — never a
+# global-window sort), broadcast to a per-token membership probe, per-doc
+# OOV fraction. The tokenizer-coverage health check run before committing
+# to a vocab. Scale: token agg is partial-combined; the vocab is V rows
+# (broadcast); docs with no tokens report rate 0.
+_OOV_V = 100
+
+
+def q_ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokenize("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(_OOV_V)
+        .select("token", F.lit(1).alias("__in"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
+    n_oov = F.coalesce(F.col("n_oov"), F.lit(0))
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(n_oov.cast("double") / n_tok.cast("double"))
+        .alias("oov_rate"),
+    )
+
+
+register(
+    "ext_oov_rate",
+    q_ext_oov_rate,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), v AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS tf,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+            FROM tok GROUP BY token)
+        WHERE rn <= {_OOV_V}
+    ), pd AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov
+        FROM tok LEFT JOIN v ON tok.token = v.token
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(n_oov, 0) AS n_oov,
+           CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS oov_rate
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+)

@@ -385,3 +385,23 @@ def test_semantic_neardup_blocked_not_cartesian(spark):
     plan = plan_of(QUERIES["ext_semantic_neardup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_shards_single_exchange(spark):
+    df = QUERIES["ext_pack_shards"](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    # one shuffle: the per-bucket window partitioning
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    plan = plan_of(QUERIES["ext_oov_rate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_dedup_jvm_side_no_cartesian(spark):
+    df = QUERIES["ext_incremental_dedup"](spark, SF_DIR)
+    plan = plan_of(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan, bad
