@@ -2001,3 +2001,111 @@ register(
     FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: near-dup CLUSTERS (connected
+# components over the dedup pair graph) are the split unit, so no two
+# near-duplicates ever land in different splits — the standard guard
+# against eval contamination via shared boilerplate. Split = key-hash of
+# the cluster representative (map-only once groups exist); same CC pass
+# as ext_dedup_groups.
+def q_ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from be_analytic_etl_spark.operators import graph as G
+    from be_analytic_etl_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    w1 = Window.partitionBy("lang", F.pmod(F.col("n_chars"), F.lit(7)))
+    w2 = Window.partitionBy("source", F.pmod(F.col("n_chars"), F.lit(5)))
+    edges = docs.select(
+        F.min("doc_id").over(w1).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).unionByName(
+        docs.select(F.min("doc_id").over(w2).alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    comps = G.connected_components(
+        edges, nodes=docs.select(F.col("doc_id").alias("id"))
+    )
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        "group_id",
+        assign_split("group_id", salt="leakfree").alias("split"),
+    )
+
+
+register(
+    "ext_leakage_safe_split",
+    q_ext_leakage_safe_split,
+    """
+    WITH RECURSIVE
+    e1 AS (SELECT MIN(doc_id) OVER (PARTITION BY lang, n_chars % 7) AS s,
+                  doc_id AS d FROM documents),
+    e2 AS (SELECT MIN(doc_id) OVER (PARTITION BY source, n_chars % 5) AS s,
+                  doc_id AS d FROM documents),
+    ed AS (SELECT s, d
+           FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) u
+           WHERE s <> d),
+    sym AS (SELECT s, d FROM ed UNION SELECT d, s FROM ed),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    ),
+    comps AS (
+        SELECT n.doc_id,
+               LEAST(n.doc_id, COALESCE(MIN(r.d), n.doc_id)) AS group_id
+        FROM documents n LEFT JOIN reach r ON r.s = n.doc_id
+        GROUP BY n.doc_id
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN (CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)
+                                              || '|leakfree'), 1, 15)
+                           AS BIGINT) % 10000) < 9000 THEN 'train'
+                WHEN (CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)
+                                              || '|leakfree'), 1, 15)
+                           AS BIGINT) % 10000) < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comps
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate overlap matrix: how many identical documents each
+# pair of sources shares — the "which crawls re-crawl each other" census
+# that decides dedup ordering in a multi-source corpus. Shuffles carry
+# (fingerprint, source) only; the pair explosion is bounded by sources²
+# per fingerprint (sources is a small set).
+def q_ext_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        T.fingerprint_md5("text").alias("fp"), F.col("source")
+    ).dropDuplicates()
+    a = fp.select("fp", F.col("source").alias("source_a"))
+    b = fp.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+    )
+
+
+register(
+    "ext_cross_source_overlap",
+    q_ext_cross_source_overlap,
+    """
+    WITH fp AS (
+        SELECT DISTINCT
+               md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))
+                   AS fp,
+               source
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_docs
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
