@@ -108,8 +108,10 @@ def br_number_to_double(col: Column | str) -> Column:
     - the two comma branches (main.py:551-562) unify: removing thousands
       dots is a no-op when none exist, so "has comma" alone selects
       `translate(strip_dots(x), ',', '.')`;
-    - the validity regex is redundant with the non-ANSI double cast (the
-      candidate contains only [0-9.] at cast time).
+    - the validity regex is redundant with ``try_cast('double')`` (the
+      candidate contains only [0-9.] at cast time; try_cast maps anything
+      still malformed — '', '.', '1.2.3' — to NULL in ANSI and non-ANSI
+      sessions alike, so the expression is session-config-independent).
     """
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(F.trim(c), r"[^0-9.,]", "")
@@ -120,7 +122,7 @@ def br_number_to_double(col: Column | str) -> Column:
         .when(n_dots >= 2, no_dots)
         .otherwise(stripped)
     )
-    return candidate.cast("double")
+    return candidate.try_cast("double")
 
 
 def strip_trailing_zeros(col: Column | str) -> Column:

@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 def _bucket(ts: Column, width_s: int) -> Column:
     # integer-exact epoch quantization (unix_timestamp truncates to the
     # second; good for bucket routing — exactness lives in the residual).
-    return F.floor(F.unix_timestamp(ts) / F.lit(width_s)).cast("long")
+    # .cast("timestamp"): unix_timestamp rejects TIMESTAMP_NTZ (driver
+    # sessions read parquet ts as NTZ); no-op on LTZ, and bucket routing
+    # only needs a consistent quantization, not an absolute epoch.
+    return F.floor(F.unix_timestamp(ts.cast("timestamp")) / F.lit(width_s)).cast("long")
 
 
 def range_join(

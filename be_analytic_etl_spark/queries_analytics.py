@@ -153,9 +153,10 @@ register(
            MIN(d.n) AS n,
            MIN(d.mean_value) AS mean_value,
            MIN(d.variance) AS variance,
-           SUM(CASE WHEN (l.l_extendedprice - d.mean_value)
+           -- CAST: DuckDB SUM(int) is HUGEINT; Spark's is BIGINT.
+           CAST(SUM(CASE WHEN (l.l_extendedprice - d.mean_value)
                          * (l.l_extendedprice - d.mean_value)
-                        > 4.0 * d.variance THEN 1 ELSE 0 END) AS n_outliers
+                        > 4.0 * d.variance THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM lineitem l
     JOIN derived d USING (l_returnflag, l_linestatus)
     GROUP BY d.l_returnflag, d.l_linestatus

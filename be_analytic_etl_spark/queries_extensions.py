@@ -1475,7 +1475,9 @@ def _profile_branch(c: str, numeric: bool) -> str:
     mx = f"CAST(MAX({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
     return (
         f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
-        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+        # CAST: DuckDB SUM(int) is HUGEINT (float64 in pandas); Spark's is
+        # BIGINT and the driver's value-hash distinguishes them.
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
         f"COUNT(DISTINCT {c}) AS n_distinct, {mn} AS min_value, {mx} AS max_value "
         f"FROM lineitem"
     )
@@ -1525,7 +1527,9 @@ def _zorder_oracle() -> str:
     z = zorder_sql("l_orderkey", "l_partkey", bits=16)
     return f"""
     WITH z AS (SELECT {z} AS zkey FROM lineitem)
-    SELECT zkey % 97 AS zbucket, COUNT(*) AS n, SUM(zkey) AS zsum,
+    SELECT zkey % 97 AS zbucket, COUNT(*) AS n,
+           -- CAST: DuckDB SUM(BIGINT) is HUGEINT; Spark's is BIGINT.
+           CAST(SUM(zkey) AS BIGINT) AS zsum,
            MIN(zkey) AS zmin, MAX(zkey) AS zmax
     FROM z GROUP BY 1
     """

@@ -20,8 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from be_analytic_etl_spark.queries_reference import _t
 from be_analytic_etl_spark.registry import register
+
+
+# Local copy rather than `from queries_reference import _t`: registry
+# imports the query modules in sequence, so importing a NAME from a sibling
+# query module breaks when that sibling is mid-initialization (circular
+# import via registry when a test imports this module first).
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from be_analytic_etl_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name)
 
 _DEC = "decimal(28,6)"
 

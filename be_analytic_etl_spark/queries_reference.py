@@ -999,7 +999,13 @@ register(
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    # .cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ, and sessions
+    # with parquet NTZ inference (the driver's default) read events.ts as
+    # NTZ. The cast is a no-op on LTZ and a session-tz reinterpretation on
+    # NTZ — either way the *difference* is offset-free, so gap semantics
+    # are identical in both session configs.
+    ts_i = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts_i) - F.unix_micros(F.lag(ts_i, 1).over(w))
     flagged = ev.withColumn(
         "new_session",
         F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
@@ -1398,10 +1404,13 @@ register(
     SELECT event_type,
            CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
            COUNT(*) AS n,
-           SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+           -- CAST: DuckDB SUM(int) yields HUGEINT; Spark's is BIGINT and the
+           -- driver's value-hash distinguishes the representations.
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
                     <> CAST(json_extract_string(props, '$.k') AS BIGINT)
-                    THEN 1 ELSE 0 END) AS path_disagreements,
-           SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null
+                    THEN 1 ELSE 0 END) AS BIGINT) AS path_disagreements,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null
     FROM events
     GROUP BY 1, 2
     """,

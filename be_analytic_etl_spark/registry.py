@@ -36,3 +36,85 @@ from be_analytic_etl_spark import queries_reference  # noqa: E402,F401
 from be_analytic_etl_spark import queries_joins  # noqa: E402,F401
 from be_analytic_etl_spark import queries_extensions  # noqa: E402,F401
 from be_analytic_etl_spark import queries_analytics  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering. The round driver verifies the FIRST 50 registered
+# queries against the DuckDB oracle; everything after the window is only
+# locally gated (tests/test_registry_oracle.py). Rounds 1-3 left all ext_*
+# queries outside the window, so order the registry by verification debt:
+#   1. queries that have been driver-checked but never green (4 r1 reds,
+#      3 r3 reds fixed this round);
+#   2. sessionize (green r2, red r3 on an NTZ session delta, fixed);
+#   3. every never-driver-checked ext_* query (the LLM-pipeline surface);
+#   4. the 3 most distinctive never-checked relational shapes;
+#   5. everything already driver-green (r1-r3), then the 8 deferred
+#      join+agg variants of proven-green shapes — next round's rotation.
+_DRIVER_WINDOW_PRIORITY = [
+    # 1: checked-but-never-green
+    "ext_simhash",
+    "ext_simhash_neardup",
+    "ext_lsh_ann",
+    "ext_multimodal_features",
+    "ingest_e2e",
+    "ingest_finalize",
+    "json_extract",
+    # 2: regressed-then-fixed
+    "sessionize",
+    # 3: never-checked ext_* — headline dedup/similarity/pipeline ops first
+    "ext_dedup_groups",
+    "ext_pipeline",
+    "ext_leakage_safe_split",
+    "ext_semantic_neardup",
+    "ext_incremental_dedup",
+    "ext_chunk_dedup",
+    "ext_pack_shards",
+    "ext_contamination",
+    "ext_cross_source_overlap",
+    "ext_hash_split",
+    "ext_stratified_sample",
+    "ext_weighted_sample",
+    "ext_tfidf",
+    "ext_vocab_topk",
+    "ext_bigram_topk",
+    "ext_oov_rate",
+    "ext_repetition",
+    "ext_redact",
+    "ext_url_normalize",
+    "ext_asof_join",
+    "ext_range_join",
+    "ext_salted_join",
+    "ext_merge_upsert",
+    "ext_scd2",
+    "ext_gapfill",
+    "ext_ewma",
+    "ext_hll_distinct",
+    "ext_countmin",
+    "ext_bloom_join",
+    "ext_kmeans",
+    "ext_profile",
+    "ext_zorder",
+    "ext_zscore_outliers",
+    "ext_dq_audit",
+    "ext_corr_matrix",
+    "ext_corpus_report",
+    "ext_pagerank",
+    "ext_triangles",
+    "ext_ancestors",
+    # 4: distinctive never-checked relational shapes
+    "grouping_sets",
+    "window_suite",
+    "forecast_revenue",
+]
+
+
+def _reorder_for_driver_window() -> None:
+    prioritized = [n for n in _DRIVER_WINDOW_PRIORITY if n in QUERIES]
+    in_priority = set(prioritized)
+    order = prioritized + [n for n in QUERIES if n not in in_priority]
+    for d in (QUERIES, ORACLE_SQL):
+        snapshot = dict(d)
+        d.clear()
+        d.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_reorder_for_driver_window()

@@ -26,15 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Event-table schema (TESTDATA.md); file streams need an explicit schema.
-#: ``ts`` arrives as INT64 TIMESTAMP(NANOS) parquet — read as long under the
-#: nanosAsLong legacy conf and truncate to microseconds, exactly like the
-#: batch loader (sources/tables.py), so stream and batch see identical
-#: timestamps.
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, "
-    "event_type string, value double, props string"
-)
+def _events_schema(ts_type: str) -> str:
+    return (
+        f"event_id long, ts {ts_type}, user_id long, "
+        "event_type string, value double, props string"
+    )
 
 
 def read_events_stream(
@@ -42,16 +38,37 @@ def read_events_stream(
 ) -> DataFrame:
     """File-based event stream (each parquet file is a micro-batch).
 
+    File streams need an explicit schema, but the events table has shipped
+    in two physical formats (INT64 TIMESTAMP(NANOS), which Spark 4 only
+    reads as long under the nanosAsLong legacy conf, and plain
+    TIMESTAMP(MICROS) with NTZ semantics) — so probe the static footer
+    once (metadata-only batch read) and mirror exactly what the batch
+    loader (sources/tables.py) produces, keeping stream and batch twins
+    on identical timestamps.
+
     In production this would be a Kafka/Kinesis source; the transformation
     pipeline below is source-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    if ts_type == "bigint":
+        raw = (
+            spark.readStream.schema(_events_schema("long"))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ); reinterpret in the session tz — UTC in this engine, so
+        # wall-clock values are unchanged vs the batch twin.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_tumbling_agg(

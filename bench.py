@@ -74,17 +74,36 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    # The driver keeps only the last 2000 bytes of stdout and json-parses
+    # the final line; 117 full-precision per-query entries overflow that
+    # (rounds 2-3 recorded "parsed": null). Emit a compact line: headline
+    # metric + the flagship + as many slowest queries as fit a 1800-byte
+    # budget. Full per-query detail already streams to stderr above.
+    included: dict[str, float] = {}
+    ranked = ["flagship_mom_pivot"] + sorted(
+        (n for n in timings if n != "flagship_mom_pivot"),
+        key=lambda n: -timings[n],
+    )
+
+    def payload() -> str:
+        return json.dumps(
             {
                 "metric": "full_query_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": included,
+                "n_queries_total": len(timings),
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    for name in ranked:
+        included[name] = timings[name]
+        if len(payload()) > 1800:
+            del included[name]
+            break
+    print(payload())
     spark.stop()
 
 

@@ -1,8 +1,16 @@
-"""Shared test fixtures: one SparkSession per test run, DuckDB oracle helper."""
+"""Shared test fixtures: one SparkSession per test run, DuckDB oracle helper.
+
+The SparkSession here is DRIVER-FAITHFUL, not ``get_spark``: the round
+driver verifies registered queries in a *default-config* Spark 4 session —
+ANSI mode ON, parquet timestamps inferred as TIMESTAMP_NTZ — and hashes
+values through pandas, where representation (int64 vs float64 vs decimal)
+is visible. Round 2/3 shipped three driver reds that were invisible to a
+``get_spark`` (ANSI off) + ``fetchall`` (int==float) gate; this conftest
+reproduces the driver's view so that class of bug fails locally first.
+"""
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -18,9 +26,33 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    from be_analytic_etl_spark.session import get_spark
+    """Driver-faithful session: Spark 4 defaults (ANSI on, NTZ inference on).
 
-    s = get_spark("be-analytic-etl-spark-tests")
+    Only harness knobs (master/memory/UI) and the UTC timezone are set —
+    no semantic overrides. Registered queries must be correct here AND in
+    the engine's own forgiving ``get_spark`` session.
+    """
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    # Python workers import this package by path (see session.get_spark).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+    s = (
+        SparkSession.builder.appName("be-analytic-etl-spark-tests")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ui.retainedExecutions", "4")
+        .getOrCreate()
+    )
     yield s
     s.stop()
 
@@ -36,46 +68,89 @@ def duck():
     con.close()
 
 
-def _normalize_cell(v):
-    if v is None:
+def _canon_cell(v):
+    """Canonical (type-tag, value) form of one pandas cell.
+
+    Type tags make representation mismatches FAIL: DuckDB ``SUM(int)`` is
+    HUGEINT which lands in pandas as float64, Spark's BIGINT lands as
+    int64 — Python ``15 == 15.0`` would hide that, the driver's hash does
+    not. Floats normalize to 12 significant digits (absorbs cross-engine
+    last-ulp noise at any magnitude) then round(6).
+    """
+    import datetime
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:  # NaN
             return None
-        # absorb last-ulp float differences between engines
-        return round(v, 6)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_normalize_cell(x) for x in v)
-    return v
+        return ("f", round(float(f"{f:.12g}"), 6))
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v.normalize()))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if getattr(v, "tzinfo", None) is not None:
+            v = v.tz_convert("UTC").tz_localize(None) if isinstance(v, pd.Timestamp) else v
+        return ("t", v.isoformat())
+    if isinstance(v, datetime.date):
+        # Same tag as timestamps: DuckDB .df() renders DATE as a midnight
+        # datetime64 while Spark toPandas keeps date objects, and the
+        # driver's hash provably unifies the two (date_roundtrip is
+        # driver-green with a CAST(... AS DATE) oracle).
+        return ("t", v.isoformat() + "T00:00:00")
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(_canon_cell(x) for x in v))
+    if isinstance(v, str):
+        return ("s", v)
+    return ("o", str(v))
 
 
-def rows_key(rows, columns):
-    """Order-insensitive, column-name-sorted canonical form (driver-style)."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for r in rows:
-        out.append(tuple(_normalize_cell(r[i]) for i in order))
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+def _canon_pdf(pdf):
+    """Column-name-sorted, row-sorted canonical form (driver-style)."""
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in r)
+        for r in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 def assert_matches_oracle(spark_df, duck_con, sql, check_schema_names=True):
-    """Mimic the driver's compare: row count, column names, values."""
-    spark_rows = spark_df.collect()
-    spark_cols = spark_df.columns
-    res = duck_con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    """Mimic the driver's compare: row count, column names, typed values.
 
-    assert len(spark_rows) == len(duck_rows), (
-        f"row count: spark={len(spark_rows)} duckdb={len(duck_rows)}"
+    Both sides go through pandas (``toPandas`` / DuckDB ``.df()``) exactly
+    like the driver's ``_canon``, so dtype-level representation deltas
+    surface here.
+    """
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = duck_con.execute(sql).df()
+
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"row count: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
     )
     if check_schema_names:
-        assert sorted(spark_cols) == sorted(duck_cols), (
-            f"columns: spark={sorted(spark_cols)} duckdb={sorted(duck_cols)}"
+        assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+            f"columns: spark={sorted(spark_pdf.columns)} duckdb={sorted(duck_pdf.columns)}"
         )
-    sk = rows_key([tuple(r) for r in spark_rows], spark_cols)
-    dk = rows_key(duck_rows, duck_cols)
+    sk = _canon_pdf(spark_pdf)
+    dk = _canon_pdf(duck_pdf)
     mismatches = [(a, b) for a, b in zip(sk, dk) if a != b]
     assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"
+
+
+def rows_key(rows, columns):
+    """Back-compat shim for tests that canonicalize raw Row lists."""
+    import pandas as pd
+
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=list(columns))
+    return _canon_pdf(pdf)
