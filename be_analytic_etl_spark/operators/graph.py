@@ -46,6 +46,8 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 50,
+    algorithm: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node with the minimum node id of its component.
 
@@ -54,8 +56,23 @@ def connected_components(
     (isolated nodes — no incident edge — then appear with their own id as
     ``group_id``; otherwise only endpoint nodes are labeled).
 
+    ``algorithm``: ``"propagation"`` (default) converges in O(diameter)
+    rounds — right for near-dup graphs, which are unions of LSH-bucket
+    stars with tiny diameter. ``"star"`` is the large-star/small-star
+    contraction (Kiveris et al., SoCC 2014): O(log^2 n) rounds regardless
+    of diameter — the fallback for adversarial long-path graphs where
+    propagation would need thousands of rounds. Same output contract.
+
+    ``stats``, when given a dict, receives ``{"rounds": n}`` on return.
+
     Returns ``(id_col, group_id)``, one row per node.
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            edges, src, dst, nodes, id_col, max_iter, stats
+        )
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
         F.col("s") != F.col("d")
     )
@@ -72,7 +89,9 @@ def connected_components(
     labels = universe.select(id_col, F.col(id_col).alias("group_id"))
     labels = labels.localCheckpoint(eager=True)
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # min label among neighbors, one join + one (partially aggregated)
         # groupBy — the only data-proportional work per round.
         nbr_min = (
@@ -99,6 +118,107 @@ def connected_components(
             break
 
     sym.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame | None,
+    id_col: str,
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Large-star/small-star min-label contraction (Kiveris et al. 2014).
+
+    Each round rewrites the edge set toward a forest of stars rooted at
+    component minima:
+
+    - **large-star**: per node u, link every *strictly larger* neighbor to
+      ``m(u) = min(N(u) ∪ {u})`` — big nodes hop straight to the local
+      minimum, halving long paths;
+    - **small-star**: orient edges toward the smaller endpoint; per node u,
+      link u and all its smaller neighbors to the minimum — compacting
+      each local tree into a star.
+
+    Both steps are one groupBy-min + one join each, carrying only (node,
+    node) longs; lineage is truncated per round (localCheckpoint) exactly
+    like the propagation loop. Converges when the edge set is a fixpoint
+    (stable (count, hash-sum) signature — an O(1)-driver probe), in
+    O(log^2 n) rounds even on a path graph where propagation needs O(n).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+
+    endpoint_ids = e.select(F.col("s").alias(id_col)).union(
+        e.select(F.col("d").alias(id_col))
+    )
+    universe = (
+        nodes.select(F.col(id_col)).union(endpoint_ids).distinct()
+        if nodes is not None
+        else endpoint_ids.distinct()
+    )
+    universe = universe.localCheckpoint(eager=True)
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        m = sym.groupBy("s").agg(F.min("d").alias("__nbr_min"))
+        m = m.select("s", F.least("s", "__nbr_min").alias("__m"))
+        return (
+            sym.join(m, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("__m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient toward the smaller endpoint: u = max, v = min
+        o = ed.select(
+            F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("__m"))
+        link_smaller = (
+            o.join(m, "u")
+            .filter(F.col("v") != F.col("__m"))
+            .select(F.col("v").alias("s"), F.col("__m").alias("d"))
+        )
+        link_self = m.select(F.col("u").alias("s"), F.col("__m").alias("d"))
+        return link_smaller.union(link_self).filter(F.col("s") != F.col("d")).distinct()
+
+    def signature(ed: DataFrame):
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("s", "d").cast("long")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # Fixpoint edges are (child, component-min) stars; roots and isolated
+    # nodes label themselves.
+    labels = (
+        universe.join(e.select(F.col("s").alias(id_col), F.col("d").alias("__g")), id_col, "left")
+        .groupBy(id_col)
+        .agg(F.min(F.coalesce("__g", F.col(id_col))).alias("group_id"))
+    )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 

@@ -332,6 +332,7 @@ def assign_cells(
     vec_col: str = "embedding",
     n_cells: int = 8,
     cell_col: str = "cell",
+    n_assign: int = 1,
 ) -> DataFrame:
     """Map-only IVF cell assignment: adds ``cell_col`` = index of the
     argmax-cosine centroid (first-max tie-break, i.e. equal similarity
@@ -344,6 +345,15 @@ def assign_cells(
     ZERO shuffles: the full table is never joined, only mapped. This is
     the blocking front half of semantic dedup — downstream pair search is
     confined to within-cell candidates.
+
+    ``n_assign > 1`` multi-assigns each vector to its top-``n_assign``
+    cells (one output row per assignment — still map-only, an explode not
+    a join). This is IVF multi-probe for DEDUP: a near-dup pair straddling
+    a cell boundary is missed under single assignment, but co-occurs in a
+    shared cell whenever either vector's probe list covers the other's
+    best cell — recall rises at ~``n_assign``x candidate-pair cost.
+    Downstream pair consumers must de-duplicate (a pair can share more
+    than one cell).
     """
     import math
 
@@ -363,6 +373,8 @@ def assign_cells(
             acc = acc + x * x
         cent_norms.append(math.sqrt(acc))
 
+    idx = F.sequence(F.lit(0), F.lit(len(cent_vecs) - 1))
+
     def cell_of(vec: Column) -> Column:
         def body(v: Column) -> Column:
             def with_norm(nv: Column) -> Column:
@@ -377,15 +389,25 @@ def assign_cells(
                         for i in range(len(cent_vecs))
                     ]
                 )
-                return let(
-                    sims,
-                    lambda s: (
-                        F.array_position(s, F.array_max(s)).cast("int") - 1
-                    ),
+                if n_assign == 1:
+                    return let(
+                        sims,
+                        lambda s: F.array(
+                            F.array_position(s, F.array_max(s)).cast("int") - 1
+                        ),
+                    )
+                # top-n cells: sort struct(-sim, idx) asc == sim desc, idx asc
+                ranked = F.sort_array(
+                    F.arrays_zip(
+                        F.transform(sims, lambda s: -s).alias("s"), idx.alias("i")
+                    )
+                )
+                return F.transform(
+                    F.slice(ranked, 1, n_assign), lambda st: st["i"].cast("int")
                 )
 
             return let(l2_norm(v), with_norm)
 
         return let(vec, body)
 
-    return embeddings.withColumn(cell_col, cell_of(_vec(vec_col)))
+    return embeddings.withColumn(cell_col, F.explode(cell_of(_vec(vec_col))))

@@ -1812,6 +1812,57 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Semantic near-dup with IVF MULTI-PROBE (n_assign=2): each vector joins
+# its top-2 cells, so a pair straddling one cell boundary still co-occurs
+# whenever either vector's second-best cell is the other's best — recall
+# over the single-assign query rises at ~2x candidate cost (asserted a
+# superset in tests/test_similarity_ops.py). Pairs sharing both cells
+# appear twice in the candidate set; one DISTINCT on (id_a, id_b) output
+# rows restores set semantics. Assignment stays map-only (explode, no
+# join); still zero shuffles before the within-cell pair search.
+_SEM_ASSIGN = 2
+
+
+def q_ext_semantic_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = S.assign_cells(emb, n_cells=_IVF_CELLS, n_assign=_SEM_ASSIGN)
+    pairs = S.cosine_pairs_above(
+        cells, block_cols=["cell"], threshold=_SEM_THRESH, round_to=None
+    )
+    return pairs.select("id_a", "id_b", "cos_sim").dropDuplicates(["id_a", "id_b"])
+
+
+register(
+    "ext_semantic_neardup_multiprobe",
+    q_ext_semantic_neardup_multiprobe,
+    f"""
+    WITH cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding AS cv
+        FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), assign AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("c.cv", "e.embedding")} DESC, c.cell) AS rn
+            FROM embeddings e, cent c)
+        WHERE rn <= {_SEM_ASSIGN}
+    ), pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS va, b.embedding AS vb
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT id_a, id_b, {_cos_sql("va", "vb")} AS cos_sim FROM pairs
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {_SEM_THRESH}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: each NEW batch (doc_id % 5 == 0 stands in for today's
 # crawl) classified against the already-ingested corpus — exact_dup by
 # normalized fingerprint, near_dup by LSH-candidate + exact-Jaccard

@@ -17,6 +17,7 @@ cluster. Defaults below are chosen so the same code runs unchanged on
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -75,3 +76,38 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of RDDs currently holding cached blocks (includes DataFrame
+    persists and localCheckpoint storage)."""
+    return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
+@contextmanager
+def cached_scope(spark: SparkSession):
+    """Eagerly release every persist created inside the block.
+
+    Several operators persist intermediates that a single consumption
+    can't avoid recomputing (LSH banded tables, shingle sets, dense-id
+    inputs, CC frontiers). Per-query that's fine — blocks release on plan
+    GC — but a long-lived session (bench loop, notebook, driver round)
+    accumulates them. Wrap the *produce-and-consume* of one query:
+
+        with cached_scope(spark):
+            pairs = minhash_lsh_pairs(docs, "text", "doc_id")
+            pairs.write.parquet(out)          # consume INSIDE the block
+
+    On exit, any RDD persisted during the block (and not persisted before
+    it) is unpersisted — pre-existing caches are untouched. Results must
+    be materialized inside the block; afterwards their plans recompute
+    from source if re-run.
+    """
+    before = persistent_rdd_ids(spark)
+    try:
+        yield
+    finally:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in list(jmap.keySet()):
+            if int(k) not in before:
+                jmap.get(k).unpersist(False)

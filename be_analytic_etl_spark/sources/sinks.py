@@ -46,8 +46,16 @@ def write_jdbc(
     batchsize: int = 10_000,
     num_partitions: int | None = None,
     mode: str = "overwrite",
+    primary_key: str | list[str] | None = None,
 ) -> None:
-    """S11-S13: parallel JDBC load. N partitions -> N concurrent writers."""
+    """S11-S13: parallel JDBC load. N partitions -> N concurrent writers.
+
+    ``primary_key`` replicates the reference's ``id INTEGER PRIMARY KEY``
+    DDL (``/root/reference/connect_postgre.py:244-252``): Spark's JDBC
+    writer cannot declare constraints, so after the load the key columns
+    are made NOT NULL and a PK constraint is added via one driver-side
+    JDBC statement (control-plane DDL, not a data funnel).
+    """
     out = df.repartition(num_partitions) if num_partitions else df
     writer = (
         out.write.format("jdbc")
@@ -61,6 +69,54 @@ def write_jdbc(
     if column_types:
         writer = writer.option("createTableColumnTypes", column_types)
     writer.save()
+    if primary_key:
+        cols = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+        add_primary_key(df.sparkSession, url, table, cols, user, password)
+
+
+def _jdbc_execute(spark, url: str, user: str, password: str, statements: list[str]) -> None:
+    """Run DDL over JDBC through the JVM's DriverManager (Spark's JDBC
+    writer only emits CREATE/INSERT; constraints need raw statements)."""
+    jvm = spark._sc._jvm
+    props = jvm.java.util.Properties()
+    if user:
+        props.setProperty("user", user)
+    if password:
+        props.setProperty("password", password)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        for sql in statements:
+            stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def add_primary_key(
+    spark, url: str, table: str, columns: list[str], user: str = "", password: str = ""
+) -> None:
+    """Post-load ``ALTER TABLE … ADD PRIMARY KEY`` (reference parity:
+    ``connect_postgre.py:244-252`` declares the id column as PRIMARY KEY).
+
+    JDBC-created columns are nullable by default and every SQL engine
+    requires PK columns NOT NULL, so each key column is tightened first.
+    Dialect split: Derby spells it ``ALTER COLUMN c NOT NULL``, Postgres
+    (the reference's warehouse) ``ALTER COLUMN c SET NOT NULL``.
+    """
+    set_kw = "" if url.startswith("jdbc:derby") else "SET "
+    # Spark's JDBC writer creates COLUMNS quoted (case-preserved) but passes
+    # the table name through unquoted — mirror that here or case-folding
+    # databases (Derby, Postgres) won't resolve the identifiers.
+    quoted = [f'"{c}"' for c in columns]
+    ddl = [
+        f"ALTER TABLE {table} ALTER COLUMN {c} {set_kw}NOT NULL" for c in quoted
+    ]
+    ddl.append(
+        f"ALTER TABLE {table} ADD CONSTRAINT {table}_pk "
+        f"PRIMARY KEY ({', '.join(quoted)})"
+    )
+    _jdbc_execute(spark, url, user, password, ddl)
 
 
 def write_bucketed_table(
@@ -138,6 +194,7 @@ def import_csv_automatic(
     target: str = "jdbc",
     batchsize: int = 10_000,
     num_partitions: int | None = None,
+    primary_key: str | list[str] | None = None,
 ) -> str:
     """EP2 orchestration parity: ONE call takes a consolidated CSV to a
     warehouse table (``/root/reference/connect_postgre.py:323-370``) —
@@ -168,6 +225,7 @@ def import_csv_automatic(
             column_types=column_types,
             batchsize=batchsize,
             num_partitions=num_partitions,
+            primary_key=primary_key,
         )
     elif target == "table":
         df.write.mode("overwrite").format("parquet").saveAsTable(table)

@@ -178,3 +178,57 @@ def test_transitive_ancestors_cycle_raises(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
     with _pytest.raises(RuntimeError):
         transitive_ancestors(cyc, max_iter=5)
+
+
+# --- large-star/small-star fallback -----------------------------------------
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    prop = {
+        (r["id"], r["group_id"])
+        for r in connected_components(e).collect()
+    }
+    star = {
+        (r["id"], r["group_id"])
+        for r in connected_components(e, algorithm="star").collect()
+    }
+    assert star == prop
+
+
+def test_star_cc_converges_logarithmically_on_path_graph(spark):
+    """A path of length 1000 needs ~1000 propagation rounds; the star
+    contraction must finish in O(log^2 n) — well under 20."""
+    n = 1000
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    labels = connected_components(
+        e, algorithm="star", max_iter=30, stats=stats
+    )
+    assert stats["rounds"] < 20, stats
+    got = labels.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("group_id").alias("g")
+    ).first()
+    assert got["n"] == n + 1
+    assert got["g"] == 1
+    assert labels.filter(F.col("group_id") != 0).count() == 0
+
+
+def test_star_cc_isolated_nodes_and_stats(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    nodes = spark.range(0, 15).select(F.col("id"))
+    stats: dict = {}
+    labels = connected_components(e, nodes=nodes, algorithm="star", stats=stats)
+    got = {r["id"]: r["group_id"] for r in labels.collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    # isolated nodes label themselves
+    for i in [0, 4, 5, 6, 7, 8, 9, 12, 13, 14]:
+        assert got[i] == i
+    assert stats["rounds"] >= 1

@@ -141,3 +141,35 @@ def test_jsonl_roundtrip_preserves_types_and_values(spark):
     }
     rows = df.collect()
     assert rows and all(r["n_events"] > 0 for r in rows)
+
+
+def test_multiprobe_assign_is_superset_and_improves_recall(spark):
+    """n_assign=2 (IVF multi-probe): every single-assign cell is among the
+    top-2, so each vector's multi-assign rows contain its single-assign
+    row; and the near-dup pair set can only grow (boundary pairs join)."""
+    from be_analytic_etl_spark.operators import similarity as S
+    from be_analytic_etl_spark.registry import QUERIES
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    single = {
+        (r["vec_id"], r["cell"])
+        for r in S.assign_cells(emb, n_cells=8).select("vec_id", "cell").collect()
+    }
+    multi = {
+        (r["vec_id"], r["cell"])
+        for r in S.assign_cells(emb, n_cells=8, n_assign=2)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert single <= multi
+    assert len(multi) == 2 * len(single)
+
+    pairs_single = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["ext_semantic_neardup"](spark, SF_DIR).collect()
+    }
+    pairs_multi = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["ext_semantic_neardup_multiprobe"](spark, SF_DIR).collect()
+    }
+    assert pairs_single <= pairs_multi

@@ -131,3 +131,47 @@ def test_import_csv_automatic_jdbc_target(spark, tmp_path):
     )
     got = sorted((r["id"], r["val"]) for r in back.collect())
     assert got == [(i, i * 1.25) for i in range(4)]
+
+
+@pytest.mark.skipif(not _derby_available(), reason="no embedded Derby jar")
+def test_write_jdbc_primary_key(spark):
+    """primary_key= issues post-load NOT NULL + ADD PRIMARY KEY DDL
+    (reference parity: connect_postgre.py declares id INTEGER PRIMARY KEY)
+    and the constraint is live — a duplicate key insert must fail."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    )
+    url = "jdbc:derby:memory:graft_pk;create=true"
+    write_jdbc(
+        df,
+        url,
+        "t_pk",
+        user="",
+        password="",
+        column_types="id BIGINT, name VARCHAR(20)",
+        primary_key="id",
+    )
+    # the constraint exists in Derby's catalog...
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.createStatement().executeQuery(
+            "SELECT c.CONSTRAINTNAME, c.TYPE FROM SYS.SYSCONSTRAINTS c "
+            "JOIN SYS.SYSTABLES t ON c.TABLEID = t.TABLEID "
+            "WHERE t.TABLENAME = 'T_PK'"
+        )
+        constraints = []
+        while rs.next():
+            constraints.append((rs.getString(1), rs.getString(2)))
+        assert ("T_PK_PK", "P") in constraints, constraints
+        # ...and actually enforces: duplicate id must raise
+        import py4j.protocol
+
+        stmt = conn.createStatement()
+        try:
+            stmt.execute("INSERT INTO t_pk VALUES (1, 'dup')")
+            raise AssertionError("duplicate PK insert should have failed")
+        except py4j.protocol.Py4JJavaError as e:
+            assert "duplicate key" in str(e).lower() or "23505" in str(e)
+    finally:
+        conn.close()
