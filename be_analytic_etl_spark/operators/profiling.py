@@ -1,10 +1,14 @@
 """Table profiling and multi-dimensional layout keys.
 
 ``profile``: the ANALYZE-TABLE primitive — per-column null rate, exact
-distinct count, numeric min/max — computed in as few passes as Spark's
-aggregation allows (one job; each exact distinct adds an Expand path,
-which is the documented cost of exactness — swap in
-``approx_count_distinct`` at 100 TB). Output is long format (one row per
+distinct count, numeric min/max. One branch per column, unioned: each
+branch scans ONLY its column (parquet column pruning) and its single
+``countDistinct`` plans as a two-phase hash aggregate — no Expand. The
+earlier one-agg-with-N-distincts formulation made Catalyst Expand every
+row N+1 ways (a 6x row multiplication on a 5-column profile) before
+aggregating; per-column branches shuffle only each column's distinct
+values. Swap in ``approx_count_distinct`` for a one-pass sketch profile
+at 100 TB if exactness is negotiable. Output is long format (one row per
 column) so downstream quality checks can join on column name.
 
 ``zorder_key``: bit-interleaved Morton code over two integer columns.
@@ -33,27 +37,35 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         in ("byte", "short", "integer", "long", "float", "double", "decimal")
     }
     columns = columns or df.columns
-    aggs = []
+    from functools import reduce
+
+    branches = []
     for c in columns:
-        aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            (F.min(c).cast("double") if c in numeric else F.lit(None).cast("double")).alias(
-                f"__mn_{c}"
-            ),
-            (F.max(c).cast("double") if c in numeric else F.lit(None).cast("double")).alias(
-                f"__mx_{c}"
-            ),
-        ]
-    wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in columns
-    )
-    return wide.selectExpr(
-        f"stack({len(columns)}, {stack}) AS "
-        "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
-    )
+        branches.append(
+            df.select(c).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                (
+                    F.min(c).cast("double")
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("min_value"),
+                (
+                    F.max(c).cast("double")
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("max_value"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), branches)
 
 
 def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:

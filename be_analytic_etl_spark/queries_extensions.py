@@ -1558,6 +1558,8 @@ def q_ext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from be_analytic_etl_spark.operators import graph as G
     from be_analytic_etl_spark.operators import sampling as SP
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "text", "lang", F.size(T.tokenize(F.col("text"))).alias("n_tokens")
@@ -1568,6 +1570,11 @@ def q_ext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.exact_dedup_keep_min(base).select(F.col("keep_id").alias("doc_id")),
         "doc_id",
     )
+    # survivors feeds LSH pair generation AND the representative join —
+    # four downstream references in total; unpersisted, each re-runs the
+    # documents scan + tokenize + exact-dedup join. Persist once (spills;
+    # release via session.cached_scope in long-lived sessions).
+    survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = D.minhash_lsh_pairs(
         survivors,
         num_hashes=_MH_HASHES,

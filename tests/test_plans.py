@@ -405,3 +405,19 @@ def test_incremental_dedup_jvm_side_no_cartesian(spark):
     plan = plan_of(df)
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_profile_has_no_expand(spark):
+    """profile(): one branch per column, each a single-distinct two-phase
+    aggregate — the N-distincts-in-one-agg formulation Expands every row
+    N+1 ways before aggregating, a 6x row multiplication at any scale."""
+    plan = plan_of(QUERIES["ext_profile"](spark, SF_DIR))
+    assert "Expand" not in plan
+    # each branch scans only its own column
+    assert plan.count("Scan parquet") >= 5
+
+
+def test_profile_branches_prune_to_single_column(spark):
+    plan = plan_of(QUERIES["ext_profile"](spark, SF_DIR))
+    for col in ["l_orderkey", "l_quantity", "l_extendedprice"]:
+        assert f"ReadSchema: struct<{col}:" in plan, plan[:500]
