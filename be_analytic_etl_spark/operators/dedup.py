@@ -614,3 +614,91 @@ def incremental_dedup_status(
             .alias("status"),
         )
     )
+
+
+def lsh_recall_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sample_buckets: int = 300,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    portable: bool = False,
+) -> DataFrame:
+    """Measured recall/precision of THIS LSH configuration, from a
+    deterministic document sample — the tuning instrument for the
+    (num_hashes, bands, threshold) tradeoff.
+
+    On a hash-selected sample (``sample_buckets``/10000 of documents,
+    salt-keyed so reruns see the same docs), computes ground truth by
+    exact all-pairs Jaccard — quadratic, but in the SAMPLE only, which is
+    the point: the sample is sized to make the exact baseline affordable
+    while the estimate transfers to the full corpus (pair survival depends
+    only on the two documents' shingle sets, not corpus size; band
+    collisions from OTHER documents only add candidates). LSH candidates
+    are the band-bucket pairs *before* Jaccard verification, so precision
+    here prices the wasted verification work, and recall prices missed
+    true pairs — verified-pair output always has precision 1 by
+    construction.
+
+    Returns ONE row: (n_sample, n_truth, n_cand, n_hit, recall,
+    candidate_precision). Recall is 1.0 when the sample holds no true
+    pair (nothing to miss).
+    """
+    from be_analytic_etl_spark.operators.sampling import hash_bucket
+
+    sample = df.filter(
+        hash_bucket(F.col(id_col), "lshrecall") < sample_buckets
+    ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+
+    shing = sample.select(
+        F.col("__id"), word_ngrams(F.col("__text"), shingle_n).alias("__sh")
+    )
+    a = shing.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = shing.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    # exact all-pairs baseline, confined to the broadcast-sized sample
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+    truth = pairs.filter(jac >= jaccard_threshold).select("id_a", "id_b")
+
+    banded = band_buckets(
+        sample,
+        "__text",
+        "__id",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        portable=portable,
+    )
+    la = banded.select("band", "bucket", F.col("__id").alias("id_a"))
+    lb = banded.select("band", "bucket", F.col("__id").alias("id_b"))
+    cand = (
+        la.join(lb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    n_sample = sample.select(F.count(F.lit(1)).alias("n_sample"))
+    n_truth = truth.select(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.select(F.count(F.lit(1)).alias("n_hit"))
+    out = n_sample.crossJoin(n_truth).crossJoin(n_cand).crossJoin(n_hit)
+    return out.select(
+        "n_sample",
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
+        .alias("recall"),
+        F.when(F.col("n_cand") == 0, F.lit(1.0))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_cand"))
+        .alias("candidate_precision"),
+    )

@@ -59,14 +59,37 @@ def attach_binary_metadata(
     )
 
 
+def _source_file_bytes(df: DataFrame) -> int | None:
+    """Total on-disk size of the DataFrame's source files — a metadata-only
+    listing (no data read). None when the frame isn't file-backed."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    jvm = df.sparkSession._jvm
+    hconf = df.sparkSession._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        fs = path.getFileSystem(hconf)
+        total += fs.getFileStatus(path).getLen()
+    return total
+
+
 def repartition_for_payloads(
     df: DataFrame,
     payload_col: str = "payload",
     target_partition_bytes: int = 128 * 2**20,
     min_partitions: int | None = None,
 ) -> DataFrame:
-    """Partition by total payload BYTES (cheap count+sum job), so each
-    mapInPandas worker sees ~target bytes regardless of row width.
+    """Partition by total payload BYTES, so each mapInPandas worker sees
+    ~target bytes regardless of row width.
+
+    The byte total comes from source-file metadata when the frame is
+    file-backed (a filesystem listing — zero data read); only non-file
+    frames fall back to a sum(length) scan, which would otherwise be a
+    full extra pass over the payload column just to pick a partition
+    count. File size is compressed size, but binary payloads compress
+    ~1:1 and the number only routes partitioning.
 
     ``min_partitions`` (default: the session's default parallelism) floors
     the count — a corpus smaller than one target chunk must still fan out
@@ -74,7 +97,9 @@ def repartition_for_payloads(
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
-    total = df.agg(F.sum(F.length(payload_col))).first()[0] or 0
+    total = _source_file_bytes(df)
+    if total is None:
+        total = df.agg(F.sum(F.length(payload_col))).first()[0] or 0
     n = max(min_partitions, int(total / target_partition_bytes) + 1)
     return df.repartition(n)
 

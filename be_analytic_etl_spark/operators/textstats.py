@@ -312,3 +312,36 @@ def repetition_stats(
             top_frac.alias("top_gram_frac"),
         )
     )
+
+
+def token_frequency_spectrum(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus frequency spectrum (count-of-counts): for each occurrence
+    count ``freq``, how many distinct token types occur exactly ``freq``
+    times, and how much token mass they carry.
+
+    This is the input to Good-Turing / Kneser-Ney smoothing (N_1, N_2, ...
+    in the LM literature) and the standard corpus diagnostic for
+    vocabulary health: a crawl with an inflated singleton fraction
+    (N_1 / V) is full of noise tokens; boilerplate shows up as excess
+    high-frequency mass.
+
+    Scale: the token count is one (token)-keyed shuffle with map-side
+    partial aggregation — the same shape as a vocabulary build; the
+    spectrum rollup then shuffles only (count, n_types) pairs, a frame
+    whose size is the number of DISTINCT counts (~thousands at any corpus
+    size, Zipf guarantees it). No step is proportional to documents after
+    the first aggregation.
+
+    Returns ``(freq, n_types, token_mass)``.
+    """
+    tok = (
+        df.select(F.explode(tokenize(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tok.groupBy(F.col("c").alias("freq")).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.col("freq") * F.count(F.lit(1))).cast("long").alias("token_mass"),
+    )

@@ -2171,3 +2171,163 @@ register(
     GROUP BY a.source, b.source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus frequency spectrum (count-of-counts) — the Good-Turing / Kneser-Ney
+# smoothing input (N_1, N_2, ... type counts) and the standard vocabulary
+# health diagnostic (singleton fraction = crawl noise; excess high-freq mass
+# = boilerplate). Token count: one (token)-keyed shuffle with map-side
+# partial agg; the spectrum rollup shuffles only (count, n_types) pairs —
+# a distinct-counts-sized frame, tiny at any corpus size by Zipf.
+def q_ext_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.textstats import token_frequency_spectrum
+
+    return token_frequency_spectrum(_t(spark, sf_dir, "documents"))
+
+
+register(
+    "ext_freq_spectrum",
+    q_ext_freq_spectrum,
+    f"""
+    WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok)
+    SELECT c AS freq, COUNT(*) AS n_types,
+           CAST(c * COUNT(*) AS BIGINT) AS token_mass
+    FROM c GROUP BY c
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Histogram-quantile sketch (operators/profiling.py): per-event-type
+# p50/p90/p99 from a 64-bin fixed histogram — the mergeable, no-global-sort
+# alternative to exact percentile(); every arithmetic step (bin function,
+# ceil-rank rule, lower-edge estimate) is replayed identically by the SQL
+# twin, so unlike t-digest/GK internals the sketch is value-checkable.
+_HQ_BINS = 64
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+def q_ext_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.profiling import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, "value", group_cols=["event_type"], bins=_HQ_BINS, quantiles=_HQ_QS
+    )
+
+
+def _hq_oracle() -> str:
+    per_q = []
+    for q in _HQ_QS:
+        per_q.append(
+            f"""
+    SELECT event_type, CAST({q} AS DOUBLE) AS q,
+           CASE WHEN mx = mn THEN mn
+                ELSE mn + qbin * (mx - mn) / {_HQ_BINS} END AS quantile_est,
+           n
+    FROM (
+        SELECT event_type, mn, mx, n, MIN(bin) AS qbin
+        FROM cum WHERE cumc >= CEIL({q} * n)
+        GROUP BY event_type, mn, mx, n)
+    """
+        )
+    union = " UNION ALL ".join(per_q)
+    return f"""
+    WITH stats AS (
+        SELECT event_type, MIN(CAST(value AS DOUBLE)) AS mn,
+               MAX(CAST(value AS DOUBLE)) AS mx, COUNT(value) AS n
+        FROM events GROUP BY event_type
+    ), binned AS (
+        SELECT e.event_type, s.mn, s.mx, s.n,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE LEAST({_HQ_BINS - 1},
+                         CAST(FLOOR(((CAST(e.value AS DOUBLE) - s.mn)
+                                     / (s.mx - s.mn)) * {_HQ_BINS}) AS INTEGER))
+               END AS bin
+        FROM events e JOIN stats s USING (event_type)
+        WHERE e.value IS NOT NULL
+    ), counts AS (
+        SELECT event_type, mn, mx, n, bin, COUNT(*) AS bc
+        FROM binned GROUP BY event_type, mn, mx, n, bin
+    ), cum AS (
+        SELECT event_type, mn, mx, n, bin,
+               SUM(bc) OVER (PARTITION BY event_type ORDER BY bin) AS cumc
+        FROM counts
+    )
+    {union}
+    """
+
+
+register("ext_histogram_quantiles", q_ext_histogram_quantiles, _hq_oracle())
+
+
+# ---------------------------------------------------------------------------
+# LSH recall estimation (operators/dedup.py): measured recall + candidate
+# precision of the engine's own (num_hashes, bands, threshold) config on a
+# deterministic 3% document sample — exact all-pairs Jaccard ground truth
+# confined to the broadcast-sized sample, band-bucket candidates BEFORE
+# verification. The tuning loop of a production dedup: recall prices the
+# near-dups the config misses, candidate precision prices the wasted
+# verification joins.
+_LSHR_BUCKETS = 300
+
+
+def q_ext_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.lsh_recall_estimate(
+        docs,
+        sample_buckets=_LSHR_BUCKETS,
+        num_hashes=_MH_HASHES,
+        bands=_LSH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        jaccard_threshold=_LSH_THRESH,
+        portable=True,
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    bucket = (
+        "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|lshrecall'), 1, 15) "
+        f"AS BIGINT) % 10000) < {_LSHR_BUCKETS}"
+    )
+    return f"""
+    WITH sample AS (
+        SELECT doc_id AS id, text FROM documents WHERE {bucket}
+    ), sh AS (
+        SELECT id, {_grams_sql(_TOKS, _MH_SHINGLE)} AS g FROM sample
+    ), truth AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM (SELECT id, g AS ga FROM sh) a
+        JOIN (SELECT id, g AS gb FROM sh) b ON a.id < b.id
+        WHERE {_JACCARD} >= {_LSH_THRESH}
+    ), sig AS (
+        SELECT id, {_sig_sql("g", _MH_HASHES)} AS sig FROM sh
+    ), banded AS (
+        SELECT id, b AS band,
+               array_to_string(list_slice(sig, b * {_LSH_ROWS} + 1,
+                                          b * {_LSH_ROWS} + {_LSH_ROWS}), ',') AS bucket
+        FROM sig, range(0, {_LSH_BANDS}) r(b)
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b USING (band, bucket)
+        WHERE a.id < b.id
+    ), hit AS (
+        SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM cand
+    ), m AS (
+        SELECT (SELECT COUNT(*) FROM sample) AS n_sample,
+               (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM cand) AS n_cand,
+               (SELECT COUNT(*) FROM hit) AS n_hit
+    )
+    SELECT n_sample, n_truth, n_cand, n_hit,
+           CASE WHEN n_truth = 0 THEN 1.0
+                ELSE CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+           CASE WHEN n_cand = 0 THEN 1.0
+                ELSE CAST(n_hit AS DOUBLE) / n_cand END AS candidate_precision
+    FROM m
+    """
+
+
+register("ext_lsh_recall", q_ext_lsh_recall, _lsh_recall_oracle())

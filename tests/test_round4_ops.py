@@ -1,0 +1,81 @@
+"""Round-4 operators: frequency spectrum, histogram quantiles, LSH recall.
+
+The registry oracle pins cross-engine values; these pin the SEMANTICS —
+mass conservation, sketch error bounds, estimator sanity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_freq_spectrum_conserves_mass_and_vocab(spark):
+    from be_analytic_etl_spark.operators.textstats import (
+        token_frequency_spectrum,
+        tokenize,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spec = token_frequency_spectrum(docs).cache()
+    got = spec.agg(
+        F.sum("token_mass").alias("mass"), F.sum("n_types").alias("vocab")
+    ).first()
+    total_tokens = docs.select(
+        F.sum(F.size(tokenize("text"))).alias("n")
+    ).first()["n"]
+    vocab = (
+        docs.select(F.explode(tokenize("text")).alias("t")).distinct().count()
+    )
+    assert got["mass"] == total_tokens
+    assert got["vocab"] == vocab
+    # spectrum is keyed by freq: no duplicate freq rows
+    assert spec.count() == spec.select("freq").distinct().count()
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark):
+    from be_analytic_etl_spark.operators.profiling import histogram_quantiles
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bins = 64
+    est = {
+        (r["event_type"], r["q"]): r["quantile_est"]
+        for r in histogram_quantiles(
+            ev, "value", group_cols=["event_type"], bins=bins
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["vmin"], r["vmax"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    for etype, (p50, p90, vmin, vmax) in exact.items():
+        width = (vmax - vmin) / bins
+        assert abs(est[(etype, 0.5)] - p50) <= width + 1e-9, etype
+        assert abs(est[(etype, 0.9)] - p90) <= width + 1e-9, etype
+
+
+def test_lsh_recall_estimator_sanity(spark):
+    from be_analytic_etl_spark.operators.dedup import lsh_recall_estimate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = lsh_recall_estimate(
+        docs, sample_buckets=1000, num_hashes=8, bands=4, shingle_n=3,
+        jaccard_threshold=0.6, portable=True,
+    ).first()
+    assert row["n_hit"] <= row["n_truth"]
+    assert row["n_hit"] <= row["n_cand"]
+    assert 0.0 <= row["recall"] <= 1.0
+    assert 0.0 <= row["candidate_precision"] <= 1.0
+    assert row["n_sample"] > 0
+    # with 4 bands of 2 hashes at threshold 0.6, candidate recall on a
+    # same-corpus sample should be high — a collapsed estimator (0 cand)
+    # would be a banding bug
+    assert row["n_cand"] > 0
