@@ -648,11 +648,18 @@ def lsh_recall_estimate(
     candidate_precision). Recall is 1.0 when the sample holds no true
     pair (nothing to miss).
     """
+    from pyspark import StorageLevel
+
     from be_analytic_etl_spark.operators.sampling import hash_bucket
 
-    sample = df.filter(
-        hash_bucket(F.col(id_col), "lshrecall") < sample_buckets
-    ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    # The sample feeds three consumers (shingle pairs, banding, the size
+    # count); persist so the documents scan + hash filter run once. It is
+    # broadcast-sized by construction.
+    sample = (
+        df.filter(hash_bucket(F.col(id_col), "lshrecall") < sample_buckets)
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     shing = sample.select(
         F.col("__id"), word_ngrams(F.col("__text"), shingle_n).alias("__sh")
@@ -684,12 +691,19 @@ def lsh_recall_estimate(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    # One full-outer flag join scores truth and candidates in a single
+    # pass each — four independent count branches would re-evaluate the
+    # quadratic truth subtree and the banding subtree twice apiece.
+    t = truth.withColumn("__t", F.lit(1))
+    c = cand.withColumn("__c", F.lit(1))
+    scored = t.join(c, ["id_a", "id_b"], "full_outer")
+    metrics = scored.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_cand"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__c")), F.lit(0)).alias("n_hit"),
+    )
     n_sample = sample.select(F.count(F.lit(1)).alias("n_sample"))
-    n_truth = truth.select(F.count(F.lit(1)).alias("n_truth"))
-    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = hit.select(F.count(F.lit(1)).alias("n_hit"))
-    out = n_sample.crossJoin(n_truth).crossJoin(n_cand).crossJoin(n_hit)
+    out = n_sample.crossJoin(metrics)
     return out.select(
         "n_sample",
         "n_truth",

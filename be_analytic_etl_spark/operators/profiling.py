@@ -209,17 +209,24 @@ def histogram_quantiles(
     )
     cum = counts.withColumn("__cum", F.sum("__bc").over(w))
 
+    # ALL quantiles in one aggregation over the cumulative histogram —
+    # conditional min per q — so the events scan + stats join + window
+    # run once, not once per quantile.
+    qaggs = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")), F.col("__bin")
+            )
+        ).alias(f"__qbin_{i}")
+        for i, q in enumerate(quantiles)
+    ]
+    hit = cum.groupBy(*group_cols, "__mn", "__mx", "__n").agg(*qaggs)
+
     outs = []
-    for q in quantiles:
-        rank = F.ceil(F.lit(q) * F.col("__n"))
-        hit = (
-            cum.filter(F.col("__cum") >= rank)
-            .groupBy(*group_cols, "__mn", "__mx", "__n")
-            .agg(F.min("__bin").alias("__qbin"))
-        )
+    for i, q in enumerate(quantiles):
         est = F.when(F.col("__mx") == F.col("__mn"), F.col("__mn")).otherwise(
             F.col("__mn")
-            + F.col("__qbin") * (F.col("__mx") - F.col("__mn")) / F.lit(bins)
+            + F.col(f"__qbin_{i}") * (F.col("__mx") - F.col("__mn")) / F.lit(bins)
         )
         outs.append(
             hit.select(
