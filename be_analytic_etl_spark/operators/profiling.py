@@ -237,3 +237,40 @@ def histogram_quantiles(
             )
         )
     return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join-key skew diagnostics: the pre-flight check before any big
+    co-shuffled join or aggregation on ``key_col``.
+
+    Returns the ``top_k`` heaviest keys with, on every row, the global
+    context: ``(key, cnt, share, total_rows, n_keys, skew_factor)`` where
+    ``skew_factor = max_cnt / mean_cnt`` — the straggler multiplier a
+    plain hash partitioning would suffer (the direct input to choosing
+    ``skew.salted_join``'s salt_n or trusting AQE's skew split).
+
+    Scale: one (key)-shuffle with map-side partial aggregation; the
+    per-key count frame reduces to a single stats row plus a TakeOrdered
+    top-k (no global sort); everything after the first aggregation is
+    control-plane-sized.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_k)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("total_rows")).alias("share"),
+        "total_rows",
+        "n_keys",
+        (
+            F.col("max_cnt").cast("double")
+            / (F.col("total_rows").cast("double") / F.col("n_keys").cast("double"))
+        ).alias("skew_factor"),
+    )

@@ -411,3 +411,43 @@ def assign_cells(
         return let(vec, body)
 
     return embeddings.withColumn(cell_col, F.explode(cell_of(_vec(vec_col))))
+
+
+def embedding_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Embedding-table quality panel: per group, count, L2-norm moments,
+    zero-vector count, and dimension consistency.
+
+    The pre-ANN sanity check for an embedding corpus: zero vectors poison
+    cosine blocking (every zero pairs with everything at sim 0), mixed
+    dimensions break dot products outright, and a collapsed norm range
+    flags an un-normalized or degenerate encoder run.
+
+    Determinism: per-row norm is a fixed left fold (row-local); the
+    cross-row SUM goes through exact DECIMAL so partial-aggregate merge
+    order cannot perturb the mean. One shuffle on ``group_cols`` with
+    map-side partial aggregation; output is |groups| rows.
+    """
+    group_cols = group_cols or []
+    v = _vec(vec_col)
+    norm = l2_norm(v)
+    base = embeddings.select(
+        *group_cols, norm.alias("__norm"), F.size(vec_col).alias("__dim")
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("__norm").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_norm"),
+        F.min("__norm").alias("min_norm"),
+        F.max("__norm").alias("max_norm"),
+        F.sum(F.when(F.col("__norm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.min("__dim").alias("dim_min"),
+        F.max("__dim").alias("dim_max"),
+    )

@@ -2331,3 +2331,71 @@ def _lsh_recall_oracle() -> str:
 
 
 register("ext_lsh_recall", q_ext_lsh_recall, _lsh_recall_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile (operators/profiling.py): heavy-hitter census +
+# straggler multiplier for a prospective shuffle key — the number that
+# decides between plain hash join, AQE skew split, and an explicit salted
+# join. One partial-agg'd shuffle on the key; top-k is TakeOrdered over
+# the per-key count frame, stats reduce to one broadcast row.
+def q_ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_k=10)
+
+
+register(
+    "ext_skew_profile",
+    q_ext_skew_profile,
+    """
+    WITH counts AS (
+        SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ), stats AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+               COUNT(*) AS n_keys, MAX(cnt) AS max_cnt
+        FROM counts
+    )
+    SELECT key, cnt,
+           CAST(cnt AS DOUBLE) / total_rows AS share,
+           total_rows, n_keys,
+           CAST(max_cnt AS DOUBLE)
+               / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
+               AS skew_factor
+    FROM (SELECT * FROM counts ORDER BY cnt DESC, key LIMIT 10) t, stats
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-table quality panel (operators/similarity.py): per-label norm
+# moments, zero-vector and dimension-consistency checks — the pre-ANN
+# gate. DECIMAL-exact norm sums make the means merge-order-proof; single
+# partial-agg'd shuffle on the label.
+def q_ext_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.similarity import embedding_stats
+
+    return embedding_stats(
+        _t(spark, sf_dir, "embeddings"), group_cols=["label"]
+    )
+
+
+def _embstats_oracle() -> str:
+    norm = f"sqrt({_dot_sql('embedding', 'embedding')})"
+    return f"""
+    WITH base AS (
+        SELECT label, {norm} AS nrm, len(embedding) AS dim FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS mean_norm,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           -- CAST: Spark size() is INT while DuckDB len() is BIGINT
+           CAST(MIN(dim) AS INTEGER) AS dim_min,
+           CAST(MAX(dim) AS INTEGER) AS dim_max
+    FROM base GROUP BY label
+    """
+
+
+register("ext_embedding_stats", q_ext_embedding_stats, _embstats_oracle())
