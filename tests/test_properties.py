@@ -175,3 +175,78 @@ def test_range_join_matches_naive_on_random_intervals(spark, case, width):
     got = sorted((r["pid"], r["iid"]) for r in fast.collect())
     want = sorted((r["pid"], r["iid"]) for r in naive.collect())
     assert got == want
+
+
+# --- star CC vs propagation ---------------------------------------------------
+
+
+@st.composite
+def random_edges(draw):
+    n_nodes = draw(st.integers(min_value=2, max_value=40))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n_nodes - 1), st.integers(0, n_nodes - 1)
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    return edges
+
+
+@given(edges=random_edges())
+@settings(**SETTINGS)
+def test_star_cc_equals_propagation_on_random_graphs(spark, edges):
+    """Both CC algorithms must produce identical min-labelings on any
+    graph — including self-loops, duplicate edges, and multi-component
+    shapes hypothesis invents."""
+    from be_analytic_etl_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]).astype("int64")
+    )
+    prop = {(r["id"], r["group_id"]) for r in connected_components(e).collect()}
+    star = {
+        (r["id"], r["group_id"])
+        for r in connected_components(e, algorithm="star").collect()
+    }
+    assert star == prop
+
+
+# --- histogram quantiles vs exact ---------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    bins=st.sampled_from([4, 16, 64]),
+)
+@settings(**SETTINGS)
+def test_histogram_quantile_error_bounded_by_bin_width(spark, vals, bins):
+    import numpy as np
+
+    from be_analytic_etl_spark.operators.profiling import histogram_quantiles
+
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = {
+        r["q"]: r["quantile_est"]
+        for r in histogram_quantiles(df, "v", bins=bins, quantiles=(0.5, 0.9)).collect()
+    }
+    import math
+
+    lo, hi = min(vals), max(vals)
+    width = (hi - lo) / bins if hi > lo else 0.0
+    ordered = sorted(vals)
+    for q in (0.5, 0.9):
+        # the sketch's convention: the ceil(q*n)-th order statistic,
+        # reported as its bin's lower edge
+        exact = ordered[max(0, math.ceil(q * len(vals)) - 1)]
+        slack = max(abs(exact), 1.0) * 1e-9
+        assert got[q] <= exact + slack
+        assert got[q] >= exact - width - slack
