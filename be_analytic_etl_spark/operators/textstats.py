@@ -345,3 +345,63 @@ def token_frequency_spectrum(
         F.count(F.lit(1)).alias("n_types"),
         (F.col("freq") * F.count(F.lit(1))).cast("long").alias("token_mass"),
     )
+
+
+def bigram_lm_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    k: float = 0.5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Add-k-smoothed bigram language-model statistics: the ``top_n``
+    corpus bigrams with their conditional probability
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` (Lidstone smoothing,
+    the baseline every LM-data ablation reports before KN).
+
+    The numbers drive data curation directly: a bigram whose smoothed
+    conditional probability is near 1 across a source is boilerplate
+    (navigation chrome, licenses); low-probability mass concentrated in
+    few contexts flags template spam.
+
+    Scale: bigram and unigram counts are each one partial-aggregated
+    shuffle over token pairs/tokens; the conditional join co-shuffles on
+    ``w1`` (vocabulary-sized, NOT corpus-sized); V reduces to one scalar
+    row broadcast with the result. Top-n is TakeOrdered — no global sort.
+    Determinism: probabilities are integer counts pushed through one
+    fixed double expression, bit-replayable in SQL.
+    """
+    toks = df.select(tokenize(text_col).alias("__t")).filter(F.size("__t") >= 2)
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1), "
+                    "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bigram"))
+    )
+    uni = (
+        df.select(F.explode(tokenize(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_unigram"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    top = (
+        big.join(uni, "w1")
+        .orderBy(F.col("c_bigram").desc(), F.col("w1"), F.col("w2"))
+        .limit(top_n)
+    )
+    return top.crossJoin(F.broadcast(vocab)).select(
+        "w1",
+        "w2",
+        "c_bigram",
+        "c_unigram",
+        (
+            (F.col("c_bigram") + F.lit(k))
+            / (F.col("c_unigram") + F.lit(k) * F.col("__v"))
+        ).alias("p_smoothed"),
+    )

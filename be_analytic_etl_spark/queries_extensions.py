@@ -2399,3 +2399,48 @@ def _embstats_oracle() -> str:
 
 
 register("ext_embedding_stats", q_ext_embedding_stats, _embstats_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Add-k-smoothed bigram LM statistics (operators/textstats.py): the
+# boilerplate/template-spam detector — near-1 conditional probabilities
+# mark navigation chrome and licenses. Count shuffles are vocabulary-
+# sized after partial aggregation; top-n is TakeOrdered.
+_LM_K = 0.5
+_LM_TOPN = 100
+
+
+def q_ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.textstats import bigram_lm_stats
+
+    return bigram_lm_stats(
+        _t(spark, sf_dir, "documents"), k=_LM_K, top_n=_LM_TOPN
+    )
+
+
+register(
+    "ext_bigram_lm",
+    q_ext_bigram_lm,
+    f"""
+    WITH toks AS (
+        SELECT {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 2
+    ), bg AS (
+        SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+            FROM toks)
+    ), big AS (
+        SELECT w1, w2, COUNT(*) AS c_bigram FROM bg GROUP BY w1, w2
+    ), uni AS (
+        SELECT tok AS w1, COUNT(*) AS c_unigram
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+    ), v AS (SELECT COUNT(*) AS vocab FROM uni)
+    SELECT w1, w2, c_bigram, c_unigram,
+           (c_bigram + {_LM_K}) / (c_unigram + {_LM_K} * vocab) AS p_smoothed
+    FROM (
+        SELECT big.w1, big.w2, c_bigram, c_unigram
+        FROM big JOIN uni ON big.w1 = uni.w1
+        ORDER BY c_bigram DESC, big.w1, big.w2 LIMIT {_LM_TOPN}
+    ) t, v
+    """,
+)
