@@ -80,16 +80,19 @@ def repartition_for_payloads(
     payload_col: str = "payload",
     target_partition_bytes: int = 128 * 2**20,
     min_partitions: int | None = None,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """Partition by total payload BYTES, so each mapInPandas worker sees
     ~target bytes regardless of row width.
 
-    The byte total comes from source-file metadata when the frame is
-    file-backed (a filesystem listing — zero data read); only non-file
-    frames fall back to a sum(length) scan, which would otherwise be a
-    full extra pass over the payload column just to pick a partition
-    count. File size is compressed size, but binary payloads compress
-    ~1:1 and the number only routes partitioning.
+    The default sizing pass is an exact ``sum(length(payload))`` — one
+    narrow aggregation over the payload column. To skip that extra scan
+    at 100 TB, pass ``total_bytes`` explicitly: from catalog statistics,
+    or from ``_source_file_bytes(df)`` — but ONLY when the frame is the
+    raw unfiltered file read and the payload column dominates the files;
+    file metadata measures whole source files, so a filtered frame or a
+    derived payload makes it arbitrarily wrong in either direction
+    (too-few partitions → worker OOM; too-many → tiny-task overhead).
 
     ``min_partitions`` (default: the session's default parallelism) floors
     the count — a corpus smaller than one target chunk must still fan out
@@ -97,7 +100,7 @@ def repartition_for_payloads(
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
-    total = _source_file_bytes(df)
+    total = total_bytes
     if total is None:
         total = df.agg(F.sum(F.length(payload_col))).first()[0] or 0
     n = max(min_partitions, int(total / target_partition_bytes) + 1)

@@ -187,10 +187,21 @@ def histogram_quantiles(
         F.max(v).alias("__mx"),
         F.count(v).alias("__n"),
     )
-    joined = (
-        df.join(F.broadcast(stats), group_cols) if group_cols
-        else df.crossJoin(F.broadcast(stats))
-    ).filter(v.isNotNull())
+    if group_cols:
+        # Null-safe equality: a NULL group key is a real group to
+        # groupBy, and a plain equality join would silently drop it.
+        s = F.broadcast(stats.select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+            "__mn", "__mx", "__n",
+        ))
+        cond = None
+        for c in group_cols:
+            t = df[c].eqNullSafe(F.col(f"__g_{c}"))
+            cond = t if cond is None else cond & t
+        joined = df.join(s, cond).drop(*[f"__g_{c}" for c in group_cols])
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    joined = joined.filter(v.isNotNull())
     width_term = (v - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
     bin_expr = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
         F.least(F.lit(bins - 1), F.floor(width_term * bins).cast("int"))

@@ -402,9 +402,16 @@ def assign_cells(
                         F.transform(sims, lambda s: -s).alias("s"), idx.alias("i")
                     )
                 )
-                return F.transform(
+                topn = F.transform(
                     F.slice(ranked, 1, n_assign), lambda st: st["i"].cast("int")
                 )
+                # NULL vector => NULL sims, which sort FIRST and would
+                # assign the row to real cells 0..n-1; match the
+                # n_assign=1 branch (array_position on NULL max -> NULL
+                # cell) instead of polluting candidate blocks.
+                return F.when(
+                    v.isNull(), F.array(F.lit(None).cast("int"))
+                ).otherwise(topn)
 
             return let(l2_norm(v), with_norm)
 

@@ -314,9 +314,7 @@ def repetition_stats(
     )
 
 
-def token_frequency_spectrum(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def token_frequency_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus frequency spectrum (count-of-counts): for each occurrence
     count ``freq``, how many distinct token types occur exactly ``freq``
     times, and how much token mass they carry.

@@ -2246,7 +2246,9 @@ def _hq_oracle() -> str:
                          CAST(FLOOR(((CAST(e.value AS DOUBLE) - s.mn)
                                      / (s.mx - s.mn)) * {_HQ_BINS}) AS INTEGER))
                END AS bin
-        FROM events e JOIN stats s USING (event_type)
+        -- IS NOT DISTINCT FROM: a NULL group key is a real group
+        FROM events e JOIN stats s
+          ON e.event_type IS NOT DISTINCT FROM s.event_type
         WHERE e.value IS NOT NULL
     ), counts AS (
         SELECT event_type, mn, mx, n, bin, COUNT(*) AS bc

@@ -22,15 +22,10 @@ from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.registry import register
 
-
-# Local copy rather than `from queries_reference import _t`: registry
-# imports the query modules in sequence, so importing a NAME from a sibling
-# query module breaks when that sibling is mid-initialization (circular
-# import via registry when a test imports this module first).
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from be_analytic_etl_spark.sources import load_table
-
-    return load_table(spark, sf_dir, name)
+# NOT `from queries_reference import _t`: registry imports the query
+# modules in sequence, so importing a name from a sibling query module
+# breaks while that sibling is mid-initialization. sources is a leaf.
+from be_analytic_etl_spark.sources import load_table as _t
 
 _DEC = "decimal(28,6)"
 

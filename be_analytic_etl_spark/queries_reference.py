@@ -17,12 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.registry import register
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from be_analytic_etl_spark.sources import load_table
-
-    return load_table(spark, sf_dir, name)
+from be_analytic_etl_spark.sources import load_table as _t
 
 
 def _nullif(c, v):

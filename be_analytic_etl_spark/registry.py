@@ -100,10 +100,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_pagerank",
     "ext_triangles",
     "ext_ancestors",
-    # 4: distinctive never-checked relational shapes
-    "grouping_sets",
-    "window_suite",
-    "forecast_revenue",
+    # 4: round-4 additions with the most novel machinery (multi-probe
+    # blocking, recall estimation, sketch quantiles). Still outside the
+    # window after round 4: ext_freq_spectrum, ext_skew_profile,
+    # ext_embedding_stats, ext_bigram_lm, grouping_sets, window_suite,
+    # forecast_revenue, plus the 8 deferred join+agg variants — rotate
+    # them in next round in place of whatever goes green here.
+    "ext_semantic_neardup_multiprobe",
+    "ext_lsh_recall",
+    "ext_histogram_quantiles",
 ]
 
 

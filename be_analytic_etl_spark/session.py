@@ -99,9 +99,11 @@ def cached_scope(spark: SparkSession):
             pairs.write.parquet(out)          # consume INSIDE the block
 
     On exit, any RDD persisted during the block (and not persisted before
-    it) is unpersisted — pre-existing caches are untouched. Results must
-    be materialized inside the block; afterwards their plans recompute
-    from source if re-run.
+    it) is unpersisted — pre-existing caches are untouched, and so is
+    ``localCheckpoint`` storage: a checkpointed plan's lineage is
+    truncated, so dropping its blocks would make the result unrecoverable
+    (not merely recomputable). Results must be materialized inside the
+    block; afterwards their plans recompute from source if re-run.
     """
     before = persistent_rdd_ids(spark)
     try:
@@ -109,5 +111,10 @@ def cached_scope(spark: SparkSession):
     finally:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for k in list(jmap.keySet()):
-            if int(k) not in before:
-                jmap.get(k).unpersist(False)
+            if int(k) in before:
+                continue
+            jrdd = jmap.get(k)
+            rdd = jrdd.rdd()
+            if rdd.isCheckpointed() or rdd.isLocallyCheckpointed():
+                continue
+            jrdd.unpersist(False)

@@ -109,11 +109,14 @@ def add_primary_key(
     # the table name through unquoted — mirror that here or case-folding
     # databases (Derby, Postgres) won't resolve the identifiers.
     quoted = [f'"{c}"' for c in columns]
+    # Constraint names cannot be schema-qualified — strip any schema
+    # prefix from the table when deriving it.
+    pk_name = f"{table.rsplit('.', 1)[-1]}_pk"
     ddl = [
         f"ALTER TABLE {table} ALTER COLUMN {c} {set_kw}NOT NULL" for c in quoted
     ]
     ddl.append(
-        f"ALTER TABLE {table} ADD CONSTRAINT {table}_pk "
+        f"ALTER TABLE {table} ADD CONSTRAINT {pk_name} "
         f"PRIMARY KEY ({', '.join(quoted)})"
     )
     _jdbc_execute(spark, url, user, password, ddl)

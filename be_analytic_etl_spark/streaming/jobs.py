@@ -50,7 +50,12 @@ def read_events_stream(
     pipeline below is source-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    try:
+        ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    except Exception:
+        # Watch directory may be empty at stream start (files arrive
+        # later) — no footer to probe, so assume the modern layout.
+        ts_type = "timestamp"
     if ts_type == "bigint":
         raw = (
             spark.readStream.schema(_events_schema("long"))

@@ -79,3 +79,42 @@ def test_lsh_recall_estimator_sanity(spark):
     # same-corpus sample should be high — a collapsed estimator (0 cand)
     # would be a banding bug
     assert row["n_cand"] > 0
+
+
+def test_histogram_quantiles_keeps_null_group(spark):
+    import pandas as pd
+
+    from be_analytic_etl_spark.operators.profiling import histogram_quantiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["a", "a", None, None], "v": [1.0, 3.0, 10.0, 30.0]}
+        )
+    )
+    rows = histogram_quantiles(
+        df, "v", group_cols=["g"], bins=4, quantiles=(0.5,)
+    ).collect()
+    got = {r["g"]: r["quantile_est"] for r in rows}
+    assert None in got, "NULL group key must survive the stats join"
+    assert got[None] == 10.0  # ceil(0.5*2)=1st order stat's bin lower edge
+    assert got["a"] == 1.0
+
+
+def test_multiprobe_null_vector_gets_null_cell(spark):
+    from pyspark.sql import Row, functions as F
+
+    from be_analytic_etl_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.assign_cells(emb, n_cells=2, n_assign=2)
+    null_cells = [
+        r["cell"] for r in out.filter(F.col("vec_id") == 3).collect()
+    ]
+    assert null_cells == [None], null_cells
