@@ -716,3 +716,115 @@ def lsh_recall_estimate(
         .otherwise(F.col("n_hit").cast("double") / F.col("n_cand"))
         .alias("candidate_precision"),
     )
+
+
+def lsh_band_tuning(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sample_buckets: int = 300,
+    num_hashes: int = 8,
+    band_options: tuple[int, ...] = (1, 2, 4, 8),
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """The S-curve, measured: candidate recall and precision of EVERY
+    banding of one MinHash signature, on the same deterministic sample
+    ``lsh_recall_estimate`` uses — one row per (bands, rows_per_band)
+    config. This is the table you read before picking a production
+    (bands, rows) point: more bands -> higher recall, lower precision.
+
+    One signature pass serves all configs (a b-band candidate test is
+    "any of the b signature slices match", computed per pair from the
+    same two signature arrays); the quadratic pair scoring happens once,
+    with all configs' flags aggregated in the same pass. Sample-confined
+    like the recall estimator — tuning cost is fixed, independent of
+    corpus size.
+    """
+    from pyspark import StorageLevel
+
+    from be_analytic_etl_spark.operators.sampling import hash_bucket
+
+    for b in band_options:
+        if num_hashes % b != 0:
+            raise ValueError(f"bands={b} does not divide num_hashes={num_hashes}")
+
+    sample = (
+        df.filter(hash_bucket(F.col(id_col), "lshrecall") < sample_buckets)
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = sample.select(
+        "__id",
+        word_ngrams(F.col("__text"), shingle_n).alias("__sh"),
+        minhash_signature(
+            F.col("__text"), num_hashes, shingle_n, portable=True
+        ).alias("__sig"),
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("sh_a"),
+        F.col("__sig").alias("sig_a"),
+    )
+    b_ = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("sh_b"),
+        F.col("__sig").alias("sig_b"),
+    )
+    pairs = a.join(F.broadcast(b_), F.col("id_a") < F.col("id_b"))
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+    is_true = (jac >= jaccard_threshold).cast("int")
+
+    def cand_flag(bands: int):
+        rows = num_hashes // bands
+        slice_match = [
+            F.slice("sig_a", i * rows + 1, rows) == F.slice("sig_b", i * rows + 1, rows)
+            for i in range(bands)
+        ]
+        cond = slice_match[0]
+        for sm in slice_match[1:]:
+            cond = cond | sm
+        return cond.cast("int")
+
+    flagged = pairs.select(
+        is_true.alias("__t"),
+        *[cand_flag(b).alias(f"__c{b}") for b in band_options],
+    )
+    agg = flagged.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).alias("n_truth"),
+        *[
+            F.coalesce(F.sum(f"__c{b}"), F.lit(0)).alias(f"n_cand_{b}")
+            for b in band_options
+        ],
+        *[
+            F.coalesce(F.sum(F.col("__t") * F.col(f"__c{b}")), F.lit(0)).alias(
+                f"n_hit_{b}"
+            )
+            for b in band_options
+        ],
+    )
+    stack = ", ".join(
+        f"{b}, {num_hashes // b}, n_cand_{b}, n_hit_{b}" for b in band_options
+    )
+    long = agg.selectExpr(
+        "n_truth",
+        f"stack({len(band_options)}, {stack}) AS "
+        "(bands, rows_per_band, n_cand, n_hit)",
+    )
+    return long.select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
+        .alias("recall"),
+        F.when(F.col("n_cand") == 0, F.lit(1.0))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_cand"))
+        .alias("candidate_precision"),
+    )

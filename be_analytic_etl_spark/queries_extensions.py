@@ -2446,3 +2446,85 @@ register(
     ) t, v
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding S-curve (operators/dedup.py::lsh_band_tuning): candidate
+# recall/precision of EVERY banding of one 8-hash signature on the same
+# deterministic sample as ext_lsh_recall — the measured table behind the
+# (bands, rows_per_band) production choice. One signature pass serves all
+# configs; the quadratic scoring stays sample-confined.
+_TUNE_BANDS = (1, 2, 4, 8)
+
+
+def q_ext_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.lsh_band_tuning(
+        docs,
+        sample_buckets=_LSHR_BUCKETS,
+        num_hashes=_MH_HASHES,
+        band_options=_TUNE_BANDS,
+        shingle_n=_MH_SHINGLE,
+        jaccard_threshold=_LSH_THRESH,
+    )
+
+
+def _lsh_tuning_oracle() -> str:
+    bucket = (
+        "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|lshrecall'), 1, 15) "
+        f"AS BIGINT) % 10000) < {_LSHR_BUCKETS}"
+    )
+
+    def cand_sql(bands: int) -> str:
+        rows = _MH_HASHES // bands
+        tests = [
+            f"list_slice(sig_a, {i * rows + 1}, {i * rows + rows}) = "
+            f"list_slice(sig_b, {i * rows + 1}, {i * rows + rows})"
+            for i in range(bands)
+        ]
+        return "(" + " OR ".join(tests) + ")"
+
+    per_b = " UNION ALL ".join(
+        f"""
+    SELECT CAST({b} AS INTEGER) AS bands,
+           CAST({_MH_HASHES // b} AS INTEGER) AS rows_per_band,
+           n_truth, n_cand_{b} AS n_cand, n_hit_{b} AS n_hit,
+           CASE WHEN n_truth = 0 THEN 1.0
+                ELSE CAST(n_hit_{b} AS DOUBLE) / n_truth END AS recall,
+           CASE WHEN n_cand_{b} = 0 THEN 1.0
+                ELSE CAST(n_hit_{b} AS DOUBLE) / n_cand_{b} END
+               AS candidate_precision
+    FROM m
+    """
+        for b in _TUNE_BANDS
+    )
+    cand_aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN {cand_sql(b)} THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_{b}, "
+        f"CAST(SUM(CASE WHEN is_true = 1 AND {cand_sql(b)} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_hit_{b}"
+        for b in _TUNE_BANDS
+    )
+    return f"""
+    WITH sample AS (
+        SELECT doc_id AS id, text FROM documents WHERE {bucket}
+    ), base AS (
+        SELECT id, {_grams_sql(_TOKS, _MH_SHINGLE)} AS g FROM sample
+    ), sigged AS (
+        SELECT id, g, {_sig_sql("g", _MH_HASHES)} AS sig FROM base
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.g AS ga, b.g AS gb, a.sig AS sig_a, b.sig AS sig_b
+        FROM sigged a JOIN sigged b ON a.id < b.id
+    ), scored AS (
+        SELECT sig_a, sig_b,
+               CASE WHEN {_JACCARD} >= {_LSH_THRESH} THEN 1 ELSE 0 END AS is_true
+        FROM pairs
+    ), m AS (
+        SELECT CAST(SUM(is_true) AS BIGINT) AS n_truth, {cand_aggs}
+        FROM scored
+    )
+    {per_b}
+    """
+
+
+register("ext_lsh_tuning", q_ext_lsh_tuning, _lsh_tuning_oracle())

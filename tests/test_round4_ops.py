@@ -118,3 +118,26 @@ def test_multiprobe_null_vector_gets_null_cell(spark):
         r["cell"] for r in out.filter(F.col("vec_id") == 3).collect()
     ]
     assert null_cells == [None], null_cells
+
+
+def test_lsh_tuning_curve_is_monotone_in_bands(spark):
+    """With band counts forming a divisibility chain (1|2|4|8), a
+    coarser-banding candidate (longer slices match) is always a
+    finer-banding candidate (its sub-slices match) — so n_cand, n_hit,
+    and recall must be non-decreasing in bands."""
+    from be_analytic_etl_spark.operators.dedup import lsh_band_tuning
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = sorted(
+        lsh_band_tuning(
+            docs, sample_buckets=1000, num_hashes=8, band_options=(1, 2, 4, 8),
+            shingle_n=3, jaccard_threshold=0.6,
+        ).collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [r["bands"] * r["rows_per_band"] for r in rows] == [8] * 4
+    assert len({r["n_truth"] for r in rows}) == 1
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt["n_cand"] >= prev["n_cand"]
+        assert nxt["n_hit"] >= prev["n_hit"]
+        assert nxt["recall"] >= prev["recall"]
