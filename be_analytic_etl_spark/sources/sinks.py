@@ -276,3 +276,49 @@ def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def list_parquet_files(spark, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under ``path`` — a pure
+    filesystem-metadata listing (no data read)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 2**20,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` right-sized files.
+
+    The small-files problem is the quiet killer of 100 TB scan economics:
+    a directory of 10^6 tiny files costs a task (and a NameNode/listing
+    round trip) per file, and row-group statistics degenerate. Sizing
+    comes from the file listing (metadata only — no data pass); the
+    rewrite itself is one read + one round-robin repartition + one write,
+    fully distributed. Returns the target file count.
+
+    Streaming sinks and hourly ingest partitions are the usual callers —
+    run compaction on closed partitions, then swap directories
+    atomically at the metastore/manifest layer (out of scope here).
+    """
+    files = list_parquet_files(spark, src_path)
+    total = sum(b for _, b in files)
+    n = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(src_path)
+    df.repartition(n).write.mode("overwrite").parquet(dest_path)
+    return n

@@ -175,3 +175,25 @@ def test_write_jdbc_primary_key(spark):
             assert "duplicate key" in str(e).lower() or "23505" in str(e)
     finally:
         conn.close()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    # 40 tiny files (one per partition)
+    spark.range(4000).repartition(40).write.parquet(src)
+
+    from be_analytic_etl_spark.sources.sinks import (
+        compact_parquet,
+        list_parquet_files,
+    )
+
+    n_before = len(list_parquet_files(spark, src))
+    assert n_before >= 40
+    n_target = compact_parquet(spark, src, dest, target_file_bytes=64 * 2**20)
+    assert n_target == 1  # 4000 longs ≪ 64 MB
+    n_after = len(list_parquet_files(spark, dest))
+    assert n_after <= 2  # 1 data file (+ tolerance for an empty split)
+    back = spark.read.parquet(dest)
+    assert back.count() == 4000
+    assert back.agg({"id": "sum"}).first()[0] == sum(range(4000))
