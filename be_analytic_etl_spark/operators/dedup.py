@@ -828,3 +828,101 @@ def lsh_band_tuning(
         .otherwise(F.col("n_hit").cast("double") / F.col("n_cand"))
         .alias("candidate_precision"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram *containment* C(A in B) = |A∩B| / |A| for pairs within
+    blocks — Broder's second resemblance measure (SEQUENCES 1997 §2), the
+    one that catches sub-document duplication (quotes, excerpts, boilerplate
+    wrappers) where symmetric Jaccard stays low because the containing
+    document's shingle set is much larger.
+
+    Same inverted-index set-similarity join as ``ngram_jaccard_pairs``
+    (explode to (block, shingle-hash, id, set-size), self-join on the 8-byte
+    hash, count co-occurrences = intersection size) — shuffle traffic is one
+    row per shared shingle occurrence, never the shingle arrays themselves.
+    Emits both directions (``cont_a_in_b``, ``cont_b_in_a``); a pair
+    survives when either direction clears ``threshold``.
+
+    Blocking note: containment pairs documents of very *different* sizes,
+    so length-band blocking (right for Jaccard) would split exactly the
+    pairs of interest — block on size-independent keys (lang, source, or
+    LSH buckets of the smaller side at scale).
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (C=0 pairs never materialize)")
+    blocks = list(block_cols or [])
+    tok = df.select(
+        *blocks,
+        F.col(id_col).alias("__id"),
+        word_ngrams(F.col(text_col), shingle_n).alias("__sh"),
+    ).select(
+        *blocks,
+        "__id",
+        F.size("__sh").alias("__sz"),
+        F.explode("__sh").alias("__g"),
+    ).withColumn("__g", F.xxhash64("__g"))
+
+    left = tok.select(
+        *blocks, "__g", F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a")
+    )
+    right = tok.select(
+        *blocks, "__g", F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b")
+    )
+    co = (
+        left.join(right, [*blocks, "__g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(*blocks, "id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    inter = F.col("__c").cast("double")
+    c_ab = inter / F.col("sz_a")
+    c_ba = inter / F.col("sz_b")
+    return (
+        co.select(
+            *blocks,
+            "id_a",
+            "id_b",
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+        )
+        .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold)
+    )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    key_cols: list[str],
+    quality_col: Column | str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship: pick ONE canonical record per duplicate group — the
+    highest-``quality`` member, ties broken by smallest id (deterministic).
+
+    The pipeline step after dedup *detection*: exact groups (fingerprint)
+    or CC-cluster labels become ``key_cols``, and the survivor — not an
+    arbitrary member — is what feeds training. Both the rank and the group
+    size come from one window partitioning, so this costs a single hash
+    shuffle on the group key; nothing wider than (row + rank) is ever held
+    per partition.
+    """
+    from pyspark.sql import Window
+
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    w = Window.partitionBy(*key_cols)
+    rank = F.row_number().over(w.orderBy(q.desc(), F.col(id_col)))
+    size = F.count(F.lit(1)).over(w)
+    return (
+        df.withColumn("__rn", rank)
+        .withColumn("group_size", size.cast("long"))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

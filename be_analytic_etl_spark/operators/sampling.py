@@ -203,3 +203,70 @@ def pack_shards(
         F.floor(start / token_budget).cast("int").alias("shard"),
         F.col(size_col),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    cost_col: str,
+    budget_fraction: float,
+) -> DataFrame:
+    """Per-group keep-fraction plan for *mixture sampling*: downsample each
+    group (language / source / domain) so the kept corpus approaches
+    ``budget_fraction`` of the total cost (tokens / chars / bytes) split
+    across groups by the target ``weights`` — the Pile/Dolma-style recipe
+    where a training mix is specified as proportions, not row counts.
+
+    ``frac(g) = min(1, (budget_fraction * total_cost) * w(g) / cost(g))``
+    — a group below its target allotment is kept whole (frac capped at 1;
+    the shortfall is NOT redistributed, matching fixed-weight mixtures).
+
+    Returns one row per group: ``(group, group_cost, target_frac,
+    threshold)`` where ``threshold`` is the ``hash_bucket`` cutoff. The
+    plan is k-groups sized (control plane); at 100 TB it is an aggregate of
+    the fact table joined back by broadcast — no collect, no shuffle of
+    the fact side beyond one partial-agg pass.
+    """
+    w_expr = None
+    for name, w in weights.items():
+        cond = F.col(group_col) == name
+        w_expr = F.when(cond, F.lit(w)) if w_expr is None else w_expr.when(cond, F.lit(w))
+    w_expr = w_expr.otherwise(F.lit(0.0))
+
+    per = df.groupBy(group_col).agg(F.sum(cost_col).alias("group_cost"))
+    tot = df.agg(F.sum(cost_col).alias("__total_cost"))
+    frac = F.least(
+        F.lit(1.0),
+        ((F.lit(budget_fraction) * F.col("__total_cost")) * w_expr)
+        / F.col("group_cost"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("target_frac", frac)
+        .withColumn(
+            "threshold", F.floor(F.col("target_frac") * SPLIT_BUCKETS).cast("long")
+        )
+        .drop("__total_cost")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    cost_col: str,
+    budget_fraction: float,
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Apply a ``mixture_plan``: keep a row when its key-hash bucket falls
+    under its group's threshold. Deterministic (same hash discipline as
+    ``deterministic_sample`` — re-runs and retries never move a document in
+    or out of the mix), and map-only on the fact side after a broadcast
+    join of the k-row plan."""
+    plan = mixture_plan(df, group_col, weights, cost_col, budget_fraction)
+    return (
+        df.join(F.broadcast(plan), group_col)
+        .filter(hash_bucket(key_col, salt) < F.col("threshold"))
+    )

@@ -458,3 +458,126 @@ def embedding_stats(
         F.min("__dim").alias("dim_min"),
         F.max("__dim").alias("dim_max"),
     )
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side dot with the SAME sequential left fold as dot() / the
+    SQL oracle's list_reduce — bit-identical constants for inlining."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def pq_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    m: int = 4,
+    n_codes: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou/Douze/Schmid, "Product quantization
+    for nearest neighbor search", TPAMI 2011): split every vector into
+    ``m`` subvectors, quantize each against an ``n_codes``-entry codebook
+    (argmin L2), then answer queries with the **asymmetric distance
+    computation (ADC)** scan — exact query subvectors against coded
+    database vectors, distance = sum over subspaces of
+    ``||q_sub - centroid[code]||^2``.
+
+    The faiss deployment shape, re-expressed for Spark:
+
+    - the codebook is tiny and lives in the PLAN (subvectors of the
+      ``n_codes`` lowest-id vectors — the same deterministic,
+      oracle-replicable stand-in for trained k-means that ``ivf_ann``
+      uses; centroids are inlined as literals);
+    - **encoding is map-only** — argmin over ``n_codes`` literal-centroid
+      scores per subspace, no join, no shuffle; the encoded table is
+      ``m`` small ints per vector (the 100 TB win: the scan reads codes,
+      never raw vectors);
+    - each query row carries its m x n_codes ADC lookup table, built as
+      column expressions (no driver-side collect of queries); the scan is
+      one broadcast cross join + 4 array lookups per (query, vector) —
+      map-only until the final top-k window.
+
+    Argmin drops the code-independent ``||sub||^2`` term (ordering is
+    unchanged, ties still break to the lowest code). ADC distances fold
+    in subspace order from a 0.0 seed so the oracle can replay them
+    bit-for-bit. At scale, compose with IVF cells to restrict the scan to
+    probed cells (IVF-PQ); registered standalone here so the PQ math is
+    value-checked in isolation.
+    """
+    from pyspark.sql import Window
+
+    cb_rows = (
+        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(cb_rows[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # cents[mm][j] = j-th codebook entry for subspace mm (python floats ==
+    # the float32 parquet values widened to double, same as _vec/SQL CAST)
+    cents = [
+        [[float(x) for x in r["__v"][mm * sub : (mm + 1) * sub]] for r in cb_rows]
+        for mm in range(m)
+    ]
+    c2 = [[_py_dot(c, c) for c in row] for row in cents]
+
+    def lit_vec(xs: list[float]) -> Column:
+        return F.array(*[F.lit(x) for x in xs])
+
+    # --- encode: codes[mm] = argmin_j ( c2[mm][j] - 2*<sub, cent> ) ------
+    v = _vec(vec_col)
+
+    def code_for(mm: int) -> Column:
+        s = F.slice(v, mm * sub + 1, sub)
+        scores = F.array(
+            *[
+                F.lit(c2[mm][j]) - 2.0 * dot(s, lit_vec(cents[mm][j]))
+                for j in range(n_codes)
+            ]
+        )
+        return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+
+    db = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*[code_for(mm) for mm in range(m)]).alias("__codes"),
+    )
+
+    # --- per-query ADC table: adc[mm][j] = ||q_sub - cent||^2 ------------
+    qv = _vec(query_vec_col)
+
+    def adc_entry(mm: int, j: int) -> Column:
+        s = F.slice(qv, mm * sub + 1, sub)
+        return (dot(s, s) - 2.0 * dot(s, lit_vec(cents[mm][j]))) + F.lit(c2[mm][j])
+
+    adc = F.array(
+        *[F.array(*[adc_entry(mm, j) for j in range(n_codes)]) for mm in range(m)]
+    )
+    qdf = queries.select(F.col(query_id_col), adc.alias("__adc"))
+
+    # --- ADC scan: broadcast queries, 4 lookups + seeded in-order sum ----
+    cand = db.crossJoin(F.broadcast(qdf)).filter(
+        F.col(query_id_col) != F.col("neighbor_id")
+    )
+    dist = F.lit(0.0)
+    for mm in range(m):
+        dist = dist + F.element_at(
+            F.element_at("__adc", mm + 1), F.element_at("__codes", mm + 1) + 1
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(query_id_col, "neighbor_id", dist.alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -403,3 +403,73 @@ def bigram_lm_stats(
             / (F.col("c_unigram") + F.lit(k) * F.col("__v"))
         ).alias("p_smoothed"),
     )
+
+
+def bigram_lm_doc_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    lm_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document language-model score: mean log P(w2|w1) under an
+    add-k-smoothed bigram LM, plus the derived perplexity — the classic
+    KenLM-style quality filter (CCNet, Wenzek et al., LREC 2020) with the
+    corpus itself as the model when ``lm_df`` is None (self-scoring:
+    boilerplate scores high/low-perplexity, lorem-ipsum noise scores low).
+
+    Documents with fewer than 2 tokens have no bigrams and are excluded
+    (score undefined, matching KenLM practice of skipping empty lines).
+
+    Scale shape: bigram + unigram counts are vocabulary-sized partial
+    aggregations; scoring co-shuffles doc bigrams with the count tables on
+    (w1, w2) / (w1) — the LM side of each join is vocabulary-sized, never
+    corpus-sized; V reduces to one broadcast scalar. Unseen bigrams and
+    contexts take the smoothed floor, so scoring against a *reference* LM
+    (``lm_df`` = another corpus) works unchanged.
+    """
+    bg_struct = F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
+    )
+    doc_bg = (
+        df.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select("__id", F.explode(bg_struct).alias("bg"))
+        .select("__id", "bg.w1", "bg.w2")
+    )
+    lm_src = df if lm_df is None else lm_df
+    lm_bg = (
+        lm_src.select(tokenize(text_col).alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(F.explode(bg_struct).alias("bg"))
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count(F.lit(1)).alias("c_bigram"))
+    )
+    lm_uni = (
+        lm_src.select(F.explode(tokenize(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_unigram"))
+    )
+    vocab = lm_uni.agg(F.count(F.lit(1)).alias("__v"))
+
+    p = (
+        (F.coalesce(F.col("c_bigram"), F.lit(0)).cast("double") + F.lit(k))
+        / (F.coalesce(F.col("c_unigram"), F.lit(0)).cast("double") + F.lit(k) * F.col("__v"))
+    )
+    scored = (
+        doc_bg.join(lm_bg, ["w1", "w2"], "left")
+        .join(lm_uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("__id", F.log(p).alias("__logp"))
+    )
+    agg = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("__logp").alias("avg_logp"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_bigrams",
+        "avg_logp",
+        F.exp(-F.col("avg_logp")).alias("perplexity"),
+    )

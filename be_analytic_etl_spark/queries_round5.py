@@ -1,0 +1,481 @@
+"""Round-5 extension queries: dedup survivorship, mixture sampling,
+containment similarity, curriculum binning, rolling quantiles, per-key
+sampling.
+
+These finish the training-data-pipeline story: after near-dup *detection*
+(dedup.py) a pipeline must pick canonical survivors, mix sources to a
+token budget, catch sub-document (containment) duplication that Jaccard
+misses, bin by quality for curriculum schedules, and draw deterministic
+per-key samples for eval sets. Every query pairs the Spark operator with
+a DuckDB oracle twin (same cross-engine determinism rules as
+queries_extensions.py: exact integer divisions, identical IEEE op order,
+md5-head portable hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators import dedup as D
+from be_analytic_etl_spark.operators import sampling as SA
+from be_analytic_etl_spark.operators import textstats as T
+from be_analytic_etl_spark.queries_extensions import (
+    _grams_sql,
+    _STOP_SQL,
+    _t,
+    _TOKS,
+)
+from be_analytic_etl_spark.registry import register
+
+#: DuckDB twin of sampling.hash_bucket(key, salt).
+def _bucket_sql(key: str, salt: str) -> str:
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || '|{salt}'), 1, 15) "
+        f"AS BIGINT) % {SA.SPLIT_BUCKETS})"
+    )
+
+
+#: DuckDB CTE chain computing quality_score(round_to=None) per doc_id —
+#: the same fragment ext_token_stats value-checks, re-used as a building
+#: block (tok -> m -> q yielding (doc_id, fingerprint, quality)).
+_QUALITY_CTES = f"""
+    tok AS (
+        SELECT doc_id, coalesce(text, '') AS t, {_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, t,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(length(t) AS INTEGER) AS n_chars_meas,
+               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x)))) AS n_stop
+        FROM tok
+    ), q AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS fingerprint,
+               least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+                 * greatest(0.0, 1.0 - (CASE WHEN n_chars_meas = 0 THEN 0.0
+                       ELSE CAST(n_punct AS DOUBLE) / n_chars_meas END) * 5.0)
+                 * (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+                       ELSE CAST(n_stop AS DOUBLE) / n_tokens END)
+                       BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+                   AS quality
+        FROM m
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship: one canonical (highest-quality) doc per exact-dup
+# fingerprint group. One hash shuffle on the 32-hex fingerprint; rank and
+# group size share the window partitioning.
+def q_ext_dup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.fingerprint_md5("text").alias("fingerprint"),
+        T.quality_score("text", round_to=None).alias("quality"),
+    )
+    return D.dedup_survivors(
+        docs, key_cols=["fingerprint"], quality_col="quality", id_col="doc_id"
+    )
+
+
+register(
+    "ext_dup_survivorship",
+    q_ext_dup_survivorship,
+    f"""
+    WITH {_QUALITY_CTES}, r AS (
+        SELECT doc_id, fingerprint, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY fingerprint ORDER BY quality DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS gs
+        FROM q
+    )
+    SELECT doc_id, fingerprint, quality, CAST(gs AS BIGINT) AS group_size
+    FROM r WHERE rn = 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling: downsample each language toward a target training-mix
+# proportion under a 50%-of-corpus char budget. The plan is a 5-row
+# broadcast; the fact side is one partial-agg pass + a map-only filter.
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+_MIX_BUDGET = 0.5
+
+def q_ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kept = SA.mixture_sample(
+        docs,
+        group_col="lang",
+        weights=_MIX_WEIGHTS,
+        cost_col="n_chars",
+        budget_fraction=_MIX_BUDGET,
+        key_col="doc_id",
+        salt="mix",
+    )
+    return kept.groupBy("lang", "target_frac", "threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+
+
+def _mixture_oracle() -> str:
+    # CAST every weight: a bare DuckDB 0.5 literal is DECIMAL(1,1) and the
+    # whole plan would run in decimal arithmetic, not Spark's double.
+    w_case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in _MIX_WEIGHTS.items()
+    ) + " ELSE CAST(0.0 AS DOUBLE) END"
+    return f"""
+    WITH per AS (
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS group_cost FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS total_cost FROM documents
+    ), plan AS (
+        SELECT lang, group_cost,
+               least(1.0, ((CAST({_MIX_BUDGET} AS DOUBLE) * total_cost) * ({w_case})) / group_cost)
+                   AS target_frac
+        FROM per, tot
+    ), plan2 AS (
+        SELECT lang, target_frac,
+               CAST(floor(target_frac * {SA.SPLIT_BUCKETS}) AS BIGINT) AS threshold
+        FROM plan
+    )
+    SELECT d.lang AS lang, p.target_frac AS target_frac, p.threshold AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d JOIN plan2 p ON d.lang = p.lang
+    WHERE {_bucket_sql('d.doc_id', 'mix')} < p.threshold
+    GROUP BY d.lang, p.target_frac, p.threshold
+    """
+
+
+register("ext_mixture_sample", q_ext_mixture_sample, _mixture_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: C(A in B) = |A∩B| / |A| over 3-gram shingles,
+# blocked by lang only (length bands would split exactly the short-in-long
+# pairs containment exists to find). Inverted-index join — never ships
+# shingle arrays.
+def q_ext_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, block_cols=["lang"], shingle_n=3, threshold=0.8
+    )
+
+
+register(
+    "ext_containment",
+    q_ext_containment,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, lang, {_grams_sql("toks", 3)} AS g FROM tok
+    ), pairs AS (
+        SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+               len(a.g) AS sz_a, len(b.g) AS sz_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT lang, id_a, id_b,
+           inter / sz_a AS cont_a_in_b,
+           inter / sz_b AS cont_b_in_a
+    FROM pairs
+    WHERE sz_a > 0 AND sz_b > 0
+      AND greatest(inter / sz_a, inter / sz_b) >= 0.8
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum quality bins: map-only fixed-width binning (floor(q*10), top
+# bin closed) — unlike NTILE, needs no global sort, so it scales as a
+# plain 10-group partial agg.
+def q_ext_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = T.quality_score("text", round_to=None)
+    b = F.least(F.lit(9).cast("long"), F.floor(q * 10)).cast("int")
+    return (
+        docs.select(b.alias("q_bin"), q.alias("__q"), "n_chars")
+        .groupBy("q_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.avg("__q").alias("avg_quality"),
+        )
+    )
+
+
+register(
+    "ext_quality_bins",
+    q_ext_quality_bins,
+    f"""
+    WITH {_QUALITY_CTES}, binned AS (
+        SELECT d.doc_id, d.n_chars, q.quality,
+               CAST(least(9, floor(q.quality * 10)) AS INTEGER) AS q_bin
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+    )
+    SELECT q_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           AVG(quality) AS avg_quality
+    FROM binned GROUP BY q_bin
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (exact): per-user 7-row trailing window over the event
+# stream. Spark has no exact windowed median; sorted collect_list over a
+# ROWS frame is exact and bounded (≤7 elements per row, never the whole
+# partition).
+def q_ext_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.floor(n / F.lit(2)).cast("int")
+    hi = lo + F.lit(1)
+    med = F.when(n % 2 == 1, F.element_at(arr, hi)).otherwise(
+        (F.element_at(arr, lo) + F.element_at(arr, hi)) / 2.0
+    )
+    return ev.select("user_id", "event_id", "ts", "value", med.alias("roll_median"))
+
+
+register(
+    "ext_rolling_median",
+    q_ext_rolling_median,
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_median
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-per-key sample: top-3 events per user by key-hash order —
+# the per-key companion of deterministic_sample (stable across runs,
+# retries, and engines; one shuffle on user_id).
+def q_ext_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hb = T.portable_hash60(
+        F.concat(F.col("event_id").cast("string"), F.lit("|pks"))
+    )
+    w = Window.partitionBy("user_id").orderBy(hb.asc(), F.col("event_id"))
+    return (
+        ev.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 3)
+        .select("user_id", "event_id", "ts", "value", "sample_rank")
+    )
+
+
+register(
+    "ext_per_key_sample",
+    q_ext_per_key_sample,
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, sample_rank
+    FROM (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                       || '|pks'), 1, 15) AS BIGINT), event_id) AS sample_rank
+        FROM events)
+    WHERE sample_rank <= 3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document scoring: mean log P(w2|w1) + perplexity per doc under
+# the corpus's own add-k LM (CCNet-style perplexity quality filter).
+def q_ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.bigram_lm_doc_score(docs, k=0.5)
+
+
+register(
+    "ext_lm_score",
+    q_ext_lm_score,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), db AS (
+        SELECT doc_id, (bg).w1 AS w1, (bg).w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+            FROM tok WHERE len(toks) >= 2)
+    ), big AS (
+        SELECT w1, w2, COUNT(*) AS c_bigram FROM db GROUP BY w1, w2
+    ), uni AS (
+        SELECT u AS w1, COUNT(*) AS c_unigram
+        FROM (SELECT unnest(toks) AS u FROM tok) GROUP BY u
+    ), v AS (
+        SELECT COUNT(*) AS vv FROM uni
+    ), sc AS (
+        SELECT d.doc_id,
+               ln((CAST(coalesce(b.c_bigram, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (CAST(coalesce(u.c_unigram, 0) AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE) * v.vv)) AS logp
+        FROM db d
+        LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+        LEFT JOIN uni u ON d.w1 = u.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           AVG(logp) AS avg_logp, exp(-AVG(logp)) AS perplexity
+    FROM sc GROUP BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al., 2023): IVF-cell-blocked cosine near-dup pairs
+# over embeddings -> connected components -> min-id survivor per semantic
+# cluster. The composition the paper runs on LAION: quadratic work confined
+# to cells, CC propagation carries (node, label) only.
+def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import graph as G
+    from be_analytic_etl_spark.operators import similarity as S
+    from be_analytic_etl_spark.queries_extensions import _IVF_CELLS, _SEM_THRESH
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = S.assign_cells(emb, n_cells=_IVF_CELLS)
+    pairs = S.cosine_pairs_above(
+        cells, block_cols=["cell"], threshold=_SEM_THRESH, round_to=None
+    )
+    labels = G.connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=emb.select(F.col("vec_id").alias("id")),
+        id_col="id",
+    )
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        "group_id",
+        (F.col("id") == F.col("group_id")).alias("is_survivor"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    from be_analytic_etl_spark.queries_extensions import (
+        _cos_sql,
+        _IVF_CELLS,
+        _SEM_THRESH,
+    )
+
+    return f"""
+    WITH RECURSIVE cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding AS cv
+        FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), assign AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("c.cv", "e.embedding")} DESC, c.cell) AS rn
+            FROM embeddings e, cent c)
+        WHERE rn = 1
+    ), ed AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_cos_sql("a.embedding", "b.embedding")} >= {_SEM_THRESH}
+    ), sym AS (
+        SELECT s, d FROM ed UNION SELECT d, s FROM ed
+    ), reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    )
+    SELECT n.vec_id,
+           LEAST(n.vec_id, COALESCE(MIN(r.d), n.vec_id)) AS group_id,
+           (LEAST(n.vec_id, COALESCE(MIN(r.d), n.vec_id)) = n.vec_id) AS is_survivor
+    FROM embeddings n LEFT JOIN reach r ON r.s = n.vec_id
+    GROUP BY n.vec_id
+    """
+
+
+register("ext_semdedup", q_ext_semdedup, _semdedup_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN: map-only encode (m=4 subspaces x 8 codes from
+# literal centroids), per-query ADC lookup tables as column expressions,
+# broadcast scan. The PQ math is value-checked bit-for-bit (seeded
+# in-order folds on both sides).
+_PQ_M = 4
+_PQ_CODES = 8
+
+
+def q_ext_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import similarity as S
+    from be_analytic_etl_spark.queries_extensions import _queries_df, _TOPK
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_ann(emb, _queries_df(emb), m=_PQ_M, n_codes=_PQ_CODES, k=_TOPK)
+
+
+def _pq_ann_oracle() -> str:
+    from be_analytic_etl_spark.queries_extensions import _dot_sql, _TOPK
+
+    sub = 16  # 64-dim embeddings / m=4
+    esl = f"list_slice(e.embedding, c.m * {sub} + 1, c.m * {sub} + {sub})"
+    qsl = f"list_slice(q.qv, c.m * {sub} + 1, c.m * {sub} + {sub})"
+    return f"""
+    WITH cb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+               embedding AS cv
+        FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_CODES})
+    ), csub AS (
+        SELECT s.m, cb.code,
+               list_slice(cb.cv, s.m * {sub} + 1, s.m * {sub} + {sub}) AS cv
+        FROM (SELECT unnest(range(0, {_PQ_M})) AS m) s CROSS JOIN cb
+    ), codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT e.vec_id, c.m, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+                       ORDER BY (({_dot_sql("c.cv", "c.cv")})
+                                 - 2.0 * ({_dot_sql(esl, "c.cv")})) ASC,
+                                c.code) AS rn
+            FROM embeddings e CROSS JOIN csub c)
+        WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id % 100 = 0
+    ), adc AS (
+        SELECT q.query_id, c.m, c.code,
+               ((({_dot_sql(qsl, qsl)}) - 2.0 * ({_dot_sql(qsl, "c.cv")}))
+                + ({_dot_sql("c.cv", "c.cv")})) AS d2
+        FROM q CROSS JOIN csub c
+    ), scored AS (
+        SELECT a.query_id, kk.vec_id AS neighbor_id,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(a.d2 ORDER BY a.m),
+                           (x, y) -> x + y) AS approx_dist
+        FROM codes kk JOIN adc a ON kk.m = a.m AND kk.code = a.code
+        WHERE kk.vec_id <> a.query_id
+        GROUP BY a.query_id, kk.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, approx_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist ASC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, approx_dist, rank FROM ranked
+    WHERE rank <= {_TOPK}
+    """
+
+
+register("ext_pq_ann", q_ext_pq_ann, _pq_ann_oracle())

@@ -1,0 +1,262 @@
+"""Round-5 operators: plan-shape + semantic unit tests.
+
+Covers dedup survivorship, mixture sampling, containment pairs, quality
+binning, rolling median, and per-key sampling — the properties that must
+hold at 100 TB (broadcast plans, no cartesian joins, map-only filters,
+bounded window state), plus value semantics the oracle gate can't isolate
+(cap behavior, determinism under re-partitioning).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators import dedup as D
+from be_analytic_etl_spark.operators import sampling as SA
+from be_analytic_etl_spark.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- plan shapes -----------------------------------------------------------
+
+
+def test_containment_is_hash_join_not_cartesian(spark):
+    plan = plan_of(QUERIES["ext_containment"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mixture_sample_plan_is_broadcast(spark):
+    """The k-row mixture plan must broadcast onto the fact side — the fact
+    table is filtered map-only, never shuffled on the group key."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = SA.mixture_sample(
+        docs, "lang", {"en": 0.6, "de": 0.4}, "n_chars", 0.5, key_col="doc_id"
+    )
+    plan = plan_of(kept)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_survivorship_single_shuffle(spark):
+    """Rank + group size share one window partitioning: exactly one
+    exchange (hash on the group key) in the whole plan."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("fp"), F.col("n_chars").cast("double").alias("q")
+    )
+    out = D.dedup_survivors(docs, ["fp"], "q")
+    plan = plan_of(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_new_ops_stay_jvm_side(spark):
+    for name in (
+        "ext_dup_survivorship",
+        "ext_mixture_sample",
+        "ext_quality_bins",
+        "ext_rolling_median",
+        "ext_per_key_sample",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+
+
+# --- semantics -------------------------------------------------------------
+
+
+def test_survivorship_picks_best_quality_min_id(spark):
+    rows = [
+        (1, "g1", 0.5),
+        (2, "g1", 0.9),
+        (3, "g1", 0.9),  # ties with 2 -> min id wins
+        (4, "g2", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp string, q double")
+    out = {
+        r["doc_id"]: r["group_size"]
+        for r in D.dedup_survivors(df, ["fp"], "q").collect()
+    }
+    assert out == {2: 3, 4: 1}
+
+
+def test_mixture_plan_caps_fraction_at_one(spark):
+    """A group whose allotment exceeds its size is kept whole (frac == 1),
+    and the shortfall is not redistributed."""
+    rows = [("a", i, 100) for i in range(10)] + [("b", 100 + i, 100) for i in range(90)]
+    df = spark.createDataFrame(rows, "g string, id long, cost long")
+    plan = {
+        r["g"]: r
+        for r in SA.mixture_plan(df, "g", {"a": 0.9, "b": 0.1}, "cost", 0.5).collect()
+    }
+    # a: budget share = 0.5*10000*0.9 = 4500 chars vs 1000 present -> capped
+    assert plan["a"]["target_frac"] == 1.0
+    assert plan["a"]["threshold"] == SA.SPLIT_BUCKETS
+    # b: 0.5*10000*0.1 = 500 of 9000 -> 500/9000
+    assert abs(plan["b"]["target_frac"] - 500.0 / 9000.0) < 1e-12
+
+
+def test_mixture_sample_deterministic_under_repartition(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kw = dict(
+        group_col="lang",
+        weights={"en": 0.5, "de": 0.5},
+        cost_col="n_chars",
+        budget_fraction=0.3,
+        key_col="doc_id",
+    )
+    a = sorted(r["doc_id"] for r in SA.mixture_sample(docs, **kw).collect())
+    b = sorted(
+        r["doc_id"] for r in SA.mixture_sample(docs.repartition(13), **kw).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_containment_catches_subdocument_pair(spark):
+    """A short doc fully contained in a long one: containment fires even
+    though Jaccard is far below any useful threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"tok{i} filler{i} pad{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, long, "en")], "doc_id long, text string, lang string"
+    )
+    pairs = D.ngram_containment_pairs(df, block_cols=["lang"], threshold=0.8).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert p["cont_a_in_b"] == 1.0  # every shingle of the short doc is shared
+    assert p["cont_b_in_a"] < 0.2
+    jac = D.ngram_jaccard_pairs(
+        df, block_cols=["lang"], threshold=0.5
+    ).collect()
+    assert jac == []  # symmetric jaccard misses it
+
+
+def test_containment_requires_positive_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        D.ngram_containment_pairs(df, threshold=0.0)
+
+
+def test_rolling_median_window_is_bounded(spark):
+    """The collect_list frame is ROWS-bounded: first rows of a partition
+    see fewer elements, steady state sees exactly 7."""
+    rows = [(1, i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double").select(
+        "user_id", "event_id", F.col("event_id").cast("timestamp").alias("ts"), "value"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    out = df.select(
+        "event_id", F.size(F.collect_list("value").over(w)).alias("n")
+    ).collect()
+    ns = {r["event_id"]: r["n"] for r in out}
+    assert ns[0] == 1 and ns[5] == 6 and ns[9] == 7
+
+
+def test_per_key_sample_is_stable_and_capped(spark):
+    q = QUERIES["ext_per_key_sample"]
+    a = sorted((r["user_id"], r["event_id"]) for r in q(spark, SF_DIR).collect())
+    b = sorted((r["user_id"], r["event_id"]) for r in q(spark, SF_DIR).collect())
+    assert a == b
+    from collections import Counter
+
+    per_user = Counter(u for u, _ in a)
+    assert max(per_user.values()) <= 3
+
+
+# --- batch 2: lm scoring, semdedup, PQ ANN ---------------------------------
+
+
+def test_lm_score_boilerplate_scores_higher(spark):
+    """Repeated bigrams -> high P(w2|w1) -> higher avg_logp (lower
+    perplexity) than a one-off token sequence."""
+    from be_analytic_etl_spark.operators.textstats import bigram_lm_doc_score
+
+    rows = [(i, "click here to accept cookies") for i in range(20)]
+    rows.append((99, "zqx wvu tsr qpo nml"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_doc_score(df).collect()}
+    assert out[0]["avg_logp"] > out[99]["avg_logp"]
+    assert out[0]["perplexity"] < out[99]["perplexity"]
+    assert out[99]["n_bigrams"] == 4
+
+
+def test_lm_score_skips_sub_bigram_docs(spark):
+    from be_analytic_etl_spark.operators.textstats import bigram_lm_doc_score
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "single"), (3, "")],
+        "doc_id long, text string",
+    )
+    ids = {r["doc_id"] for r in bigram_lm_doc_score(df).collect()}
+    assert ids == {1}
+
+
+def test_lm_score_against_reference_corpus(spark):
+    """lm_df scores docs under ANOTHER corpus's model: bigrams unseen in
+    the reference take the smoothed floor, not a crash."""
+    from be_analytic_etl_spark.operators.textstats import bigram_lm_doc_score
+
+    ref = spark.createDataFrame([(1, "the cat sat")] * 5, "doc_id long, text string")
+    docs = spark.createDataFrame([(7, "dog ran far")], "doc_id long, text string")
+    out = bigram_lm_doc_score(docs, lm_df=ref).collect()
+    assert len(out) == 1 and out[0]["avg_logp"] < 0
+
+
+def test_semdedup_survivor_invariants(spark):
+    from be_analytic_etl_spark.registry import QUERIES
+
+    rows = QUERIES["ext_semdedup"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["group_id"] <= r["vec_id"]
+        assert r["is_survivor"] == (r["vec_id"] == r["group_id"])
+    groups = {r["group_id"] for r in rows}
+    survivors = {r["vec_id"] for r in rows if r["is_survivor"]}
+    assert survivors == groups  # exactly one survivor per group
+
+
+def test_pq_ann_finds_exact_duplicate_at_distance_zero(spark):
+    from be_analytic_etl_spark.operators.similarity import pq_ann
+
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(10)]
+    base.append(list(base[3]))  # vec 10 duplicates vec 3
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(3, base[3])], "query_id long, query_vec array<double>"
+    )
+    out = pq_ann(emb, queries, m=4, n_codes=8, k=3).collect()
+    top = min(out, key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 10
+    assert top["approx_dist"] == 0.0  # same codes as the query
+
+
+def test_pq_ann_plan_broadcast_scan_no_shuffle_before_topk(spark):
+    """Encode is map-only and the scan joins a broadcast query table: the
+    only hash exchange in the plan is the final per-query top-k window."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["ext_pq_ann"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_blocked_not_cartesian(spark):
+    from be_analytic_etl_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["ext_semdedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
