@@ -99,14 +99,38 @@ def connected_components(
             .groupBy(F.col("s").alias(id_col))
             .agg(F.min("group_id").alias("nbr_min"))
         )
+        cand = labels.join(nbr_min, id_col, "left").select(
+            id_col,
+            F.least(
+                F.col("group_id"), F.coalesce("nbr_min", F.col("group_id"))
+            ).alias("__cand"),
+            F.col("group_id").alias("__old"),
+        )
+        # lazy checkpoint: both the jump lookup and the output read cand —
+        # one materialization, no double nbr_min compute.
+        cand = cand.localCheckpoint(eager=False)
+        # Pointer jump (Shiloach–Vishkin style): compose this round's
+        # candidate mapping with itself — label values always name a node
+        # of the same component, so taking cand(cand(u)) shortcuts chains
+        # toward the component minimum. Plain neighbor propagation needs
+        # O(diameter) rounds (measured 16 on the sf0.1 semantic-similarity
+        # graph, whose moderate threshold leaves long chains); the jump
+        # cuts that to near-logarithmic. One extra label-sized join per
+        # round, same (node, label) payload.
+        ptr = cand.select(
+            F.col(id_col).alias("__cand"), F.col("__cand").alias("__jump")
+        )
         new_labels = (
-            labels.join(nbr_min, id_col, "left")
+            cand.join(ptr, "__cand", "left")
             .select(
                 id_col,
-                F.least(F.col("group_id"), F.coalesce("nbr_min", F.col("group_id"))).alias(
-                    "group_id"
-                ),
-                (F.col("nbr_min") < F.col("group_id")).alias("__changed"),
+                F.least(
+                    F.col("__cand"), F.coalesce("__jump", F.col("__cand"))
+                ).alias("group_id"),
+                (
+                    F.least(F.col("__cand"), F.coalesce("__jump", F.col("__cand")))
+                    < F.col("__old")
+                ).alias("__changed"),
             )
         )
         # lazy checkpoint: the convergence probe right below is the action
