@@ -926,3 +926,61 @@ def dedup_survivors(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def window_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Exact repeated-substring detection (Lee et al., "Deduplicating
+    training data makes language models better", ACL 2022): hash every
+    ``window``-token span at ``stride`` offsets, mark spans whose hash
+    occurs more than once ANYWHERE in the corpus (cross-doc boilerplate
+    and in-doc repetition both count), and report the per-document
+    duplicated-span ratio — the signal the paper drops/trims on.
+
+    The suffix-array of the paper is a single-machine structure; the
+    distributed equivalent is this windowed rolling inventory: explode to
+    (doc, span-hash) — ~n_tokens/stride rows per doc — one
+    partially-aggregated groupBy on the 8-byte hash for global counts,
+    then a co-shuffled join back on the same hash. Nothing wider than
+    (id, hash, count) ever shuffles; stride trades recall granularity for
+    row count (stride == window//2 guarantees every duplicated region of
+    >= 1.5 windows overlaps some counted span).
+
+    Docs shorter than ``window`` tokens have no spans and are excluded
+    (ratio undefined). Hashing uses the portable md5-head hash so the
+    span inventory is replicable by a SQL oracle bit-for-bit.
+    """
+    from be_analytic_etl_spark.functions import let
+    from be_analytic_etl_spark.operators.textstats import portable_hash60
+
+    def spans_of(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(F.lit(0), n - window, F.lit(stride))
+        return F.transform(
+            starts,
+            lambda i: portable_hash60(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        )
+
+    spans = (
+        df.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__t"))
+        .filter(F.size("__t") >= window)
+        .select("__id", F.explode(let(F.col("__t"), spans_of)).alias("__h"))
+    )
+    counts = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        spans.join(counts, "__h")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("__c") >= 2).cast("long")).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio", F.col("n_dup_spans").cast("double") / F.col("n_spans")
+        )
+    )

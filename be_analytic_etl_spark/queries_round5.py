@@ -479,3 +479,46 @@ def _pq_ann_oracle() -> str:
 
 
 register("ext_pq_ann", q_ext_pq_ann, _pq_ann_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring (window) dedup — Lee et al. ACL 2022 shape:
+# per-doc ratio of 8-token spans (stride 4) whose hash repeats anywhere in
+# the corpus.
+_WIN_TOKENS = 8
+_WIN_STRIDE = 4
+
+
+def q_ext_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.window_dedup_stats(
+        docs, window=_WIN_TOKENS, stride=_WIN_STRIDE
+    )
+
+
+register(
+    "ext_window_dedup",
+    q_ext_window_dedup,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), spans AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, len(toks) - {_WIN_TOKENS} + 1, {_WIN_STRIDE}),
+                   i -> CAST('0x' || substr(md5(array_to_string(
+                            list_slice(toks, i + 1, i + {_WIN_TOKENS}), ' ')), 1, 15)
+                        AS BIGINT))) AS h
+        FROM tok WHERE len(toks) >= {_WIN_TOKENS}
+    ), counts AS (
+        SELECT h, COUNT(*) AS c FROM spans GROUP BY h
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_ratio
+    FROM spans s JOIN counts c ON s.h = c.h
+    GROUP BY s.doc_id
+    """,
+)

@@ -260,3 +260,34 @@ def test_semdedup_blocked_not_cartesian(spark):
 
     plan = plan_of(QUERIES["ext_semdedup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_window_dedup_flags_shared_boilerplate(spark):
+    """Two docs sharing an 8-token boilerplate prefix: those spans are
+    duplicated; unique tails are not."""
+    boiler = "all rights reserved copyright notice terms of service"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha beta gamma delta epsilon zeta eta"),
+            (2, boiler + " other words entirely different from the first"),
+            (3, "completely unrelated text with eight distinct tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.window_dedup_stats(docs, window=8, stride=4).collect()
+    }
+    assert out[1]["n_dup_spans"] >= 1 and out[2]["n_dup_spans"] >= 1
+    assert out[3]["n_dup_spans"] == 0
+    assert 0 < out[1]["dup_ratio"] < 1
+
+
+def test_window_dedup_excludes_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    rows = D.window_dedup_stats(docs, window=8, stride=4).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    assert rows[0]["n_spans"] == 1
