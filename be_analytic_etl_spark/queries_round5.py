@@ -522,3 +522,76 @@ register(
     GROUP BY s.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket frequent pairs with a-priori pruning: items below min
+# support can't be in a frequent pair (Agrawal & Srikant, VLDB 1994), so
+# the quadratic per-basket self-join runs only over support-filtered
+# items. Lift contextualizes each pair against independence.
+_BASKET_MINSUP = 2
+
+
+def q_ext_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    tot = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+        .filter(F.col("n_item") >= _BASKET_MINSUP)
+    )
+    fit = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    a = fit.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = fit.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= _BASKET_MINSUP)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("__na"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("__nb"))
+    lift = (F.col("n_baskets").cast("double") * F.col("n_orders")) / (
+        F.col("__na").cast("double") * F.col("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select("part_a", "part_b", "n_baskets", lift.alias("lift"))
+    )
+
+
+register(
+    "ext_frequent_pairs",
+    q_ext_frequent_pairs,
+    f"""
+    WITH it AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), tot AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM it
+    ), freq AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM it GROUP BY l_partkey HAVING COUNT(*) >= {_BASKET_MINSUP}
+    ), fit AS (
+        SELECT it.l_orderkey, it.l_partkey
+        FROM it JOIN freq ON it.l_partkey = freq.l_partkey
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_baskets
+        FROM fit a JOIN fit b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_BASKET_MINSUP}
+    )
+    SELECT p.part_a, p.part_b, p.n_baskets,
+           (CAST(p.n_baskets AS DOUBLE) * t.n_orders)
+               / (CAST(fa.n_item AS DOUBLE) * fb.n_item) AS lift
+    FROM pairs p
+    JOIN freq fa ON p.part_a = fa.l_partkey
+    JOIN freq fb ON p.part_b = fb.l_partkey
+    CROSS JOIN tot t
+    """,
+)

@@ -57,7 +57,10 @@ def main() -> None:
     # Second pass, slowest-first, within a time budget: report min of the
     # two runs. First-run numbers fold in JVM/codegen warmup and transient
     # host contention; the min is the reproducible steady-state cost.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_BUDGET_S", "120"))
+    # 180 s covers a rerun of roughly every query above the median first-run
+    # time — enough to wash out one multi-minute host-contention wave
+    # (observed to inflate single queries 5-30x).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_BUDGET_S", "180"))
     for name in sorted(
         (n for n, t in timings.items() if t >= 0), key=lambda n: -timings[n]
     ):

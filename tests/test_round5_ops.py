@@ -291,3 +291,18 @@ def test_window_dedup_excludes_short_docs(spark):
     rows = D.window_dedup_stats(docs, window=8, stride=4).collect()
     assert {r["doc_id"] for r in rows} == {2}
     assert rows[0]["n_spans"] == 1
+
+
+def test_frequent_pairs_apriori_prunes_before_pair_join(spark):
+    """The basket self-join must run over support-filtered items (broadcast
+    semi-reduction), and lift must exceed 1 for genuinely co-bought pairs."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    df = QUERIES["ext_frequent_pairs"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    rows = df.collect()
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["n_baskets"] >= 2
+        assert r["lift"] > 0
