@@ -595,3 +595,68 @@ register(
     CROSS JOIN tot t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: per-group median/MAD (the z-score's breakdown-resistant
+# sibling — one wild value can't move the fence). Exact percentile is a
+# per-group sort; at 100 TB swap in approx_percentile (mergeable t-digest)
+# with no other plan change. Two grouped passes + one broadcast join of
+# the |groups|-row stats table; outliers counted, not materialized.
+_MAD_K = 3.0
+_MAD_CONSISTENT = 1.4826  # normal-consistency constant
+
+
+def q_ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("__ad")
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(__ad, 0.5)").alias("mad")
+    )
+    fence = F.lit(_MAD_K) * (F.lit(_MAD_CONSISTENT) * F.col("mad"))
+    flagged = (
+        ev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            (F.abs(F.col("value") - F.col("med")) > fence).cast("long").alias("__out"),
+        )
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__out").cast("long").alias("n_outliers"),
+        )
+    )
+    return flagged
+
+
+register(
+    "ext_mad_outliers",
+    q_ext_mad_outliers,
+    f"""
+    WITH ev AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM ev GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type, m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM ev e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type, m.med, m.mad,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN abs(e.value - m.med)
+                    > {_MAD_K} * ({_MAD_CONSISTENT} * m.mad)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM ev e JOIN mad m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.med, m.mad
+    """,
+)

