@@ -1,0 +1,172 @@
+"""Storage-layout queries: ORC round-trip, partitioned-write partition
+pruning, and bucketed (shuffle-free) joins.
+
+The reference's storage surface is CSV + Postgres
+(/root/reference/main.py:738-744, connect_postgre.py:209-321); a 100 TB
+Spark deployment adds the columnar layouts that make scans cheap:
+
+- ORC as the second columnar format (round-tripped and value-checked
+  against the parquet original);
+- Hive-style partitioned layout, where a filter on the partition column
+  prunes directories before any IO (`PartitionFilters` in the scan, 1/5
+  of the files read);
+- bucketed tables, where both join sides are pre-hashed into the same
+  bucket count on the join key so the sort-merge join runs with NO
+  shuffle exchange — the layout a nightly 100 TB fact/dim co-location
+  would use.
+
+Each query materializes the layout under /tmp (tagged by SF so scale
+factors never collide) and returns an aggregate the DuckDB oracle
+computes from the original parquet — proving the layout preserves values
+exactly, not just that the write succeeded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.queries_extensions import _t
+from be_analytic_etl_spark.registry import register
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip: project + filter lineitem -> ORC -> re-read -> aggregate.
+# The projection/filter happen BEFORE the write so the ORC file carries
+# only the 3 needed columns — the same scan-minimizing shape a 100 TB
+# format migration would use.
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 10).select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    path = f"/tmp/spark_graft_orc_{_tag(sf_dir)}"
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "orc_roundtrip",
+    q_orc_roundtrip,
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem WHERE l_quantity < 10 GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned write + partition-pruned read. The re-read filters on the
+# partition column: Catalyst resolves it against directory names
+# (PartitionFilters), so only 1 of 5 directories is ever listed/read —
+# the layout that turns a 100 TB scan into a 20 TB one for free.
+# tests/test_storage.py pins the PartitionFilters plan shape.
+
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    path = f"/tmp/spark_graft_part_{_tag(sf_dir)}"
+    orders.select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+register(
+    "partitioned_prune",
+    q_partitioned_prune,
+    """
+    SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed join: customer and orders both bucketed 8 ways on custkey via
+# external-path saveAsTable, then joined. Both sides report the same
+# HashClusteredDistribution-compatible bucketing, so the sort-merge join
+# has NO shuffle exchange on either side (pinned by tests/test_storage.py)
+# — the co-located layout for a recurring 100 TB fact/dim join.
+
+def bucketize(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = _tag(sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    bucketize(cust, f"graft_cust_b_{tag}", f"/tmp/spark_graft_bkt_cust_{tag}", "c_custkey")
+    bucketize(
+        orders, f"graft_orders_b_{tag}", f"/tmp/spark_graft_bkt_orders_{tag}", "o_custkey"
+    )
+    c = spark.table(f"graft_cust_b_{tag}")
+    o = spark.table(f"graft_orders_b_{tag}")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+register(
+    "bucketed_join",
+    q_bucketed_join,
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
