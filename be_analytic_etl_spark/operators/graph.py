@@ -48,6 +48,7 @@ def connected_components(
     max_iter: int = 50,
     algorithm: str = "propagation",
     stats: dict | None = None,
+    driver_solve_edges: int = 200_000,
 ) -> DataFrame:
     """Label every node with the minimum node id of its component.
 
@@ -63,7 +64,19 @@ def connected_components(
     of diameter — the fallback for adversarial long-path graphs where
     propagation would need thousands of rounds. Same output contract.
 
-    ``stats``, when given a dict, receives ``{"rounds": n}`` on return.
+    ``driver_solve_edges``: when the deduplicated symmetric edge list has
+    at most this many directed rows, the component structure is solved
+    with a driver-side union-find instead of iterative rounds (the same
+    small-graph shortcut GraphFrames' ``connectedComponents`` takes via
+    its broadcast threshold). Each distributed round costs ~3 shuffles
+    regardless of size, so a 1k-edge graph otherwise pays 20-30 fixed
+    stage latencies for microseconds of actual work. The collect is
+    strictly bounded: 200k (node,node) rows ≈ a few MB — control-plane
+    sized, like the k-centroid collects in clustering.py. Above the
+    threshold the distributed path is unchanged; pass ``0`` to force it.
+
+    ``stats``, when given a dict, receives ``{"rounds": n}`` on return
+    (``rounds=0`` on the driver path).
 
     Returns ``(id_col, group_id)``, one row per node.
     """
@@ -76,8 +89,22 @@ def connected_components(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
         F.col("s") != F.col("d")
     )
-    # Symmetrize once; both directions participate in every round.
-    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    # Symmetrize once; both directions participate in every round. The
+    # explode form reads the edge input ONCE — a self-union would evaluate
+    # the (often expensive: LSH bucketing, cosine pair search) upstream
+    # plan twice, since union branches share no computation.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("s"), F.col("d").alias("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.s", "__e.d")
+        .distinct()
+    )
     sym = sym.persist()
 
     endpoint_ids = sym.select(F.col("s").alias(id_col))
@@ -85,6 +112,13 @@ def connected_components(
         universe = nodes.select(F.col(id_col)).union(endpoint_ids).distinct()
     else:
         universe = endpoint_ids.distinct()
+
+    if driver_solve_edges and sym.count() <= driver_solve_edges:
+        labels = _driver_union_find(sym, universe, id_col)
+        sym.unpersist()
+        if stats is not None:
+            stats["rounds"] = 0
+        return labels
 
     labels = universe.select(id_col, F.col(id_col).alias("group_id"))
     labels = labels.localCheckpoint(eager=True)
@@ -145,6 +179,47 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     return labels
+
+
+def _driver_union_find(sym: DataFrame, universe: DataFrame, id_col: str) -> DataFrame:
+    """Solve CC for a sub-threshold edge list with a driver-side
+    union-find (path-halving + min-root union), then ship the labels back
+    as a small DataFrame joined to the node universe.
+
+    Only (node, node) pairs ever reach the driver, never payload columns,
+    and the caller bounds the row count — this is the terminal step for a
+    graph that *fits*, not a data-plane funnel. The min-root union makes
+    the representative of every set its minimum id, matching the
+    distributed contract exactly.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in sym.filter(F.col("s") < F.col("d")).collect():
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+
+    labeled = [(x, find(x)) for x in list(parent)]
+    spark = sym.sparkSession
+    id_type = sym.schema["s"].dataType
+    schema = StructType(
+        [StructField(id_col, id_type, False), StructField("group_id", id_type, False)]
+    )
+    label_df = spark.createDataFrame(labeled, schema)
+    return universe.join(F.broadcast(label_df), id_col, "left").select(
+        id_col, F.coalesce("group_id", F.col(id_col)).alias("group_id")
+    )
 
 
 def _connected_components_star(

@@ -348,7 +348,10 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from be_analytic_etl_spark.queries_extensions import _IVF_CELLS, _SEM_THRESH
 
     emb = _t(spark, sf_dir, "embeddings")
-    cells = S.assign_cells(emb, n_cells=_IVF_CELLS)
+    # Materialize the cell assignment once: the pair search self-joins it
+    # and CC's symmetrize would otherwise re-derive the whole assign plan
+    # on each side.
+    cells = S.assign_cells(emb, n_cells=_IVF_CELLS).localCheckpoint(eager=False)
     pairs = S.cosine_pairs_above(
         cells, block_cols=["cell"], threshold=_SEM_THRESH, round_to=None
     )

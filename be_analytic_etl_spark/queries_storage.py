@@ -79,11 +79,15 @@ register(
 # tests/test_storage.py pins the PartitionFilters plan shape.
 
 def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.sources.sinks import write_partitioned
+
     orders = _t(spark, sf_dir, "orders")
     path = f"/tmp/spark_graft_part_{_tag(sf_dir)}"
-    orders.select(
-        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
-    ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    write_partitioned(
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"),
+        path,
+        partition_cols=["o_orderpriority"],
+    )
     back = spark.read.parquet(path)
     return (
         back.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -124,14 +128,11 @@ def bucketize(
     key: str,
     n_buckets: int = 8,
 ) -> None:
-    spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (
-        df.write.mode("overwrite")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .option("path", path)
-        .saveAsTable(table)
+    from be_analytic_etl_spark.sources.sinks import write_bucketed_table
+
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed_table(
+        df, table, buckets=n_buckets, bucket_cols=[key], sort_cols=[key], path=path
     )
 
 

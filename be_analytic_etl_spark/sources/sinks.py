@@ -130,15 +130,22 @@ def write_bucketed_table(
     bucket_cols: list[str],
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed parquet table: pay the shuffle ONCE at write time;
+    """Bucketed parquet table: pay the shuffle ONCE at write time;
     every later join/aggregate on the bucket columns reads co-located
     buckets and plans with NO Exchange (asserted in tests/test_plans.py).
     The at-scale pattern for fact tables that are repeatedly joined on the
-    same key (e.g. orders ⋈ lineitem on the order key)."""
+    same key (e.g. orders ⋈ lineitem on the order key).
+
+    ``path`` makes the table external (data at an explicit location
+    instead of the session warehouse directory) — bucketing metadata
+    lives in the catalog either way."""
     w = df.write.format("parquet").mode(mode).bucketBy(buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

@@ -232,3 +232,24 @@ def test_star_cc_isolated_nodes_and_stats(spark):
     for i in [0, 4, 5, 6, 7, 8, 9, 12, 13, 14]:
         assert got[i] == i
     assert stats["rounds"] >= 1
+
+
+def test_driver_union_find_matches_distributed_propagation(spark):
+    """The sub-threshold driver path must agree with the distributed
+    propagation loop (forced via driver_solve_edges=0) on a random graph
+    with merges, chains, isolated nodes, and string-free long ids."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(0, 250).select(F.col("id"))
+    stats_fast: dict = {}
+    stats_dist: dict = {}
+    fast = connected_components(e, nodes=nodes, stats=stats_fast)
+    dist = connected_components(
+        e, nodes=nodes, stats=stats_dist, driver_solve_edges=0
+    )
+    assert stats_fast["rounds"] == 0  # took the union-find path
+    assert stats_dist["rounds"] >= 1  # took the iterative path
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dist.collect()))
