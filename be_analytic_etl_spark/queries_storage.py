@@ -171,3 +171,53 @@ register(
     GROUP BY c_mktsegment
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# XML round-trip (Spark 4's built-in XML source — new surface the
+# reference's CSV/Postgres stack lacks). supplier -> XML (rowTag) ->
+# re-read with an EXPLICIT schema (inference on XML is a second full scan;
+# at 100 TB the schema is always declared) -> aggregate; the oracle
+# computes the same aggregate from the parquet original, proving the
+# XML writer/reader preserve values exactly. Doubles survive because the
+# writer emits Java shortest round-trip representations.
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+    path = f"/tmp/spark_graft_xml_{_tag(sf_dir)}"
+    (
+        sup.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double")
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+        F.min("s_name").alias("first_name"),
+    )
+
+
+register(
+    "xml_roundtrip",
+    q_xml_roundtrip,
+    """
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           MIN(s_name) AS first_name
+    FROM supplier WHERE s_acctbal > 0
+    GROUP BY s_nationkey
+    """,
+)

@@ -1,0 +1,217 @@
+"""Round-4 text-prep queries: normalization (mojibake / control chars /
+whitespace), within-document line dedup, deterministic corpus shuffle,
+and domain temperature-sampling weights.
+
+The synthetic `documents` table is clean ASCII, so the normalization and
+line-dedup queries first *synthesize* dirty input deterministically from
+the clean text (the same trick br_number_parse uses with nation) — both
+engines build byte-identical dirty strings, so the transform is genuinely
+exercised, not a no-op over already-clean data.
+
+Cross-engine rules as elsewhere: regexes in the Java-regex/RE2
+intersection, literal replace chains generated from one shared constant
+table, exact integer math before any float division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# registry first: it fully initializes the queries_* import chain, so a
+# direct `import queries_textprep` (tests) can't re-enter a half-loaded
+# queries_extensions.
+from be_analytic_etl_spark.registry import register
+from be_analytic_etl_spark.operators import normalize as N
+from be_analytic_etl_spark.operators.textstats import PORTABLE_P
+from be_analytic_etl_spark.queries_extensions import _TOKS, _t
+
+# ---------------------------------------------------------------------------
+# ext_text_normalize: dirty text is synthesized by splicing every mojibake
+# sequence, a BEL control char, a tab and double spaces into the clean
+# document text; the normalizer must repair all of it. Output pins both
+# the exact normalized bytes (md5) and the length deltas.
+
+#: One dirty fragment containing every bad sequence in the repair table,
+#: separated by spaces so the whitespace collapse is exercised too.
+_DIRTY_FRAGMENT = "  ".join(bad for bad, _ in N.MOJIBAKE_PAIRS)
+#: What the fragment must normalize to (goods joined by single spaces —
+#: the trailing mojibake-NBSP pair repairs to ' ' and then collapses).
+_CLEAN_FRAGMENT = " ".join(good for _, good in N.MOJIBAKE_PAIRS).rstrip()
+
+
+def q_ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("\t "),
+        F.substring("text", 1, 40),
+        F.lit("  "),  # BEL: stripped by the control class
+        F.lit(_DIRTY_FRAGMENT),
+        F.lit("  "),
+        F.substring("text", 41, 40),
+        F.lit(" "),  # VT: stripped, then trailing space trimmed
+    )
+    stage = docs.select("doc_id", dirty.alias("dirty")).select(
+        "doc_id",
+        "dirty",
+        N.normalize_text(F.col("dirty")).alias("norm"),
+    )
+    return stage.select(
+        "doc_id",
+        F.length("dirty").cast("long").alias("len_dirty"),
+        F.length("norm").cast("long").alias("len_norm"),
+        F.md5(F.col("norm").cast("binary")).alias("norm_md5"),
+    )
+
+
+def _normalize_sql(expr: str) -> str:
+    """DuckDB twin of operators.normalize.normalize_text over ``expr``."""
+    out = f"coalesce({expr}, '')"
+    for bad, good in N.MOJIBAKE_PAIRS:
+        out = f"replace({out}, '{bad}', '{good}')"
+    out = rf"regexp_replace({out}, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')"
+    out = rf"regexp_replace({out}, '\s+', ' ', 'g')"
+    return f"trim({out})"
+
+
+register(
+    "ext_text_normalize",
+    q_ext_text_normalize,
+    f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               chr(9) || ' ' || substr(text, 1, 40) || ' ' || chr(7) || ' '
+               || '{_DIRTY_FRAGMENT}' || '  ' || substr(text, 41, 40)
+               || ' ' || chr(11) AS dirty
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(dirty) AS BIGINT) AS len_dirty,
+           CAST(length({_normalize_sql("dirty")}) AS BIGINT) AS len_norm,
+           md5({_normalize_sql("dirty")}) AS norm_md5
+    FROM dirty
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_line_dedup: within-document first-occurrence sentence dedup (Dolma's
+# within-doc pass; curation.paragraph_dedup is the corpus-wide variant).
+# The fixture repeats sentence s1 inside each synthesized document, so
+# every doc has a real duplicate to drop. Fully map-only in Spark (array
+# filter on first-occurrence index) — the zero-shuffle scale story is the
+# point of the within-doc variant.
+
+def q_ext_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s1 = F.substring("text", 1, 30)
+    s2 = F.substring("text", 31, 30)
+    s3 = F.substring("text", 61, 30)
+    doc = F.concat_ws(". ", s1, s2, s1, s3)
+    return N.line_dedup_within_doc(
+        docs.select("doc_id", doc.alias("text")), text_col="text"
+    ).select(
+        "doc_id",
+        "n_parts",
+        "n_kept",
+        "kept_ratio",
+        F.md5(F.col("rebuilt").cast("binary")).alias("rebuilt_md5"),
+    )
+
+
+register(
+    "ext_line_dedup",
+    q_ext_line_dedup,
+    """
+    WITH fix AS (
+        SELECT doc_id,
+               concat_ws('. ', substr(text, 1, 30), substr(text, 31, 30),
+                         substr(text, 1, 30), substr(text, 61, 30)) AS t
+        FROM documents
+    ), split AS (
+        SELECT doc_id, string_split(coalesce(t, ''), '. ') AS toks FROM fix
+    ), kept AS (
+        SELECT doc_id, toks,
+               list_filter(toks, (x, i) -> list_position(toks, x) = i) AS first_only
+        FROM split
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_parts,
+           CAST(len(first_only) AS BIGINT) AS n_kept,
+           CAST(len(first_only) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS kept_ratio,
+           md5(array_to_string(first_only, '. ')) AS rebuilt_md5
+    FROM kept
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_corpus_shuffle: deterministic hash permutation + shard assignment
+# (reproducible training order). One exchange total — the same shuffle the
+# shard writer needs. Portable md5 hash so any engine can replay the order.
+
+_SHUFFLE_SEED = 42
+_N_SHARDS = 8
+
+
+def q_ext_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return N.corpus_shuffle(docs, n_shards=_N_SHARDS, seed=_SHUFFLE_SEED)
+
+
+register(
+    "ext_corpus_shuffle",
+    q_ext_corpus_shuffle,
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {PORTABLE_P} AS hh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hh % {_N_SHARDS} AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % {_N_SHARDS} ORDER BY hh, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_temperature_weights: per-domain tempered sampling weights
+# (w_d ∝ p_d^0.7, the multilingual-LM upsampling rule). Corpus reduces to
+# |domains| rows before any float math; the renormalizing sum runs in
+# DECIMAL so neither engine's float addition order matters.
+
+_ALPHA = 0.7
+
+
+def q_ext_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return N.temperature_weights(docs, domain_col="source", alpha=_ALPHA)
+
+
+register(
+    "ext_temperature_weights",
+    q_ext_temperature_weights,
+    f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), p AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p
+        FROM per
+    ), w AS (
+        SELECT *, CAST(pow(p, {_ALPHA}) AS DECIMAL(28,18)) AS w_dec FROM p
+    )
+    SELECT source, n_docs, n_tokens, p,
+           CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE) AS weight,
+           (CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) / p
+               AS epochs_vs_uniform
+    FROM w
+    """,
+)

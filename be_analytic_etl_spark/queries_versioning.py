@@ -1,0 +1,124 @@
+"""Round-4 versioning + curriculum queries: snapshot diff between two
+table versions (the CDC/audit primitive) and quantile-bucketed
+curriculum sampling (length-staged training data).
+
+Version fixtures are synthesized deterministically from `orders` (modular
+key filters + a price bump), so both engines build byte-identical v1/v2
+and the diff logic is genuinely exercised.
+"""
+
+from __future__ import annotations
+
+# registry first: fully initializes the queries_* chain (see
+# queries_textprep.py for why).
+from be_analytic_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators import versioning as V
+from be_analytic_etl_spark.operators.textstats import PORTABLE_P, portable_base_hash, tokenize
+from be_analytic_etl_spark.queries_extensions import _TOKS, _t
+
+# ---------------------------------------------------------------------------
+# ext_snapshot_diff: v1 = orders minus every 11th key; v2 = orders minus
+# every 7th key, with a 10% price bump on every 5th key. One full-outer
+# sort-merge join on the key, then a per-status rollup with a key
+# checksum. At 100 TB both versions would be bucketed on the key and the
+# join would be exchange-free (bucketed_join proves that layout).
+
+
+def q_ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    v1 = orders.filter(F.col("o_orderkey") % 11 != 0).select(*cols)
+    v2 = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.col("o_totalprice") * F.lit(1.1),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    diff = V.snapshot_diff(v1, v2, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+    return V.diff_summary(diff, "o_orderkey")
+
+
+register(
+    "ext_snapshot_diff",
+    q_ext_snapshot_diff,
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ), v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ), d AS (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'deleted'
+                    WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                         AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY status
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_curriculum_sample: exact quartile thresholds over token counts, map-
+# side bucket assignment (no ntile / no global sort), then a deterministic
+# 1-in-10 portable-hash sample per bucket. Returns per-bucket totals,
+# sample sizes and the sampled token mass.
+
+def q_ext_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    buckets = V.curriculum_buckets(
+        docs, F.size(tokenize(F.col("text"))), id_col="doc_id"
+    )
+    in_sample = (portable_base_hash(F.col("doc_id").cast("string")) % 10) == 0
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(in_sample, F.col("length")).otherwise(F.lit(0.0)))
+        .cast("double")
+        .alias("sum_len_sampled"),
+    )
+
+
+register(
+    "ext_curriculum_sample",
+    q_ext_curriculum_sample,
+    f"""
+    WITH lens AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS l FROM documents
+    ), q AS (
+        SELECT quantile_cont(l, [0.25, 0.5, 0.75]) AS qs FROM lens
+    ), b AS (
+        SELECT doc_id, l,
+               (CASE WHEN l > qs[1] THEN 1 ELSE 0 END
+                + CASE WHEN l > qs[2] THEN 1 ELSE 0 END
+                + CASE WHEN l > qs[3] THEN 1 ELSE 0 END) AS bucket,
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                % {PORTABLE_P}) % 10 = 0 AS in_sample
+        FROM lens, q
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN in_sample THEN l ELSE 0.0 END) AS DOUBLE)
+               AS sum_len_sampled
+    FROM b GROUP BY bucket
+    """,
+)

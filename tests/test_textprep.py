@@ -1,0 +1,107 @@
+"""Text-prep operators (normalize / line dedup / corpus shuffle /
+temperature weights): semantic unit tests + the plan shapes that carry
+the 100 TB story (map-only normalization and within-doc dedup, exactly
+one keyed exchange for the corpus shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators import normalize as N
+from be_analytic_etl_spark.queries_textprep import _CLEAN_FRAGMENT, _DIRTY_FRAGMENT
+from be_analytic_etl_spark.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_keyed_shuffle(plan: str) -> bool:
+    return "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+# --- semantics ---------------------------------------------------------------
+
+
+def test_normalize_text_repairs_everything(spark):
+    messy = f"\t cafÃ©  {_DIRTY_FRAGMENT} \x07 x\x0b  y "
+    row = (
+        spark.range(1)
+        .select(N.normalize_text(F.lit(messy)).alias("n"))
+        .first()
+    )
+    assert row.n == f"café {_CLEAN_FRAGMENT} x y"
+
+
+def test_normalize_text_null_and_blank(spark):
+    df = spark.createDataFrame([(None,), ("   ",)], "t string")
+    vals = [r.n for r in df.select(N.normalize_text("t").alias("n")).collect()]
+    assert vals == ["", ""]
+
+
+def test_line_dedup_keeps_first_occurrence_in_order(spark):
+    df = spark.createDataFrame([(1, "a. b. a. c. b")], "doc_id long, text string")
+    row = N.line_dedup_within_doc(df).first()
+    assert row.rebuilt == "a. b. c"
+    assert (row.n_parts, row.n_kept) == (5, 3)
+    assert abs(row.kept_ratio - 0.6) < 1e-12
+
+
+def test_line_dedup_separator_is_literal_not_regex(spark):
+    # '.' must not act as regex any-char: 'xy' contains no '. ' separator.
+    df = spark.createDataFrame([(1, "xy zw xy")], "doc_id long, text string")
+    row = N.line_dedup_within_doc(df).first()
+    assert row.n_parts == 1 and row.rebuilt == "xy zw xy"
+
+
+def test_corpus_shuffle_is_a_permutation(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = N.corpus_shuffle(docs, n_shards=4, seed=7)
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    # positions are dense 1..k within every shard
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    for r in per.collect():
+        assert (r.mn, r.mx) == (1, r.n)
+
+
+def test_corpus_shuffle_seed_changes_order(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    a = {(r.doc_id): (r.shard, r.pos) for r in N.corpus_shuffle(docs, seed=1).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in N.corpus_shuffle(docs, seed=2).collect()}
+    assert a != b
+
+
+def test_temperature_weights_sum_to_one_and_flatten(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = N.temperature_weights(docs, alpha=0.5).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    # alpha<1 upsamples rare domains: smallest p gets weight > p
+    lo = min(rows, key=lambda r: r.p)
+    hi = max(rows, key=lambda r: r.p)
+    assert lo.weight > lo.p and hi.weight < hi.p
+
+
+# --- plan shapes -------------------------------------------------------------
+
+
+def test_text_normalize_is_map_only(spark):
+    plan = plan_of(QUERIES["ext_text_normalize"](spark, SF_DIR))
+    assert _no_keyed_shuffle(plan), plan
+
+
+def test_line_dedup_is_map_only(spark):
+    plan = plan_of(QUERIES["ext_line_dedup"](spark, SF_DIR))
+    assert _no_keyed_shuffle(plan), plan
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    plan = plan_of(QUERIES["ext_corpus_shuffle"](spark, SF_DIR))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
