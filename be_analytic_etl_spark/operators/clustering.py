@@ -64,7 +64,8 @@ def kmeans_fit_predict(
             F.aggregate(
                 F.zip_with(
                     F.col("__xi"),
-                    F.array(*[F.lit(int(c)) for c in cent]),
+                    # one parsed expr, not len(cent) py4j F.lit calls
+                    F.expr("array(" + ",".join(f"{int(c)}L" for c in cent) + ")"),
                     lambda x, c: (x - c) * (x - c),
                 ),
                 F.lit(0).cast("long"),

@@ -45,6 +45,28 @@ def _maybe_round(c: Column, round_to: int | None) -> Column:
     bit-identical doubles (same IEEE op sequence in both engines)."""
     return F.round(c, round_to) if round_to is not None else c
 
+def lit_doubles(xs) -> Column:
+    """Literal array<double> built as ONE parsed SQL expression.
+
+    Semantically identical to ``F.array(*[F.lit(float(x)) for x in xs])``
+    — bit-exact, including subnormals and extremes (``repr()`` round-trips
+    and Spark's literal parser is correctly rounding; verified) — but a
+    single py4j round trip instead of len(xs)+1. For literal-heavy plans
+    (inlined centroid tables: 8 cells x 64 dims; PQ codebooks: 64
+    subvector uses) the Python-side expression build was the measured
+    bottleneck: seconds of py4j chatter before the JVM saw any plan.
+    """
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")")
+
+
+def lit_doubles_2d(rows) -> Column:
+    """Literal array<array<double>> in one py4j round trip."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns (sequential fold — matches
     a scalar engine's left-to-right summation for reproducibility)."""
@@ -243,7 +265,7 @@ def ivf_ann(
                         F.when(
                             (F.lit(cent_norms[i]) == 0) | (nv == 0), F.lit(0.0)
                         ).otherwise(
-                            dot(F.array(*[F.lit(x) for x in cent_vecs[i]]), v)
+                            dot(lit_doubles(cent_vecs[i]), v)
                             / (F.lit(cent_norms[i]) * nv)
                         )
                         for i in range(len(cent_vecs))
@@ -321,7 +343,7 @@ def lsh_bucket_ann(
     from pyspark.sql import Window
 
     planes = _pseudo_hyperplanes(dim, n_planes, seed)
-    plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    plane_lits = lit_doubles_2d(planes)
 
     def bucket_of(vec: Column) -> Column:
         signs = F.transform(plane_lits, lambda pl: F.when(dot(pl, vec) >= 0, F.lit(1)).otherwise(F.lit(0)))
@@ -403,7 +425,7 @@ def assign_cells(
                         F.when(
                             (F.lit(cent_norms[i]) == 0) | (nv == 0), F.lit(0.0)
                         ).otherwise(
-                            dot(F.array(*[F.lit(x) for x in cent_vecs[i]]), v)
+                            dot(lit_doubles(cent_vecs[i]), v)
                             / (F.lit(cent_norms[i]) * nv)
                         )
                         for i in range(len(cent_vecs))
@@ -551,36 +573,57 @@ def pq_ann(
     ]
     c2 = [[_py_dot(c, c) for c in row] for row in cents]
 
-    def lit_vec(xs: list[float]) -> Column:
-        return F.array(*[F.lit(x) for x in xs])
+    # The encode + ADC expressions are built as SQL TEXT (one F.expr per
+    # frame), not composed Column-by-Column: m x n_codes dot products each
+    # composed of zip_with/aggregate lambdas cost thousands of py4j round
+    # trips — the measured bottleneck was the PYTHON-side plan build
+    # (~3.5 s warm), not execution. The SQL forms are operation-for-
+    # operation identical (same fold, same literals via repr round-trip,
+    # same 2.0D factors), so results are bit-identical.
+    def _lit_sql(xs: list[float]) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+
+    def _dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
 
     # --- encode: codes[mm] = argmin_j ( c2[mm][j] - 2*<sub, cent> ) ------
-    v = _vec(vec_col)
+    v_sql = f"transform({vec_col}, __x -> CAST(__x AS DOUBLE))"
 
-    def code_for(mm: int) -> Column:
-        s = F.slice(v, mm * sub + 1, sub)
-        scores = F.array(
-            *[
-                F.lit(c2[mm][j]) - 2.0 * dot(s, lit_vec(cents[mm][j]))
-                for j in range(n_codes)
-            ]
-        )
-        return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+    def code_sql(mm: int) -> str:
+        s = f"slice({v_sql}, {mm * sub + 1}, {sub})"
+        scores = "array(" + ",".join(
+            f"({c2[mm][j]!r}D - 2.0D * {_dot_sql(s, _lit_sql(cents[mm][j]))})"
+            for j in range(n_codes)
+        ) + ")"
+        return f"CAST((array_position({scores}, array_min({scores})) - 1) AS INT)"
 
     db = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        F.array(*[code_for(mm) for mm in range(m)]).alias("__codes"),
+        F.expr("array(" + ",".join(code_sql(mm) for mm in range(m)) + ")").alias(
+            "__codes"
+        ),
     )
 
     # --- per-query ADC table: adc[mm][j] = ||q_sub - cent||^2 ------------
-    qv = _vec(query_vec_col)
+    qv_sql = f"transform({query_vec_col}, __x -> CAST(__x AS DOUBLE))"
 
-    def adc_entry(mm: int, j: int) -> Column:
-        s = F.slice(qv, mm * sub + 1, sub)
-        return (dot(s, s) - 2.0 * dot(s, lit_vec(cents[mm][j]))) + F.lit(c2[mm][j])
+    def adc_sql(mm: int, j: int) -> str:
+        s = f"slice({qv_sql}, {mm * sub + 1}, {sub})"
+        return (
+            f"(({_dot_sql(s, s)} - 2.0D * {_dot_sql(s, _lit_sql(cents[mm][j]))})"
+            f" + {c2[mm][j]!r}D)"
+        )
 
-    adc = F.array(
-        *[F.array(*[adc_entry(mm, j) for j in range(n_codes)]) for mm in range(m)]
+    adc = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(adc_sql(mm, j) for j in range(n_codes)) + ")"
+            for mm in range(m)
+        )
+        + ")"
     )
     qdf = queries.select(F.col(query_id_col), adc.alias("__adc"))
 

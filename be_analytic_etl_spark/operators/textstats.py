@@ -473,3 +473,52 @@ def bigram_lm_doc_score(
         "avg_logp",
         F.exp(-F.col("avg_logp")).alias("perplexity"),
     )
+
+
+# --- hashed linear quality classifier ---------------------------------------
+
+#: Number of hashed feature buckets for the linear scorer.
+QC_BUCKETS = 64
+#: Bias term of the deterministic demo weight vector.
+QC_BIAS = -0.25
+
+
+def qc_weights(n_buckets: int = QC_BUCKETS) -> list[float]:
+    """Deterministic pseudo-random weights in [-0.5, 0.5) — the stand-in
+    for a trained fastText-style linear model (same role the lowest-id
+    'centroids' play for IVF: a fixed, oracle-replicable parameter
+    vector; a real deployment inlines its trained weights identically).
+    Each weight is an integer/1000 so the literal round-trips exactly
+    through both engines' decimal parsers."""
+    return [
+        ((b * 2_654_435_761 + 1_013_904_223) % 1000) / 1000.0 - 0.5
+        for b in range(n_buckets)
+    ]
+
+
+def hashed_linear_score(
+    col: Column | str,
+    *,
+    n_buckets: int = QC_BUCKETS,
+    bias: float = QC_BIAS,
+) -> Column:
+    """fastText-style document quality score: hash each token into one of
+    ``n_buckets`` features, score = sigmoid(bias + sum over tokens of
+    w[bucket(token)]).
+
+    The per-token sum IS the tf-weighted dot product (sum_b tf_b * w_b ==
+    sum_tokens w[bucket(t)]), so scoring is a single left fold over the
+    token array — map-only, linear in tokens, no 64-wide tf vector ever
+    materialized. The fold order is the token order, so the float sum is
+    deterministic and the DuckDB twin replays it bit-for-bit.
+    """
+    w = qc_weights(n_buckets)
+    w_lit = F.expr("array(" + ",".join(f"{x!r}D" for x in w) + ")")
+    toks = tokenize(col)
+    raw = F.aggregate(
+        toks,
+        F.lit(float(bias)),
+        lambda acc, t: acc
+        + F.element_at(w_lit, (portable_base_hash(t) % n_buckets).cast("int") + 1),
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))

@@ -215,3 +215,86 @@ register(
     FROM w
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_quality_classifier: fastText-style hashed linear scorer (map-only;
+# the inference half of a learned quality filter — weights are a fixed
+# deterministic vector standing in for trained parameters, exactly as the
+# lowest-id "centroids" stand in for trained k-means in the ANN family).
+
+def q_ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.textstats import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    score = hashed_linear_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def _qc_oracle() -> str:
+    from be_analytic_etl_spark.operators.textstats import QC_BIAS, QC_BUCKETS, qc_weights
+
+    w_sql = "[" + ",".join(repr(x) for x in qc_weights()) + "]"
+    per_tok = (
+        f"list_transform({_TOKS}, t -> {w_sql}["
+        f"CAST((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {PORTABLE_P})"
+        f" % {QC_BUCKETS} AS INTEGER) + 1])"
+    )
+    raw = f"list_reduce([CAST({QC_BIAS!r} AS DOUBLE)] || {per_tok}, (x, y) -> x + y)"
+    return f"""
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-({raw}))) AS score,
+           (1.0 / (1.0 + exp(-({raw}))) >= 0.5) AS keep
+    FROM documents
+    """
+
+
+register("ext_quality_classifier", q_ext_quality_classifier, _qc_oracle())
+
+
+# ---------------------------------------------------------------------------
+# ext_variant_json: Spark 4 VARIANT ingestion — parse the props JSON once
+# into the binary variant encoding, then typed variant_get extraction
+# (the shredding-friendly path a 100 TB semi-structured column should
+# take: parse once, extract many, no per-path string re-parse the way
+# repeated get_json_object calls do).
+
+def q_ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.not_there", "string")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_missing"),
+        )
+    )
+
+
+register(
+    "ext_variant_json",
+    q_ext_variant_json,
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.not_there') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_missing
+    FROM events GROUP BY event_type
+    """,
+)

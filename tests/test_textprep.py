@@ -105,3 +105,30 @@ def test_corpus_shuffle_single_exchange(spark):
     plan = plan_of(QUERIES["ext_corpus_shuffle"](spark, SF_DIR))
     assert plan.count("hashpartitioning") == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+# --- hashed linear classifier + variant ---------------------------------------
+
+
+def test_quality_classifier_score_range_and_determinism(spark):
+    df = QUERIES["ext_quality_classifier"](spark, SF_DIR)
+    rows = df.collect()
+    assert all(0.0 < r.score < 1.0 for r in rows)
+    again = {r.doc_id: r.score for r in QUERIES["ext_quality_classifier"](spark, SF_DIR).collect()}
+    assert all(again[r.doc_id] == r.score for r in rows)
+
+
+def test_quality_classifier_is_map_only(spark):
+    plan = plan_of(QUERIES["ext_quality_classifier"](spark, SF_DIR))
+    assert _no_keyed_shuffle(plan), plan
+
+
+def test_variant_extract_matches_get_json_object(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(500)
+    both = ev.select(
+        F.variant_get(F.try_parse_json("props"), "$.k", "bigint").alias("v"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("j"),
+    )
+    assert both.filter(~F.col("v").eqNullSafe(F.col("j"))).count() == 0
