@@ -221,3 +221,62 @@ register(
     GROUP BY s_nationkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4): the reference's driver-side
+# download loop (main.py:347-389) as a real Spark source — one
+# InputPartition per resource URL, fetch/decode/split running executor-
+# side. The query materializes per-region TSV fixtures from nation,
+# reads them back through format("rest_tsv") over file:// URLs (same
+# code path as http), parses, and aggregates; the oracle computes the
+# same result from the parquet original. The 25-row driver collect is
+# control-plane fixture writing, not a data funnel.
+
+def q_rest_tsv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.sources.datasource import register_rest_tsv
+
+    nation = _t(spark, sf_dir, "nation")
+    rows = sorted(
+        nation.select("n_nationkey", "n_name", "n_regionkey").collect(),
+        key=lambda r: r.n_nationkey,
+    )
+    base = f"/tmp/spark_graft_resttsv_{_tag(sf_dir)}"
+    os.makedirs(base, exist_ok=True)
+    paths: dict[int, str] = {}
+    for rk in sorted({r.n_regionkey for r in rows}):
+        p = f"{base}/r{rk}.tsv"
+        with open(p, "w", encoding="utf-8") as f:
+            for r in rows:
+                if r.n_regionkey == rk:
+                    f.write(f"{r.n_name}\t{r.n_nationkey}\n")
+        paths[rk] = p
+    register_rest_tsv(spark)
+    df = (
+        spark.read.format("rest_tsv")
+        .option("urls", ",".join(f"file://{p}" for p in paths.values()))
+        .load()
+    )
+    parsed = df.select(
+        F.regexp_extract("url", r"r(\d+)\.tsv$", 1).cast("int").alias("region_bucket"),
+        F.split_part(F.col("line"), F.lit("\t"), F.lit(1)).alias("name"),
+        F.split_part(F.col("line"), F.lit("\t"), F.lit(2)).cast("long").alias("key"),
+    )
+    return parsed.groupBy("region_bucket").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("key").alias("key_sum"),
+        F.min("name").alias("first_name"),
+    )
+
+
+register(
+    "rest_tsv_source",
+    q_rest_tsv_source,
+    """
+    SELECT CAST(n_regionkey AS INTEGER) AS region_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)

@@ -116,6 +116,24 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_histogram_quantiles",
 ]
 
+# ROUND-5 ROTATION PLAN (apply at round-5 start, after CORRECTNESS_r04
+# confirms this window green): replace the then-driver-proven entries
+# above with the never-driver-checked set — the round-3 additions
+# (ext_dup_survivorship ext_mixture_sample ext_containment
+# ext_quality_bins ext_rolling_median ext_per_key_sample ext_lm_score
+# ext_semdedup ext_pq_ann ext_window_dedup ext_frequent_pairs
+# ext_mad_outliers ext_c4_filter ext_char_entropy ext_paragraph_dedup
+# ext_chunk_text ext_multimodal_frames ext_freq_spectrum ext_skew_profile
+# ext_embedding_stats ext_bigram_lm ext_lsh_tuning orc_roundtrip
+# partitioned_prune bucketed_join), the round-4 additions
+# (ext_text_normalize ext_line_dedup ext_corpus_shuffle
+# ext_temperature_weights ext_snapshot_diff ext_curriculum_sample
+# ext_quality_classifier ext_variant_json xml_roundtrip rest_tsv_source),
+# and the deferred relational variants (returned_revenue market_share
+# window_suite min_cost_supplier grouping_sets forecast_revenue
+# sole_blame_supplier nation_profit important_parts supplier_variety
+# volume_suppliers) — 46 entries, one window.
+
 
 def _reorder_for_driver_window() -> None:
     prioritized = [n for n in _DRIVER_WINDOW_PRIORITY if n in QUERIES]

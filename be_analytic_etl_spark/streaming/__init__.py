@@ -2,6 +2,7 @@ from be_analytic_etl_spark.streaming.jobs import (
     read_events_stream,
     stream_attribution_join,
     stream_dedup_first,
+    stream_dedup_within_watermark,
     stream_enrich,
     stream_sessionize,
     stream_sliding_agg,
@@ -16,4 +17,5 @@ __all__ = [
     "stream_sessionize",
     "stream_enrich",
     "stream_dedup_first",
+    "stream_dedup_within_watermark",
 ]

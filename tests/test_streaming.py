@@ -184,3 +184,18 @@ def test_stream_stream_attribution_matches_batch_twin(
     key = lambda r: (r["click_id"], r["purchase_id"])
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     assert got.count() > 0
+
+
+def test_stream_dedup_within_watermark_single_batch(spark, events_batch, events_stream_dir):
+    from be_analytic_etl_spark.streaming import stream_dedup_within_watermark
+
+    stream = read_events_stream(spark, events_stream_dir)
+    got = _run(
+        spark,
+        stream_dedup_within_watermark(stream, key_cols=("user_id", "event_type")),
+        "t_dedup_wm",
+    )
+    # single availableNow batch => all rows share one state horizon, so the
+    # output is exactly one row per (user_id, event_type)
+    assert got.count() == events_batch.select("user_id", "event_type").distinct().count()
+    assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
