@@ -298,3 +298,75 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_preference_pairs: RLHF-style (chosen, rejected) pair construction —
+# per language group, the highest- and lowest-scoring documents under the
+# hashed linear quality model, with the score margin. ONE shuffle: scores
+# are map-side, the per-group argmax/argmin are struct-min aggregates
+# (partial-agg'd), no window, no self-join.
+
+def q_ext_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.textstats import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "lang", "doc_id", hashed_linear_score(F.col("text")).alias("score")
+    )
+    chosen = F.min(
+        F.struct(
+            (-F.col("score")).alias("ns"),
+            F.col("doc_id").alias("id"),
+            F.col("score").alias("s"),
+        )
+    )
+    rejected = F.min(
+        F.struct(
+            F.col("score").alias("s"),
+            F.col("doc_id").alias("id"),
+        )
+    )
+    agg = s.groupBy("lang").agg(chosen.alias("__c"), rejected.alias("__r"))
+    return agg.select(
+        "lang",
+        F.col("__c.id").alias("chosen_id"),
+        F.col("__c.s").alias("chosen_score"),
+        F.col("__r.id").alias("rejected_id"),
+        F.col("__r.s").alias("rejected_score"),
+        (F.col("__c.s") - F.col("__r.s")).alias("margin"),
+    )
+
+
+def _pref_oracle() -> str:
+    from be_analytic_etl_spark.operators.textstats import QC_BIAS, QC_BUCKETS, qc_weights
+
+    w_sql = "[" + ",".join(repr(x) for x in qc_weights()) + "]"
+    per_tok = (
+        f"list_transform({_TOKS}, t -> {w_sql}["
+        f"CAST((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {PORTABLE_P})"
+        f" % {QC_BUCKETS} AS INTEGER) + 1])"
+    )
+    raw = f"list_reduce([CAST({QC_BIAS!r} AS DOUBLE)] || {per_tok}, (x, y) -> x + y)"
+    return f"""
+    WITH s AS (
+        SELECT lang, doc_id, 1.0 / (1.0 + exp(-({raw}))) AS score FROM documents
+    ), c AS (
+        SELECT lang, doc_id, score,
+               row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+        FROM s
+    ), r AS (
+        SELECT lang, doc_id, score,
+               row_number() OVER (PARTITION BY lang ORDER BY score ASC, doc_id) AS rn
+        FROM s
+    )
+    SELECT c.lang,
+           c.doc_id AS chosen_id, c.score AS chosen_score,
+           r.doc_id AS rejected_id, r.score AS rejected_score,
+           c.score - r.score AS margin
+    FROM c JOIN r ON c.lang = r.lang
+    WHERE c.rn = 1 AND r.rn = 1
+    """
+
+
+register("ext_preference_pairs", q_ext_preference_pairs, _pref_oracle())
