@@ -280,3 +280,51 @@ register(
     FROM nation GROUP BY n_regionkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: v1 parquet files lack a column that v2 files carry
+# (the normal state of a long-lived 100 TB lake). mergeSchema unions the
+# footers at read time; v1 rows surface NULL for the new column and the
+# aggregate handles them explicitly. The oracle reproduces the same
+# semantics from the original table.
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    path = f"/tmp/spark_graft_evo_{_tag(sf_dir)}"
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.col("o_orderstatus").alias("status_v2"),
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/v1")
+    v2.write.mode("overwrite").parquet(f"{path}/v2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{path}/v1", f"{path}/v2")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("status_v2").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_legacy_rows"),
+        F.count("status_v2").cast("bigint").alias("n_evolved_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+register(
+    "schema_evolution",
+    q_schema_evolution,
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_legacy_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_evolved_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
