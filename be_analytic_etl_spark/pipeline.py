@@ -103,8 +103,14 @@ def _exact_dedup(df: DataFrame, opts: dict) -> DataFrame:
 @stage("near_dedup")
 def _near_dedup(df: DataFrame, opts: dict) -> DataFrame:
     """MinHash-LSH near-dup groups -> keep min-id representative."""
+    from pyspark import StorageLevel
+
     text = opts.get("text_col", "text")
     id_col = opts.get("id_col", "doc_id")
+    # the input feeds LSH pair generation, the CC node set AND the final
+    # representative join; persist so upstream stages run once (release
+    # via session.cached_scope in long-lived sessions)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = D.minhash_lsh_pairs(
         df,
         text_col=text,

@@ -370,3 +370,53 @@ def _pref_oracle() -> str:
 
 
 register("ext_preference_pairs", q_ext_preference_pairs, _pref_oracle())
+
+
+# ---------------------------------------------------------------------------
+# ext_pipeline_spec: the SAME end-to-end curation chain as ext_pipeline,
+# but declared as a JSON-able pipeline spec and composed by
+# pipeline.run_pipeline — registered against the SAME recursive-CTE
+# oracle, so the driver proves the composer reproduces the hand-built
+# chain value-for-value (rows, schema, hash).
+
+def q_ext_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.textstats import tokenize
+    from be_analytic_etl_spark.pipeline import run_pipeline
+    from be_analytic_etl_spark.queries_extensions import (
+        _LSH_BANDS,
+        _LSH_MAXBUCKET,
+        _LSH_THRESH,
+        _MH_HASHES,
+        _MH_SHINGLE,
+        _PIPE_MIN_CHARS,
+        _PIPE_MIN_TOKENS,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    spec = [
+        {"op": "quality_gate", "min_chars": _PIPE_MIN_CHARS, "min_tokens": _PIPE_MIN_TOKENS},
+        {"op": "exact_dedup"},
+        {
+            "op": "near_dedup",
+            "num_hashes": _MH_HASHES,
+            "bands": _LSH_BANDS,
+            "shingle_n": _MH_SHINGLE,
+            "jaccard_threshold": _LSH_THRESH,
+            "max_bucket": _LSH_MAXBUCKET,
+            "portable": True,
+        },
+        {"op": "split"},
+    ]
+    out = run_pipeline(docs, spec)
+    return out.select(
+        "doc_id", "lang", F.size(tokenize(F.col("text"))).alias("n_tokens"), "split"
+    )
+
+
+def _pipeline_spec_oracle() -> str:
+    from be_analytic_etl_spark.registry import ORACLE_SQL
+
+    return ORACLE_SQL["ext_pipeline"]
+
+
+register("ext_pipeline_spec", q_ext_pipeline_spec, _pipeline_spec_oracle())
