@@ -420,3 +420,83 @@ def _pipeline_spec_oracle() -> str:
 
 
 register("ext_pipeline_spec", q_ext_pipeline_spec, _pipeline_spec_oracle())
+
+
+# ---------------------------------------------------------------------------
+# ext_isotonic_trend: monotone-calibrated per-day value trend per event
+# type — PAVA via grouped applyInPandas (the sequential-within-series /
+# parallel-across-groups algorithm class SQL cannot express; registered
+# WITHOUT an oracle, so the driver applies its rows-only check, and
+# tests/test_textprep.py value-checks against a pure-Python reference).
+
+def q_ext_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.regression import isotonic_fit
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("double").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value")
+        )
+    )
+    return isotonic_fit(daily, "event_type", "day", "avg_value")
+
+
+register("ext_isotonic_trend", q_ext_isotonic_trend, None)
+
+
+# ---------------------------------------------------------------------------
+# ext_udtf_sentences: Python UDTF (Spark 4) in a LATERAL join — the
+# table-function escape hatch for 1:N row expansion that needs imperative
+# Python. Deliberately given semantics a SQL twin CAN replicate (split on
+# '. ', whitespace token counts), so the UDTF plumbing itself is value-
+# checked. The docstring caveat applies at scale: this crosses the Python
+# boundary per row — prefer the native array exprs (curation.chunk_tokens,
+# normalize.line_dedup_within_doc) for anything hot; the UDTF form exists
+# for logic that genuinely needs Python (and is Arrow-batched like
+# mapInPandas when it does).
+
+def q_ext_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string, n_toks int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                yield i, s, len(s.split())
+
+    spark.udtf.register("graft_sentence_split", SentenceSplit)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, md5(CAST(s.sentence AS BINARY)) AS sentence_md5,
+               s.n_toks
+        FROM __udtf_docs d, LATERAL graft_sentence_split(coalesce(d.text, '')) s
+        """
+    )
+
+
+register(
+    "ext_udtf_sentences",
+    q_ext_udtf_sentences,
+    r"""
+    WITH parts AS (
+        SELECT doc_id, string_split(coalesce(text, ''), '. ') AS ps FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.e.pos AS INTEGER) AS pos,
+           md5(u.e.s) AS sentence_md5,
+           CAST(len(CASE WHEN trim(u.e.s) = '' THEN CAST([] AS VARCHAR[])
+                         ELSE string_split_regex(trim(u.e.s), '\s+') END)
+                AS INTEGER) AS n_toks
+    FROM parts,
+         unnest(list_apply(ps, (x, i) -> struct_pack(pos := i - 1, s := x))) u(e)
+    """,
+)

@@ -6,6 +6,7 @@ one keyed exchange for the corpus shuffle).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.operators import normalize as N
@@ -132,3 +133,35 @@ def test_variant_extract_matches_get_json_object(spark):
         F.get_json_object("props", "$.k").cast("bigint").alias("j"),
     )
     assert both.filter(~F.col("v").eqNullSafe(F.col("j"))).count() == 0
+
+
+# --- isotonic (PAVA) ----------------------------------------------------------
+
+
+def test_pava_reference_cases():
+    from be_analytic_etl_spark.operators.regression import _pava
+
+    assert _pava([1, 2, 3], [1, 1, 1]) == [1, 2, 3]
+    assert _pava([3, 2, 1], [1, 1, 1]) == [2, 2, 2]
+    assert _pava([1, 3, 2, 4], [1, 1, 1, 1]) == [1, 2.5, 2.5, 4]
+    # weighted pooling: heavy second point dominates the pool mean
+    assert _pava([4, 1], [1, 3]) == [1.75, 1.75]
+
+
+def test_isotonic_trend_matches_pure_python(spark):
+    from be_analytic_etl_spark.operators.regression import _pava
+
+    df = QUERIES["ext_isotonic_trend"](spark, SF_DIR)
+    rows = df.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.event_type, []).append((r.day, r.avg_value, r.y_iso))
+    assert len(by_group) >= 2
+    for g, series in by_group.items():
+        series.sort()
+        ys = [y for _, y, _ in series]
+        want = _pava(ys, [1.0] * len(ys))
+        got = [yi for _, _, yi in series]
+        assert got == pytest.approx(want, abs=1e-12), g
+        # monotone nondecreasing
+        assert all(b >= a - 1e-12 for a, b in zip(got, got[1:])), g
