@@ -132,7 +132,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # and the deferred relational variants (returned_revenue market_share
 # window_suite min_cost_supplier grouping_sets forecast_revenue
 # sole_blame_supplier nation_profit important_parts supplier_variety
-# volume_suppliers) — 46 entries, one window.
+# volume_suppliers), plus the late round-4 additions
+# (ext_preference_pairs ext_pipeline_spec schema_evolution
+# ext_isotonic_trend ext_udtf_sentences) — ~50 entries, one window.
 
 
 def _reorder_for_driver_window() -> None:

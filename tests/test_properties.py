@@ -250,3 +250,56 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark, vals, bins):
         slack = max(abs(exact), 1.0) * 1e-9
         assert got[q] <= exact + slack
         assert got[q] >= exact - width - slack
+
+
+# --- normalize / PAVA properties --------------------------------------------
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab çé\t\x07\x0b\n–’Ã©Â")),
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_normalize_text_idempotent_and_clean(spark, texts):
+    from be_analytic_etl_spark.operators.normalize import normalize_text
+
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    once = df.select(normalize_text("t").alias("n"))
+    twice = once.select(normalize_text("n").alias("n"))
+    a = [r.n for r in once.collect()]
+    b = [r.n for r in twice.collect()]
+    assert a == b  # idempotent
+    for s in a:
+        assert s == s.strip()
+        assert "  " not in s  # whitespace collapsed
+        assert not any(ord(c) < 0x20 or ord(c) == 0x7F for c in s)  # no controls
+
+
+YS = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=30
+)
+
+
+@given(ys=YS)
+@settings(**SETTINGS)
+def test_pava_invariants(ys):
+    from be_analytic_etl_spark.operators.regression import _pava
+
+    w = [1.0] * len(ys)
+    fit = _pava(ys, w)
+    # monotone nondecreasing
+    assert all(b >= a - 1e-9 for a, b in zip(fit, fit[1:]))
+    # mean-preserving (least-squares projection keeps the weighted mean)
+    assert sum(fit) == pytest.approx(sum(ys), rel=1e-9, abs=1e-7)
+    # idempotent: fitting the fit returns it unchanged
+    refit = _pava(fit, w)
+    assert refit == pytest.approx(fit, rel=1e-12, abs=1e-9)
+    # already-monotone input passes through exactly
+    srt = sorted(ys)
+    assert _pava(srt, w) == pytest.approx(srt)
