@@ -8,8 +8,14 @@ from be_analytic_etl_spark.streaming.jobs import (
     stream_sliding_agg,
     stream_tumbling_agg,
 )
+from be_analytic_etl_spark.streaming.stateful import (
+    stream_running_totals,
+    stream_topk_per_user,
+)
 
 __all__ = [
+    "stream_running_totals",
+    "stream_topk_per_user",
     "read_events_stream",
     "stream_attribution_join",
     "stream_tumbling_agg",

@@ -1,0 +1,161 @@
+"""Stateful streaming operators vs their batch twins.
+
+The bounded stream is the static events table split into 3 parquet files
+consumed one file per micro-batch (maxFilesPerTrigger=1), so every
+processor crosses state between at least 3 batches — the cross-batch
+fold is exactly what these tests pin.
+
+The transformWithState path needs protobuf (absent in this sandbox) and
+the RocksDB state store provider; its twin test skips unless
+``HAS_TWS_PROTO``. The applyInPandasWithState fallback — identical
+semantics — is what runs green here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from be_analytic_etl_spark.streaming import (
+    read_events_stream,
+    stream_running_totals,
+    stream_topk_per_user,
+)
+from be_analytic_etl_spark.streaming.stateful import HAS_TWS_PROTO
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    from be_analytic_etl_spark.sources import load_table
+
+    return load_table(spark, SF_DIR, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_multibatch_dir(spark, events_batch, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_3batches")
+    events_batch.repartitionByRange(3, "event_id").write.parquet(
+        str(d / "part0"), mode="overwrite"
+    )
+    # One flat directory of plain files (file streams don't recurse by
+    # default), one file per micro-batch with maxFilesPerTrigger=1.
+    import glob
+    import shutil
+
+    files = sorted(glob.glob(str(d / "part0" / "*.parquet")))
+    assert len(files) == 3
+    for i, f in enumerate(files):
+        shutil.copy(f, str(d / f"batch_{i}.parquet"))
+    shutil.rmtree(str(d / "part0"))
+    return str(d)
+
+
+def _run(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    return spark.table(name)
+
+
+def _check_running_totals(spark, got, events_batch):
+    # Multiple batches really happened: some user must have >1 emission.
+    emissions = got.groupBy("user_id").count()
+    assert emissions.filter(F.col("count") > 1).count() > 0
+
+    # n_events is monotone per key -> final row = max(n_events) per user.
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "n_events", "sum_value")
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    f = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in final.collect()}
+    w = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in want.collect()}
+    assert set(f) == set(w)
+    for uid, (n, s) in w.items():
+        assert f[uid][0] == n
+        assert f[uid][1] == pytest.approx(s, abs=1e-4)
+
+
+def _check_topk(spark, got, events_batch, k):
+    # Final leaderboard per user = rows at that user's max n_seen.
+    # (pandas-side: self-joining a memory-sink view trips conflicting-ref
+    # analysis, and the emitted result is test-sized anyway)
+    gp = got.toPandas()
+    final_pdf = gp[gp["n_seen"] == gp.groupby("user_id")["n_seen"].transform("max")]
+    want = (
+        events_batch.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("value").desc(), F.col("event_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("user_id", "rank", "event_id", F.col("value").cast("double"))
+    )
+    f = {
+        (r.user_id, r.rank): (r.event_id, r.value)
+        for r in final_pdf.itertuples(index=False)
+    }
+    w = {(r["user_id"], r["rank"]): (r["event_id"], r["value"]) for r in want.collect()}
+    assert set(f) == set(w)
+    for key, (eid, val) in w.items():
+        assert f[key][0] == eid
+        assert f[key][1] == pytest.approx(val, rel=1e-9)
+
+
+def test_running_totals_matches_batch(spark, events_batch, events_multibatch_dir):
+    stream = read_events_stream(spark, events_multibatch_dir)
+    got = _run(
+        spark, stream_running_totals(stream, api="apiws"), "t_running"
+    ).cache()
+    _check_running_totals(spark, got, events_batch)
+
+
+def test_topk_matches_batch(spark, events_batch, events_multibatch_dir):
+    k = 3
+    stream = read_events_stream(spark, events_multibatch_dir)
+    got = _run(spark, stream_topk_per_user(stream, k=k, api="apiws"), "t_topk").cache()
+    _check_topk(spark, got, events_batch, k)
+
+
+@pytest.mark.skipif(
+    not HAS_TWS_PROTO,
+    reason="transformWithState needs protobuf (absent in sandbox; no pip)",
+)
+def test_tws_running_totals_matches_batch(spark, events_batch, events_multibatch_dir):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB)
+    try:
+        stream = read_events_stream(spark, events_multibatch_dir)
+        got = _run(
+            spark, stream_running_totals(stream, api="tws"), "t_tws_running"
+        ).cache()
+        _check_running_totals(spark, got, events_batch)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
