@@ -67,6 +67,86 @@ def lit_doubles_2d(rows) -> Column:
     return F.expr(f"array({inner})")
 
 
+# --- SQL-text builders for the centroid-scoring hot path -------------------
+#
+# assign_cells / ivf_ann score every row against k inlined centroids. Built
+# with F.* HOF lambdas, that expression costs ~1.6k py4j round trips to
+# BUILD (~2.5 s cold, ~0.7 s warm, measured) before the JVM sees any plan —
+# pure driver-side waste, the same pathology pq_ann fixed in round 4 (see
+# SCALE.md "Python-side plan-build cost"). These helpers emit the IDENTICAL
+# expression as one SQL string parsed in a single round trip: same ops, same
+# order, bit-identical results (repr() round-trips doubles; Spark's literal
+# parser is correctly rounding — the lit_doubles contract).
+
+
+def _arr_sql(xs) -> str:
+    return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of dot(): same left fold, same 0.0 seed."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _vec_sql(col: str) -> str:
+    """SQL twin of _vec(): elementwise double cast."""
+    return f"transform({col}, e -> CAST(e AS DOUBLE))"
+
+
+def _sims_sql(cent_vecs, cent_norms, v: str, nv: str) -> str:
+    """array< cosine(centroid_i, v) > with zero-norm guard — SQL twin of the
+    per-centroid F.when(...).otherwise(dot/norms) array."""
+    terms = ",".join(
+        f"(CASE WHEN ({float(cent_norms[i])!r}D = 0) OR ({nv} = 0) THEN 0.0D "
+        f"ELSE {_dot_sql(_arr_sql(cent_vecs[i]), v)}"
+        f" / ({float(cent_norms[i])!r}D * {nv}) END)"
+        for i in range(len(cent_vecs))
+    )
+    return f"array({terms})"
+
+
+def _cells_sql(
+    vec_sql: str,
+    cent_vecs,
+    cent_norms,
+    n_assign: int,
+    null_guard: bool,
+    ranked: bool | None = None,
+) -> str:
+    """Full cell-assignment expression as ONE SQL string.
+
+    The nested single-element ``transform(array(x), v -> ...)`` is the SQL
+    spelling of functions.let (bind once, reference many) — v = the cast
+    vector, nv = its norm, s = the per-centroid sims array.
+
+    ``ranked`` False (default for n_assign=1): argmax (first-max
+    tie-break). ``ranked`` True (default otherwise; ivf_ann uses it even
+    for n=1): top-n by (sim desc, cell asc) via sort_array over
+    (-sim, idx) structs — arrays_zip's SQL field names are positional
+    ("0"/"1"); sort_array compares struct fields positionally, so naming
+    differences vs the aliased Python form are value-invisible.
+    ``null_guard`` adds the NULL-vector -> [NULL cell] guard
+    (assign_cells' multi-assign contract).
+    """
+    k = len(cent_vecs)
+    if ranked is None:
+        ranked = n_assign > 1
+    sims = _sims_sql(cent_vecs, cent_norms, "v", "nv")
+    if not ranked:
+        body = "array(CAST(array_position(s, array_max(s)) AS INT) - 1)"
+    else:
+        ranked = f"sort_array(arrays_zip(transform(s, x -> -x), sequence(0, {k - 1})))"
+        body = (
+            f"transform(slice({ranked}, 1, {n_assign}), st -> CAST(st.`1` AS INT))"
+        )
+        if null_guard:
+            body = f"CASE WHEN v IS NULL THEN array(CAST(NULL AS INT)) ELSE {body} END"
+    let_s = f"element_at(transform(array({sims}), s -> {body}), 1)"
+    norm = f"sqrt({_dot_sql('v', 'v')})"
+    let_nv = f"element_at(transform(array({norm}), nv -> {let_s}), 1)"
+    return f"element_at(transform(array({vec_sql}), v -> {let_nv}), 1)"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns (sequential fold — matches
     a scalar engine's left-to-right summation for reproducibility)."""
@@ -232,8 +312,6 @@ def ivf_ann(
     """
     from pyspark.sql import Window
 
-    from be_analytic_etl_spark.functions import let
-
     import math
 
     cent_rows = (
@@ -253,44 +331,23 @@ def ivf_ann(
         for x in cv:
             acc = acc + x * x
         cent_norms.append(math.sqrt(acc))
-    idx = F.sequence(F.lit(0), F.lit(len(cent_vecs) - 1))
 
-    def probe_cells(vec: Column, n: int) -> Column:
-        """Indices of the n best cells by cosine, first-max tie-break."""
-
-        def rank_cells(v: Column) -> Column:
-            def body(nv: Column) -> Column:
-                sims = F.array(
-                    *[
-                        F.when(
-                            (F.lit(cent_norms[i]) == 0) | (nv == 0), F.lit(0.0)
-                        ).otherwise(
-                            dot(lit_doubles(cent_vecs[i]), v)
-                            / (F.lit(cent_norms[i]) * nv)
-                        )
-                        for i in range(len(cent_vecs))
-                    ]
-                )
-                # sort struct(-sim, idx) ascending == sim desc, idx asc
-                ranked = F.sort_array(
-                    F.arrays_zip(
-                        F.transform(sims, lambda s: -s).alias("s"), idx.alias("i")
-                    )
-                )
-                return F.transform(
-                    F.slice(ranked, 1, n), lambda st: st["i"].cast("int")
-                )
-
-            return let(l2_norm(v), body)
-
-        return let(vec, rank_cells)
+    def probe_cells(vec_sql: str, n: int) -> Column:
+        """Indices of the n best cells by cosine, first-max tie-break —
+        always the ranked (sort-based) form, n=1 included, as one parsed
+        SQL expression (same py4j-chatter fix as assign_cells)."""
+        return F.expr(
+            _cells_sql(
+                vec_sql, cent_vecs, cent_norms, n, null_guard=False, ranked=True
+            )
+        )
 
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev")
-    ).withColumn("cell", F.element_at(probe_cells(F.col("__ev"), 1), 1))
+    ).withColumn("cell", F.element_at(probe_cells("__ev", 1), 1))
     q = queries.select(
         F.col(query_id_col), _vec(query_vec_col).alias("__qv")
-    ).withColumn("cell", F.explode(probe_cells(F.col("__qv"), n_probe)))
+    ).withColumn("cell", F.explode(probe_cells("__qv", n_probe)))
 
     scored = (
         e.join(F.broadcast(q), "cell")
@@ -399,8 +456,6 @@ def assign_cells(
     """
     import math
 
-    from be_analytic_etl_spark.functions import let
-
     cent_rows = (
         embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
         .orderBy(id_col)
@@ -415,51 +470,15 @@ def assign_cells(
             acc = acc + x * x
         cent_norms.append(math.sqrt(acc))
 
-    idx = F.sequence(F.lit(0), F.lit(len(cent_vecs) - 1))
-
-    def cell_of(vec: Column) -> Column:
-        def body(v: Column) -> Column:
-            def with_norm(nv: Column) -> Column:
-                sims = F.array(
-                    *[
-                        F.when(
-                            (F.lit(cent_norms[i]) == 0) | (nv == 0), F.lit(0.0)
-                        ).otherwise(
-                            dot(lit_doubles(cent_vecs[i]), v)
-                            / (F.lit(cent_norms[i]) * nv)
-                        )
-                        for i in range(len(cent_vecs))
-                    ]
-                )
-                if n_assign == 1:
-                    return let(
-                        sims,
-                        lambda s: F.array(
-                            F.array_position(s, F.array_max(s)).cast("int") - 1
-                        ),
-                    )
-                # top-n cells: sort struct(-sim, idx) asc == sim desc, idx asc
-                ranked = F.sort_array(
-                    F.arrays_zip(
-                        F.transform(sims, lambda s: -s).alias("s"), idx.alias("i")
-                    )
-                )
-                topn = F.transform(
-                    F.slice(ranked, 1, n_assign), lambda st: st["i"].cast("int")
-                )
-                # NULL vector => NULL sims, which sort FIRST and would
-                # assign the row to real cells 0..n-1; match the
-                # n_assign=1 branch (array_position on NULL max -> NULL
-                # cell) instead of polluting candidate blocks.
-                return F.when(
-                    v.isNull(), F.array(F.lit(None).cast("int"))
-                ).otherwise(topn)
-
-            return let(l2_norm(v), with_norm)
-
-        return let(vec, body)
-
-    return embeddings.withColumn(cell_col, F.explode(cell_of(_vec(vec_col))))
+    # Built as ONE parsed SQL expression (see _cells_sql): the F.*-lambda
+    # form of this tree cost ~2.5 s of py4j chatter per call. NULL-vector
+    # semantics per branch: n_assign=1 argmax maps NULL -> NULL cell via
+    # array_position on a NULL max; the top-n branch needs the explicit
+    # guard (NULL sims sort first and would assign rows to real cells).
+    cells = _cells_sql(
+        _vec_sql(vec_col), cent_vecs, cent_norms, n_assign, null_guard=True
+    )
+    return embeddings.withColumn(cell_col, F.explode(F.expr(cells)))
 
 
 def embedding_stats(
