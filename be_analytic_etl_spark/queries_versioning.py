@@ -122,3 +122,48 @@ register(
     FROM b GROUP BY bucket
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_incremental_agg: materialized-aggregate refresh without re-scanning
+# history. The reference rebuilds its consolidated view from scratch every
+# run (/root/reference/main.py:630-637 one-shot + README.md:119-213 full-
+# table view); here the aggregate's mergeable partial state (count + exact
+# DECIMAL sums) is built once over history and each later partition folds
+# in with one |groups|-sized join — O(delta), not O(history). The oracle
+# is the from-scratch GROUP BY over the whole table: equality IS the proof
+# that the incremental path can replace the rescan.
+
+
+def q_ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import incremental as I
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    measures = {"totalprice": "o_totalprice"}
+    # Three arriving partitions: history, then two monthly-style deltas.
+    hist = orders.filter(F.col("o_orderdate") < F.lit("1996-07-01"))
+    d1 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    d2 = orders.filter(F.col("o_orderdate") >= F.lit("1997-07-01"))
+    state = I.aggregate_partial(hist, keys, measures)
+    state = I.merge_states(state, I.aggregate_partial(d1, keys, measures), keys)
+    state = I.merge_states(state, I.aggregate_partial(d2, keys, measures), keys)
+    return I.finalize(state, keys, ["totalprice"])
+
+
+register(
+    "ext_incremental_agg",
+    q_ext_incremental_agg,
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(32,2))) AS DOUBLE)
+               AS total_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(32,2))) AS DOUBLE) / COUNT(*)
+               AS avg_totalprice
+    FROM orders GROUP BY o_orderpriority
+    """,
+)

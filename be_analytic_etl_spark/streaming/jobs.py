@@ -308,3 +308,62 @@ def stream_dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def stream_upsert_parquet(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    checkpoint_dir: str | None = None,
+):
+    """CDC-apply: maintain a latest-row-per-key parquet table off a stream.
+
+    The canonical ``foreachBatch`` pattern — the stream's exactly-once
+    batch boundary plus an idempotent MERGE gives an upsert sink without
+    any sink-side dedup state:
+
+    1. within the micro-batch, last-wins per key (``order_col`` desc,
+       ``tiebreak_col`` desc — deterministic under replay);
+    2. MERGE into the current table via ``operators.merge.merge_upsert``
+       (one key-shuffle join of |table| x |batch-keys|);
+    3. rewrite the table.
+
+    The read-modify-overwrite here materializes the merge result
+    (``localCheckpoint``) before overwriting the directory it was read
+    from — the local-FS stand-in for what a transactional table format
+    (Delta/Iceberg MERGE INTO) does natively; swap step 2-3 for the
+    format's MERGE on a real deployment and the stream code is unchanged.
+    Batch replays after a crash re-apply the same batch id; the merge is
+    idempotent (same keys, same rows), so the table converges.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from pyspark.sql.window import Window
+
+    from be_analytic_etl_spark.operators.merge import merge_upsert
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), F.col(tiebreak_col).desc()
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            target = spark.read.parquet(path)
+            merged = merge_upsert(target, latest, keys)
+        except Exception:  # first batch: no table yet
+            merged = latest
+        # Materialize BEFORE overwriting the input directory (reading and
+        # overwriting the same path in one lazy plan would race itself).
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

@@ -1,0 +1,75 @@
+"""Incremental aggregate maintenance == from-scratch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.operators import incremental as I
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    from be_analytic_etl_spark.sources import load_table
+
+    return load_table(spark, SF_DIR, "orders").cache()
+
+
+def _full(orders, keys):
+    return (
+        orders.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(32,2)"))
+            .cast("double")
+            .alias("total_totalprice"),
+        )
+    )
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3, 7])
+def test_fold_order_invariant(spark, orders, n_chunks):
+    keys = ["o_orderpriority"]
+    measures = {"totalprice": "o_totalprice"}
+    state = None
+    for i in range(n_chunks):
+        chunk = orders.filter(F.col("o_orderkey") % n_chunks == i)
+        state = I.merge_states(
+            state, I.aggregate_partial(chunk, keys, measures), keys
+        )
+    got = {
+        r["o_orderpriority"]: (r["n_rows"], r["total_totalprice"], r["avg_totalprice"])
+        for r in I.finalize(state, keys, ["totalprice"]).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n_rows"], r["total_totalprice"])
+        for r in _full(orders, keys).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, total) in want.items():
+        gn, gtotal, gavg = got[k]
+        assert gn == n
+        # decimal accumulation: EXACT equality regardless of fold order
+        assert gtotal == total
+        assert gavg == total / n
+
+
+def test_empty_delta_is_identity(spark, orders):
+    keys = ["o_orderpriority"]
+    measures = {"totalprice": "o_totalprice"}
+    base = I.aggregate_partial(orders, keys, measures)
+    empty = I.aggregate_partial(orders.filter(F.lit(False)), keys, measures)
+    merged = I.merge_states(base, empty, keys)
+    a = {tuple(r) for r in base.collect()}
+    b = {tuple(r) for r in merged.collect()}
+    assert a == b
+
+
+def test_schema_mismatch_raises(spark, orders):
+    keys = ["o_orderpriority"]
+    s1 = I.aggregate_partial(orders, keys, {"totalprice": "o_totalprice"})
+    s2 = I.aggregate_partial(orders, keys, {"cust": "o_custkey"})
+    with pytest.raises(ValueError, match="schemas differ"):
+        I.merge_states(s1, s2, keys)

@@ -159,3 +159,39 @@ def test_tws_running_totals_matches_batch(spark, events_batch, events_multibatch
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_upsert_parquet_latest_per_key(
+    spark, events_batch, events_multibatch_dir, tmp_path
+):
+    from be_analytic_etl_spark.streaming.jobs import stream_upsert_parquet
+
+    stream = read_events_stream(spark, events_multibatch_dir)
+    out = str(tmp_path / "latest_events")
+    q = stream_upsert_parquet(
+        stream,
+        out,
+        keys=["user_id"],
+        order_col="ts",
+        tiebreak_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = spark.read.parquet(out)
+    want = (
+        events_batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    g = {r["user_id"]: (r["event_id"], r["ts"]) for r in got.collect()}
+    w = {r["user_id"]: (r["event_id"], r["ts"]) for r in want.collect()}
+    assert g == w
