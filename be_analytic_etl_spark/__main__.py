@@ -30,7 +30,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("list", help="list registered queries")
 
-    for name in ("run", "explain"):
+    for name in ("run", "explain", "lint"):
         s = sub.add_parser(name)
         s.add_argument("query")
         s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -38,6 +38,10 @@ def _build_parser() -> argparse.ArgumentParser:
             s.add_argument("--show", type=int, default=20)
             s.add_argument("--noop", action="store_true",
                            help="materialize with the noop sink (no collect)")
+        if name == "lint":
+            s.add_argument("--max-exchanges", type=int, default=None)
+            s.add_argument("--strict", action="store_true",
+                           help="exit non-zero on error-severity findings")
 
     s = sub.add_parser("pipeline")
     s.add_argument("--spec", required=True, help="JSON file: list of stage dicts")
@@ -70,14 +74,23 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("be-analytic-etl-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        if args.cmd in ("run", "explain"):
+        if args.cmd in ("run", "explain", "lint"):
             if args.query not in QUERIES:
                 print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
                 return 2
             df = QUERIES[args.query](spark, args.sf_dir)
             if args.cmd == "explain":
-                print(df._jdf.queryExecution().explainString("formatted"))
+                df.explain(mode="formatted")
                 return 0
+            if args.cmd == "lint":
+                from be_analytic_etl_spark.plans.lint import lint_plan
+
+                findings = lint_plan(df, max_exchanges=args.max_exchanges)
+                for f in findings:
+                    print(f)
+                n_err = sum(1 for f in findings if f.severity == "error")
+                print(f"{len(findings)} findings, {n_err} errors", file=sys.stderr)
+                return 1 if (args.strict and n_err) else 0
             t0 = time.perf_counter()
             if args.noop:
                 df.write.mode("overwrite").format("noop").save()

@@ -1,0 +1,127 @@
+"""Physical-plan linter: the pre-flight check a 100 TB run starts with.
+
+``.explain("formatted")`` tells an expert what a plan will do; this
+module turns the same text into machine-checkable findings so a CI gate
+(or the ``lint`` CLI subcommand) can refuse plans that would melt a
+cluster. The checks encode the engine's own scale rules (SCALE.md):
+
+- **error** ``cartesian-join``: a ``CartesianProduct`` scales O(|L|x|R|)
+  — at any real size this is the single worst plan shape. (The exact
+  brute-force ANN baseline crossJoins a BROADCAST side deliberately;
+  broadcast nested loop is reported as a warning instead.)
+- **error** ``row-python-udf``: ``BatchEvalPython`` is a per-row
+  Python round trip — 10-100x slower than Arrow batching; the engine's
+  rule is zero row UDFs (VERDICT r2 audited this).
+- **warn** ``bnl-join``: ``BroadcastNestedLoopJoin`` is fine for a tiny
+  broadcast side (exact-baseline crossJoins, non-equi range joins) but
+  is quadratic in the probe side — flagged so the author confirms the
+  broadcast side is genuinely bounded.
+- **warn** ``exchange-count``: more shuffles than the caller's budget.
+- **info** ``python-boundary``: Arrow-batched pandas boundaries
+  (``ArrowEvalPython``/``FlatMapGroupsInPandas``/``MapInPandas``/
+  UDTFs) — legitimate, but each one caps whole-stage codegen, so they
+  are surfaced for review.
+- **info** ``scan``: every file scan with its ReadSchema width and
+  whether any filter was pushed — the reader checks nothing scans 40
+  columns to serve a 2-column projection.
+
+Driver-side cost: one ``explainString`` round trip; nothing is executed.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class Finding:
+    severity: str  # "error" | "warn" | "info"
+    code: str
+    detail: str
+
+    def __str__(self) -> str:  # CLI-friendly
+        return f"[{self.severity}] {self.code}: {self.detail}"
+
+
+def _plan_text(df: DataFrame) -> str:
+    # df.explain prints; capture it (the public API — the JVM-side
+    # explainString overload takes an ExplainMode object, not a string).
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def lint_plan(df: DataFrame, *, max_exchanges: int | None = None) -> list[Finding]:
+    """Lint a DataFrame's physical plan; returns findings, worst first."""
+    text = _plan_text(df)
+    findings: list[Finding] = []
+
+    for m in re.finditer(r"CartesianProduct", text):
+        findings.append(
+            Finding("error", "cartesian-join",
+                    "CartesianProduct: O(|L|x|R|) pair materialization")
+        )
+        break
+    if re.search(r"BatchEvalPython", text):
+        findings.append(
+            Finding("error", "row-python-udf",
+                    "BatchEvalPython: per-row Python UDF in the plan")
+        )
+    if re.search(r"BroadcastNestedLoopJoin", text):
+        findings.append(
+            Finding("warn", "bnl-join",
+                    "BroadcastNestedLoopJoin: confirm the broadcast side is "
+                    "bounded (exact baselines / non-equi joins only)")
+        )
+
+    n_exchanges = len(re.findall(r"\bExchange\b", text))
+    if max_exchanges is not None and n_exchanges > max_exchanges:
+        findings.append(
+            Finding("warn", "exchange-count",
+                    f"{n_exchanges} shuffle exchanges (budget {max_exchanges})")
+        )
+
+    for op in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
+               "FlatMapGroupsInPandasWithState", "BatchEvalPythonUDTF"):
+        if re.search(rf"\b{op}\b", text):
+            findings.append(
+                Finding("info", "python-boundary",
+                        f"{op}: Arrow-batched Python stage (caps codegen)")
+            )
+
+    # Scan census: "Scan parquet " nodes and their ReadSchema / PushedFilters.
+    for m in re.finditer(r"Scan (\w+) ([^\n]*)", text):
+        fmt = m.group(1)
+        tail = text[m.end():]
+        schema_m = re.search(r"ReadSchema: struct<([^\n]*)", tail[:2000])
+        pushed_m = re.search(r"PushedFilters: \[([^\]]*)\]", tail[:2000])
+        width = len(schema_m.group(1).split(",")) if schema_m and schema_m.group(1) else 0
+        pushed = bool(pushed_m and pushed_m.group(1).strip())
+        findings.append(
+            Finding("info", "scan",
+                    f"{fmt} scan: {width} columns read, "
+                    f"pushed filters: {'yes' if pushed else 'none'}")
+        )
+
+    order = {"error": 0, "warn": 1, "info": 2}
+    findings.sort(key=lambda f: order[f.severity])
+    return findings
+
+
+def assert_clean(df: DataFrame, *, max_exchanges: int | None = None) -> list[Finding]:
+    """Raise if the plan has any error-severity finding; returns all
+    findings otherwise (the CI-gate form of ``lint_plan``)."""
+    findings = lint_plan(df, max_exchanges=max_exchanges)
+    errors = [f for f in findings if f.severity == "error"]
+    if errors:
+        raise AssertionError(
+            "plan lint failed: " + "; ".join(str(e) for e in errors)
+        )
+    return findings

@@ -1,0 +1,67 @@
+"""plans.lint: machine-checkable scale anti-pattern detection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.plans.lint import assert_clean, lint_plan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    from be_analytic_etl_spark.sources import load_table
+
+    return load_table(spark, SF_DIR, "nation")
+
+
+def _codes(findings):
+    return {f.code for f in findings}
+
+
+def test_flags_row_python_udf(spark, nation):
+    from pyspark.sql.types import IntegerType
+
+    plus_one = F.udf(lambda x: x + 1, IntegerType())
+    df = nation.select(plus_one(F.col("n_nationkey")).alias("k"))
+    findings = lint_plan(df)
+    assert "row-python-udf" in _codes(findings)
+    with pytest.raises(AssertionError, match="row-python-udf"):
+        assert_clean(df)
+
+
+def test_flags_bnl_join(spark, nation):
+    # non-equi self-join -> BroadcastNestedLoopJoin under AQE
+    a = nation.select(F.col("n_nationkey").alias("ka"))
+    b = nation.select(F.col("n_nationkey").alias("kb"))
+    df = a.join(b, F.col("ka") < F.col("kb"))
+    codes = _codes(lint_plan(df))
+    assert ("bnl-join" in codes) or ("cartesian-join" in codes)
+
+
+def test_clean_query_passes(spark):
+    from be_analytic_etl_spark.registry import QUERIES
+
+    df = QUERIES["groupby_avg"](spark, SF_DIR)
+    findings = assert_clean(df)  # no error-severity findings
+    # scans are reported with pushdown/width info
+    assert "scan" in _codes(findings)
+
+
+def test_exchange_budget(spark, nation):
+    df = nation.groupBy("n_regionkey").count()
+    findings = lint_plan(df, max_exchanges=0)
+    assert "exchange-count" in _codes(findings)
+    # without a budget, exchange count is not a finding
+    assert "exchange-count" not in _codes(lint_plan(df))
+
+
+def test_cli_lint_runs(spark, capsys):
+    from be_analytic_etl_spark.__main__ import main
+
+    rc = main(["lint", "groupby_avg", "--sf-dir", SF_DIR])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "scan" in out
