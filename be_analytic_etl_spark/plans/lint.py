@@ -69,7 +69,9 @@ def lint_plan(df: DataFrame, *, max_exchanges: int | None = None) -> list[Findin
                     "CartesianProduct: O(|L|x|R|) pair materialization")
         )
         break
-    if re.search(r"BatchEvalPython", text):
+    # \b after "Python" keeps BatchEvalPythonUDTF (a lateral-join UDTF,
+    # reported as python-boundary below) from matching the row-UDF check.
+    if re.search(r"\bBatchEvalPython\b", text):
         findings.append(
             Finding("error", "row-python-udf",
                     "BatchEvalPython: per-row Python UDF in the plan")

@@ -65,3 +65,20 @@ def test_cli_lint_runs(spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "scan" in out
+
+
+def test_registry_has_no_error_findings(spark):
+    """Every registered query's plan is free of cartesian joins and
+    row-wise Python UDFs — the whole-registry form of the scale rules
+    test_plans pins per-query. BNL warnings are expected for the
+    documented bounded-broadcast shapes (scalar-subquery joins, exact
+    ANN baselines) and are not errors."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    errors = {}
+    for name, fn in QUERIES.items():
+        findings = lint_plan(fn(spark, SF_DIR))
+        errs = [str(f) for f in findings if f.severity == "error"]
+        if errs:
+            errors[name] = errs
+    assert not errors, errors
