@@ -417,6 +417,36 @@ def ngram_contamination(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Operational decontamination: the corpus MINUS every document
+    ``ngram_contamination`` flags — what a training pipeline actually
+    ships, where the flag query is the audit report.
+
+    One LEFT ANTI join against the flagged-id set (|contaminated| rows,
+    benchmark-sized not corpus-sized — broadcastable); all other columns
+    pass through untouched. Benchmark members drawn from the corpus
+    survive unless they collide with a DIFFERENT benchmark doc
+    (self-matches were already excluded by the flag query).
+    """
+    flagged = ngram_contamination(
+        df,
+        bench,
+        text_col=text_col,
+        id_col=id_col,
+        bench_id_col=bench_id_col,
+        ngram_n=ngram_n,
+    ).select(id_col)
+    return df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 # --- n-gram Jaccard (exact, blocked) --------------------------------------
 
 

@@ -167,3 +167,54 @@ register(
     FROM orders GROUP BY o_orderpriority
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_decontaminate: the OPERATIONAL form of ext_contamination — ship the
+# corpus minus every doc sharing an 8-gram with the benchmark subset
+# (doc_id % 97 == 0 stands in for the eval suite), then report the cleaned
+# corpus per language. The flag set is benchmark-sized, so the anti join
+# broadcasts; the corpus is scanned once, map-only.
+
+
+def q_ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    clean = D.decontaminate(docs, bench, ngram_n=8)
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _decontaminate_oracle() -> str:
+    from be_analytic_etl_spark.queries_extensions import _grams_sql
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, unnest({_grams_sql("toks", 8)}) AS gm FROM tok
+    ), gh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(gm), 1, 15) AS BIGINT) AS h
+        FROM g
+    ), bh AS (
+        SELECT doc_id AS bench_id, h FROM gh WHERE doc_id % 97 = 0
+    ), contaminated AS (
+        SELECT DISTINCT gh.doc_id
+        FROM gh JOIN bh ON gh.h = bh.h AND gh.doc_id <> bh.bench_id
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY lang
+    """
+
+
+register("ext_decontaminate", q_ext_decontaminate, _decontaminate_oracle())
