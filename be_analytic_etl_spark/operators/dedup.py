@@ -87,6 +87,52 @@ def fast_hash64(col: Column, seed: Column) -> Column:
     return F.xxhash64(col, seed)
 
 
+def _tokenize_sql(c: str) -> str:
+    """SQL twin of textstats.tokenize (same two references to the trimmed
+    input, matching the Column form's tree)."""
+    t = f"trim(coalesce({c}, ''))"
+    return (
+        f"CASE WHEN {t} = '' THEN CAST(array() AS ARRAY<STRING>) "
+        rf"ELSE split({t}, '\\s+') END"
+    )
+
+
+def _word_ngrams_sql(c: str, n: int) -> str:
+    """SQL twin of textstats.word_ngrams (toks let-bound the same way)."""
+    body = (
+        "array_distinct(CASE WHEN size(toks) = 0 "
+        "THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(0, greatest(size(toks) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) END)"
+    )
+    return f"element_at(transform(array({_tokenize_sql(c)}), toks -> {body}), 1)"
+
+
+def _portable_minhash_sql(c: str, num_hashes: int, shingle_n: int) -> str:
+    """The portable k-minhash signature as ONE SQL string.
+
+    Same expression tree as the Column form (single-element transform as
+    the let for the base-hash array), parsed in one py4j round trip
+    instead of ~k*40 lambda-construction calls — the plan-build fix
+    SCALE.md documents for literal-heavy operators. Verified bit-identical
+    through every LSH oracle query.
+    """
+    base = (
+        "CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+        f" % {PORTABLE_P}"
+    )
+    params = "array(" + ",".join(
+        f"named_struct('a', {a}, 'b', {b})"
+        for a, b in portable_affine_params(num_hashes)
+    ) + ")"
+    per_slot = (
+        f"transform({params}, pr -> "
+        f"array_min(transform(bases, h -> (h * pr.a + pr.b) % {PORTABLE_P})))"
+    )
+    bases = f"transform({_word_ngrams_sql(c, shingle_n)}, s -> {base})"
+    return f"element_at(transform(array({bases}), bases -> {per_slot}), 1)"
+
+
 def minhash_signature(
     col: Column | str, num_hashes: int = 32, shingle_n: int = 3, portable: bool = False
 ) -> Column:
@@ -98,8 +144,16 @@ def minhash_signature(
     ``portable=True``: hash_i = (a_i * md5base(shingle) + b_i) mod p —
     one md5 per shingle, k affine transforms, replicable bit-for-bit by a
     SQL oracle. Default: k seeded xxhash64 (fastest JVM path).
+
+    Pass ``col`` as a column NAME to get the signature as one parsed SQL
+    expression (cheap plan build); a Column falls back to the
+    lambda-composed form (identical tree, ~seconds of py4j chatter for
+    large k).
     """
     from be_analytic_etl_spark.functions import let
+
+    if portable and isinstance(col, str):
+        return F.expr(_portable_minhash_sql(col, num_hashes, shingle_n))
 
     shingles = word_ngrams(col, shingle_n)
     if portable:
@@ -161,6 +215,25 @@ def band_buckets(
             "a remainder would silently discard trailing signature slots"
         )
     rows_per_band = num_hashes // bands
+    if portable:
+        # Whole banding tree as one parsed SQL expression (see
+        # _portable_minhash_sql); the signature let-binds so the per-band
+        # lambda slices ONE evaluated array.
+        sig_sql = _portable_minhash_sql(text_col, num_hashes, shingle_n)
+        bucket = (
+            f"concat_ws(',', slice(sg, b * {rows_per_band} + 1, {rows_per_band}))"
+        )
+        band_structs = F.expr(
+            f"element_at(transform(array({sig_sql}), sg -> "
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> named_struct('band', b, 'bucket', {bucket}))), 1)"
+        )
+        return df.select(
+            F.col(id_col).alias("__id"), F.explode(band_structs).alias("bb")
+        ).select(
+            "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, portable=portable)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
 
@@ -803,7 +876,7 @@ def lsh_band_tuning(
         "__id",
         word_ngrams(F.col("__text"), shingle_n).alias("__sh"),
         minhash_signature(
-            F.col("__text"), num_hashes, shingle_n, portable=True
+            "__text", num_hashes, shingle_n, portable=True
         ).alias("__sig"),
     )
     a = base.select(

@@ -249,7 +249,7 @@ _MH_SHINGLE = 3
 
 def q_ext_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sig = D.minhash_signature(F.col("text"), _MH_HASHES, _MH_SHINGLE, portable=True)
+    sig = D.minhash_signature("text", _MH_HASHES, _MH_SHINGLE, portable=True)
     return docs.select("doc_id", F.posexplode(sig).alias("seed", "minhash"))
 
 
