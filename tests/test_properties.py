@@ -303,3 +303,21 @@ def test_pava_invariants(ys):
     # already-monotone input passes through exactly
     srt = sorted(ys)
     assert _pava(srt, w) == pytest.approx(srt)
+
+
+def test_minhash_sql_text_equals_column_form(spark):
+    """The SQL-text portable minhash (string col) and the lambda-composed
+    form (Column col) are interchangeable: same signatures on real docs."""
+    from pyspark.sql import functions as F
+
+    from be_analytic_etl_spark.operators import dedup as D
+    from be_analytic_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    both = docs.select(
+        "doc_id",
+        D.minhash_signature("text", 8, 3, portable=True).alias("sql_form"),
+        D.minhash_signature(F.col("text"), 8, 3, portable=True).alias("col_form"),
+    )
+    n_diff = both.filter(F.col("sql_form") != F.col("col_form")).count()
+    assert n_diff == 0
