@@ -134,7 +134,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # sole_blame_supplier nation_profit important_parts supplier_variety
 # volume_suppliers), plus the late round-4 additions
 # (ext_preference_pairs ext_pipeline_spec schema_evolution
-# ext_isotonic_trend ext_udtf_sentences) — ~50 entries, one window.
+# ext_isotonic_trend ext_udtf_sentences ext_incremental_agg
+# ext_decontaminate) — ~52 entries, one window.
 
 
 def _reorder_for_driver_window() -> None:
