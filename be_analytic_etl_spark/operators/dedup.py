@@ -469,6 +469,31 @@ def ngram_contamination(
     (id_col, n_shared_grams, n_bench_docs) for contaminated docs only;
     self-matches (a benchmark doc vs itself) are excluded.
     """
+    hits = _contamination_hits(
+        df,
+        bench,
+        text_col=text_col,
+        id_col=id_col,
+        bench_id_col=bench_id_col,
+        ngram_n=ngram_n,
+    )
+    return hits.groupBy(F.col("__cid").alias(id_col)).agg(
+        F.countDistinct("__h").alias("n_shared_grams"),
+        F.countDistinct("__bid").alias("n_bench_docs"),
+    )
+
+
+def _contamination_hits(
+    df: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    bench_id_col: str,
+    ngram_n: int,
+) -> DataFrame:
+    """(__cid, __h, __bid) collision rows — the shared front half of the
+    audit (per-doc counts) and the operational filter (distinct ids)."""
     from be_analytic_etl_spark.operators.textstats import portable_hash60
 
     def grams(frame: DataFrame, ident: str, out_id: str) -> DataFrame:
@@ -483,11 +508,7 @@ def ngram_contamination(
 
     cg = grams(df, id_col, "__cid")
     bg = grams(bench, bench_id_col, "__bid")
-    hits = cg.join(F.broadcast(bg), "__h").filter(F.col("__cid") != F.col("__bid"))
-    return hits.groupBy(F.col("__cid").alias(id_col)).agg(
-        F.countDistinct("__h").alias("n_shared_grams"),
-        F.countDistinct("__bid").alias("n_bench_docs"),
-    )
+    return cg.join(F.broadcast(bg), "__h").filter(F.col("__cid") != F.col("__bid"))
 
 
 def decontaminate(
@@ -508,15 +529,23 @@ def decontaminate(
     pass through untouched. Benchmark members drawn from the corpus
     survive unless they collide with a DIFFERENT benchmark doc
     (self-matches were already excluded by the flag query).
+
+    Only DISTINCT flagged ids are computed — not the audit query's
+    per-doc countDistinct aggregation, which the anti join would throw
+    away (a multi-distinct Expand over the corpus-sized hit set).
     """
-    flagged = ngram_contamination(
-        df,
-        bench,
-        text_col=text_col,
-        id_col=id_col,
-        bench_id_col=bench_id_col,
-        ngram_n=ngram_n,
-    ).select(id_col)
+    flagged = (
+        _contamination_hits(
+            df,
+            bench,
+            text_col=text_col,
+            id_col=id_col,
+            bench_id_col=bench_id_col,
+            ngram_n=ngram_n,
+        )
+        .select(F.col("__cid").alias(id_col))
+        .dropDuplicates()
+    )
     return df.join(F.broadcast(flagged), id_col, "left_anti")
 
 

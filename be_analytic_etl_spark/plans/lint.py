@@ -63,12 +63,11 @@ def lint_plan(df: DataFrame, *, max_exchanges: int | None = None) -> list[Findin
     text = _plan_text(df)
     findings: list[Finding] = []
 
-    for m in re.finditer(r"CartesianProduct", text):
+    if re.search(r"CartesianProduct", text):
         findings.append(
             Finding("error", "cartesian-join",
                     "CartesianProduct: O(|L|x|R|) pair materialization")
         )
-        break
     # \b after "Python" keeps BatchEvalPythonUDTF (a lateral-join UDTF,
     # reported as python-boundary below) from matching the row-UDF check.
     if re.search(r"\bBatchEvalPython\b", text):
@@ -83,7 +82,10 @@ def lint_plan(df: DataFrame, *, max_exchanges: int | None = None) -> list[Findin
                     "bounded (exact baselines / non-equi joins only)")
         )
 
-    n_exchanges = len(re.findall(r"\bExchange\b", text))
+    # Count detail headers only ("(N) Exchange"): formatted explain prints
+    # every node twice (tree line + detail block), so a bare \bExchange\b
+    # count would double the real shuffle count.
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", text, re.MULTILINE))
     if max_exchanges is not None and n_exchanges > max_exchanges:
         findings.append(
             Finding("warn", "exchange-count",
@@ -98,8 +100,10 @@ def lint_plan(df: DataFrame, *, max_exchanges: int | None = None) -> list[Findin
                         f"{op}: Arrow-batched Python stage (caps codegen)")
             )
 
-    # Scan census: "Scan parquet " nodes and their ReadSchema / PushedFilters.
-    for m in re.finditer(r"Scan (\w+) ([^\n]*)", text):
+    # Scan census: detail-header anchored ("(N) Scan parquet ...") so each
+    # scan counts once and the ReadSchema/PushedFilters that follow belong
+    # to THAT scan's detail block, not the first node's.
+    for m in re.finditer(r"^\(\d+\) Scan (\w+) ([^\n]*)", text, re.MULTILINE):
         fmt = m.group(1)
         tail = text[m.end():]
         schema_m = re.search(r"ReadSchema: struct<([^\n]*)", tail[:2000])

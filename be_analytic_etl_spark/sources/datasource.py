@@ -139,7 +139,15 @@ class RestTsvStreamReader(SimpleDataSourceStreamReader):
     def _lines(self) -> list[str]:
         with urllib.request.urlopen(self._url, timeout=60) as resp:
             raw = resp.read()
-        return _decode_with_fallback(raw, self._encodings).splitlines()
+        text = _decode_with_fallback(raw, self._encodings)
+        lines = text.splitlines()
+        # Only NEWLINE-TERMINATED lines are consumable: a non-atomic
+        # append can expose a partial trailing line, and committing it
+        # would both ingest truncated content and break replay (the same
+        # offset would later resolve to different text).
+        if text and not text.endswith(("\n", "\r")):
+            lines = lines[:-1]
+        return lines
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lines = self._lines()

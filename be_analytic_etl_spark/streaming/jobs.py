@@ -354,10 +354,17 @@ def stream_upsert_parquet(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
-            target = spark.read.parquet(path)
-            merged = merge_upsert(target, latest, keys)
-        except Exception:  # first batch: no table yet
+        # Explicit existence probe, not try/except around the whole
+        # read+merge: a blanket except would treat ANY transient read or
+        # merge failure as "first batch" and overwrite the table with just
+        # this batch's keys. Real failures must propagate so checkpoint
+        # recovery retries the batch.
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            merged = merge_upsert(spark.read.parquet(path), latest, keys)
+        else:
             merged = latest
         # Materialize BEFORE overwriting the input directory (reading and
         # overwriting the same path in one lazy plan would race itself).

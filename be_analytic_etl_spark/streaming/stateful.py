@@ -43,8 +43,15 @@ TOPK_SCHEMA = "user_id long, n_seen long, rank int, event_id long, value double"
 
 
 def _fold_topk(pairs, pdf, k):
-    """Fold a batch's top-k (value desc, event_id asc) into a leaderboard."""
-    batch_top = pdf.nlargest(k, "value")
+    """Fold a batch's top-k (value desc, event_id asc) into a leaderboard.
+
+    Explicit two-key sort, not nlargest: nlargest keeps ties by arrival
+    order, which would diverge from the batch twin's (value desc,
+    event_id asc) row_number whenever ties cross the k boundary.
+    """
+    batch_top = pdf.sort_values(
+        ["value", "event_id"], ascending=[False, True]
+    ).head(k)
     pairs.extend(
         zip(
             (float(v) for v in batch_top["value"]),

@@ -319,5 +319,7 @@ def test_minhash_sql_text_equals_column_form(spark):
         D.minhash_signature("text", 8, 3, portable=True).alias("sql_form"),
         D.minhash_signature(F.col("text"), 8, 3, portable=True).alias("col_form"),
     )
-    n_diff = both.filter(F.col("sql_form") != F.col("col_form")).count()
+    # eqNullSafe: plain != yields NULL (row silently dropped) when a
+    # signature is NULL or has NULL slots (blank docs), hiding divergence.
+    n_diff = both.filter(~F.col("sql_form").eqNullSafe(F.col("col_form"))).count()
     assert n_diff == 0
