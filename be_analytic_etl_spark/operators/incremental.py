@@ -81,6 +81,31 @@ def merge_states(
     return merged.select(*keys, *out_cols)
 
 
+def refresh_buckets(
+    state: DataFrame, delta_partials: DataFrame, bucket_cols: list[str]
+) -> DataFrame:
+    """Invalidation refresh (the continuous-aggregate / hypertable-rollup
+    shape): REPLACE every bucket the delta touches with freshly computed
+    partials, keep all other buckets untouched.
+
+    Unlike the additive ``merge_states`` fold, this handles CORRECTIONS —
+    a re-ingested partition whose rows update or delete earlier ones
+    (the reference re-downloads whole monthly files on every run,
+    /root/reference/main.py:347-369; this is the aggregate-level
+    equivalent of that replace, without rescanning history).
+
+    ``delta_partials`` must hold the COMPLETE recomputed state for every
+    bucket it mentions (aggregate_partial over the full corrected
+    partition). The affected-bucket set is |delta buckets| rows —
+    broadcastable — so the refresh costs one anti join on the
+    |groups|-sized state plus the delta aggregation: O(delta + groups),
+    never O(history).
+    """
+    affected = delta_partials.select(*bucket_cols).dropDuplicates()
+    kept = state.join(F.broadcast(affected), bucket_cols, "left_anti")
+    return kept.unionByName(delta_partials)
+
+
 def finalize(state: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
     """Read-time finalization: per measure, a DOUBLE total and mean.
 

@@ -218,3 +218,66 @@ def _decontaminate_oracle() -> str:
 
 
 register("ext_decontaminate", q_ext_decontaminate, _decontaminate_oracle())
+
+
+# ---------------------------------------------------------------------------
+# ext_rollup_refresh: continuous-aggregate (hypertable-rollup) maintenance
+# under CORRECTIONS. The 1997+ partition is re-ingested with a price fix
+# (+1000.00 on every 13th key — an EXACT binary delta, so the corrected
+# double stays a near-2dp value both engines quantize to the same
+# DECIMAL; a *1.1 bump creates 3-decimal doubles whose double->decimal
+# rounding differs between engines near .005 boundaries); the monthly x
+# priority rollup refreshes by REPLACING only the touched months
+# (incremental.refresh_buckets) instead of re-aggregating history.
+# Oracle: from-scratch GROUP BY over the corrected table — equality
+# proves invalidation refresh == full rebuild.
+
+_RR_CUT = "1997-01-01"
+
+
+def q_ext_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import incremental as I
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = ["month", "o_orderpriority"]
+    measures = {"totalprice": "o_totalprice"}
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+
+    # v1 state: the whole table, uncorrected.
+    state = I.aggregate_partial(orders.select(month, "*"), keys, measures)
+    # Re-ingested partition: 1997+ with the price correction applied.
+    corrected = orders.filter(F.col("o_orderdate") >= F.lit(_RR_CUT)).select(
+        month,
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1000.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    delta = I.aggregate_partial(corrected, keys, measures)
+    refreshed = I.refresh_buckets(state, delta, ["month"])
+    return I.finalize(refreshed, keys, ["totalprice"])
+
+
+register(
+    "ext_rollup_refresh",
+    q_ext_rollup_refresh,
+    f"""
+    WITH corrected AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_orderpriority,
+               CASE WHEN o_orderdate >= DATE '{_RR_CUT}' AND o_orderkey % 13 = 0
+                    THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    )
+    SELECT month, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(32,2))) AS DOUBLE)
+               AS total_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(32,2))) AS DOUBLE) / COUNT(*)
+               AS avg_totalprice
+    FROM corrected GROUP BY month, o_orderpriority
+    """,
+)

@@ -73,3 +73,32 @@ def test_schema_mismatch_raises(spark, orders):
     s2 = I.aggregate_partial(orders, keys, {"cust": "o_custkey"})
     with pytest.raises(ValueError, match="schemas differ"):
         I.merge_states(s1, s2, keys)
+
+
+def test_refresh_buckets_replaces_only_touched(spark, orders):
+    keys = ["o_orderpriority"]
+    measures = {"totalprice": "o_totalprice"}
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    bkeys = ["month", *keys]
+
+    state = I.aggregate_partial(orders.select(month, "*"), bkeys, measures)
+
+    # correction: drop half the rows of months >= 1997 (an update+delete mix
+    # the additive fold cannot express) and recompute those buckets only
+    corrected = orders.filter(F.col("o_orderdate") >= "1997-01-01").filter(
+        F.col("o_orderkey") % 2 == 0
+    )
+    delta = I.aggregate_partial(corrected.select(month, "*"), bkeys, measures)
+    refreshed = I.refresh_buckets(state, delta, ["month"])
+
+    full = orders.filter(
+        (F.col("o_orderdate") < "1997-01-01")
+        | (F.col("o_orderkey") % 2 == 0)
+    )
+    want = I.aggregate_partial(full.select(month, "*"), bkeys, measures)
+
+    g = {(r["month"], r["o_orderpriority"]): (r["n_rows"], r["sum_totalprice"])
+         for r in refreshed.collect()}
+    w = {(r["month"], r["o_orderpriority"]): (r["n_rows"], r["sum_totalprice"])
+         for r in want.collect()}
+    assert g == w
