@@ -43,6 +43,11 @@ def _build_parser() -> argparse.ArgumentParser:
             s.add_argument("--strict", action="store_true",
                            help="exit non-zero on error-severity findings")
 
+    s = sub.add_parser("sql", help="run SQL over the table catalog (pgAdmin-style)")
+    s.add_argument("statement")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--show", type=int, default=20)
+
     s = sub.add_parser("pipeline")
     s.add_argument("--spec", required=True, help="JSON file: list of stage dicts")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -97,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 df.show(args.show, truncate=False)
             print(f"{args.query}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+            return 0
+
+        if args.cmd == "sql":
+            from be_analytic_etl_spark.sources import install_views
+
+            install_views(spark, args.sf_dir)
+            spark.sql(args.statement).show(args.show, truncate=False)
             return 0
 
         # pipeline

@@ -15,10 +15,12 @@ from be_analytic_etl_spark.sources.sinks import (
     write_jdbc,
     write_jsonl,
 )
-from be_analytic_etl_spark.sources.tables import load_table
+from be_analytic_etl_spark.sources.tables import TABLES, install_views, load_table
 
 __all__ = [
     "load_table",
+    "install_views",
+    "TABLES",
     "find_dataset_id",
     "list_resources",
     "download",

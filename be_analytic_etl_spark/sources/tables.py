@@ -37,3 +37,31 @@ def load_table(
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
     return df
+
+
+#: The full star-schema + corpus catalog (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def install_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register every table as a temp view so the engine is usable from
+    plain ``spark.sql`` — the reference's pgAdmin workflow
+    (/root/reference/README.md:119-219 runs SQL against Postgres views)
+    mapped onto the Spark catalog. Views are lazy: nothing is scanned
+    until a query runs, and Catalyst prunes/pushes down through them.
+    """
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -82,3 +82,22 @@ def test_registry_has_no_error_findings(spark):
         if errs:
             errors[name] = errs
     assert not errors, errors
+
+
+def test_install_views_and_sql_surface(spark, capsys):
+    """install_views makes the catalog usable from plain spark.sql — the
+    reference's pgAdmin workflow on the Spark catalog."""
+    from be_analytic_etl_spark.sources import install_views
+
+    install_views(spark, SF_DIR)
+    row = spark.sql(
+        "SELECT r_name, COUNT(*) AS n FROM region JOIN nation "
+        "ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name LIMIT 1"
+    ).first()
+    assert row["n"] == 5
+
+    from be_analytic_etl_spark.__main__ import main
+
+    rc = main(["sql", "SELECT COUNT(*) AS n FROM nation", "--sf-dir", SF_DIR])
+    assert rc == 0
+    assert "25" in capsys.readouterr().out
