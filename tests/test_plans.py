@@ -421,3 +421,31 @@ def test_profile_branches_prune_to_single_column(spark):
     plan = plan_of(QUERIES["ext_profile"](spark, SF_DIR))
     for col in ["l_orderkey", "l_quantity", "l_extendedprice"]:
         assert f"ReadSchema: struct<{col}:" in plan, plan[:500]
+
+
+def test_decontaminate_anti_join_broadcasts(spark):
+    """The flagged-id set is benchmark-sized: the corpus-side anti join
+    must broadcast it, never shuffle the corpus on doc_id."""
+    plan = plan_of(QUERIES["ext_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_rollup_refresh_broadcasts_affected_buckets(spark):
+    """Invalidation refresh: the affected-bucket set (|delta buckets|
+    rows) broadcasts into the anti join against the groups-sized state —
+    O(delta + groups), with partial aggregation on both agg passes."""
+    plan = plan_of(QUERIES["ext_rollup_refresh"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the only join in the query is the anti join — it must not be a
+    # shuffle join of state vs affected buckets
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_incremental_agg_partial_aggregation(spark):
+    """Each partition's reduction is map-side combined before its shuffle
+    (the mergeable-partial design depends on it)."""
+    plan = plan_of(QUERIES["ext_incremental_agg"](spark, SF_DIR))
+    assert "HashAggregate" in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
