@@ -328,3 +328,49 @@ register(
     FROM orders GROUP BY o_orderpriority
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# binaryfile_roundtrip: the `binaryFile` source — THE ingestion path for an
+# image/audio corpus into opaque binary columns (multimodal.py's input
+# shape). A deterministic per-doc .bin fixture is materialized under /tmp
+# (driver-side: |fixture| = 1/10 of docs, control-plane sized), read back
+# as (path, length, content), and value-proven against the original text:
+# byte length and md5 must match DuckDB's view of the same documents. At
+# 100 TB the same reader scans an object-store prefix with
+# pathGlobFilter/recursiveFileLookup, one task per file group.
+
+
+def q_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_binfiles_{tag}"
+    os.makedirs(path, exist_ok=True)
+    # Fixture write: one .bin per sampled doc (driver-side loop is fixture
+    # construction, like jdbc_roundtrip's embedded Derby — the measured
+    # path is the distributed binaryFile scan below).
+    sample = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    for r in sample.collect():
+        with open(os.path.join(path, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write((r["text"] or "").encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("md5"),
+    )
+
+
+register(
+    "binaryfile_roundtrip",
+    q_binaryfile_roundtrip,
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)
+               AS n_bytes,
+           md5(coalesce(text, '')) AS md5
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
