@@ -318,42 +318,49 @@ def stream_upsert_parquet(
     tiebreak_col: str = "event_id",
     checkpoint_dir: str | None = None,
 ):
-    """CDC-apply: maintain a latest-row-per-key parquet table off a stream.
+    """CDC-apply: maintain an EVENT-TIME latest-row-per-key parquet table
+    off a stream.
 
     The canonical ``foreachBatch`` pattern — the stream's exactly-once
-    batch boundary plus an idempotent MERGE gives an upsert sink without
-    any sink-side dedup state:
+    batch boundary plus an idempotent conditional merge gives an upsert
+    sink without any sink-side dedup state:
 
     1. within the micro-batch, last-wins per key (``order_col`` desc,
        ``tiebreak_col`` desc — deterministic under replay);
-    2. MERGE into the current table via ``operators.merge.merge_upsert``
-       (one key-shuffle join of |table| x |batch-keys|);
+    2. CONDITIONAL merge: union table + batch winners, keep the max by
+       (order, tiebreak) per key. An unconditional MERGE (last BATCH
+       wins) would let an out-of-order late arrival overwrite a newer
+       stored row — the Delta equivalent is
+       ``WHEN MATCHED AND s.ts > t.ts THEN UPDATE``. One window over
+       |table| + |batch| rows, same shuffle cost as the join form;
     3. rewrite the table.
 
     The read-modify-overwrite here materializes the merge result
     (``localCheckpoint``) before overwriting the directory it was read
     from — the local-FS stand-in for what a transactional table format
-    (Delta/Iceberg MERGE INTO) does natively; swap step 2-3 for the
-    format's MERGE on a real deployment and the stream code is unchanged.
-    Batch replays after a crash re-apply the same batch id; the merge is
-    idempotent (same keys, same rows), so the table converges.
+    does natively; swap step 2-3 for the format's conditional MERGE on a
+    real deployment and the stream code is unchanged. Batch replays
+    after a crash re-apply the same rows; keep-max is idempotent, so the
+    table converges.
 
     Returns the started StreamingQuery (caller awaits termination).
     """
     from pyspark.sql.window import Window
-
-    from be_analytic_etl_spark.operators.merge import merge_upsert
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         w = Window.partitionBy(*keys).orderBy(
             F.col(order_col).desc(), F.col(tiebreak_col).desc()
         )
-        latest = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+
+        def keep_latest(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        latest = keep_latest(batch)
         # Explicit existence probe, not try/except around the whole
         # read+merge: a blanket except would treat ANY transient read or
         # merge failure as "first batch" and overwrite the table with just
@@ -363,7 +370,8 @@ def stream_upsert_parquet(
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(hpath):
-            merged = merge_upsert(spark.read.parquet(path), latest, keys)
+            prev = spark.read.parquet(path).select(*latest.columns)
+            merged = keep_latest(prev.unionByName(latest))
         else:
             merged = latest
         # Materialize BEFORE overwriting the input directory (reading and
