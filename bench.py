@@ -62,20 +62,29 @@ def main() -> None:
     # minute host-contention wave (observed to inflate single queries
     # 5-30x) out of EVERY reported number, not just the slowest tail.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_BUDGET_S", "420"))
-    for name in sorted(
-        (n for n, t in timings.items() if t >= 0), key=lambda n: -timings[n]
+    # Pass 2: rerun everything slowest-first (min-of-2). Pass 3: one more
+    # sample for the 12 slowest survivors — the tail is where a single
+    # contention wave distorts the min-of-2 most, and a third sample costs
+    # a bounded slice of the same budget.
+    for rerun_pool in (
+        sorted((n for n, t in timings.items() if t >= 0), key=lambda n: -timings[n]),
+        sorted((n for n, t in timings.items() if t >= 0), key=lambda n: -timings[n])[:12],
     ):
-        if budget <= 0:
-            break
-        try:
-            t0 = time.perf_counter()
-            second = run_once(name)
-            budget -= time.perf_counter() - t0
-            if second < timings[name]:
-                print(f"bench: {name} rerun {second}s (was {timings[name]}s)", file=sys.stderr)
-                timings[name] = second
-        except Exception:
-            pass
+        for name in rerun_pool:
+            if budget <= 0:
+                break
+            try:
+                t0 = time.perf_counter()
+                again = run_once(name)
+                budget -= time.perf_counter() - t0
+                if again < timings[name]:
+                    print(
+                        f"bench: {name} rerun {again}s (was {timings[name]}s)",
+                        file=sys.stderr,
+                    )
+                    timings[name] = again
+            except Exception:
+                pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # The driver keeps only the last 2000 bytes of stdout and json-parses
