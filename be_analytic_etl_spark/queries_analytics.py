@@ -631,3 +631,42 @@ def _corr_matrix_oracle() -> str:
 
 
 register("ext_corr_matrix", q_ext_corr_matrix, _corr_matrix_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE (Spark 4's WITH RECURSIVE) — the same ancestor
+# expansion ext_ancestors computes with the iterative operator
+# (operators/hierarchy.py), but expressed declaratively and executed by
+# the engine's own recursion (UnionLoop). Registering BOTH forms keeps the
+# operator as the scale path (explicit per-round checkpointing, bounded
+# rounds) while proving the engine supports the SQL-standard surface a
+# reference user would write first.
+def q_recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__rcte_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT s_suppkey AS node, s_suppkey DIV 2 AS ancestor, 1 AS depth
+            FROM __rcte_supplier WHERE s_suppkey >= 2
+            UNION ALL
+            SELECT node, ancestor DIV 2, depth + 1 FROM anc WHERE ancestor >= 2
+        )
+        SELECT node, ancestor, depth FROM anc
+        """
+    )
+
+
+register(
+    "recursive_cte_ancestors",
+    q_recursive_cte_ancestors,
+    """
+    WITH RECURSIVE anc AS (
+        SELECT s_suppkey AS node, s_suppkey // 2 AS ancestor, 1 AS depth
+        FROM supplier WHERE s_suppkey >= 2
+        UNION ALL
+        SELECT a.node, a.ancestor // 2, a.depth + 1
+        FROM anc a WHERE a.ancestor >= 2
+    )
+    SELECT node, ancestor, depth FROM anc
+    """,
+)

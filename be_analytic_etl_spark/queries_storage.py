@@ -355,8 +355,10 @@ def q_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write((r["text"] or "").encode("utf-8"))
     bf = spark.read.format("binaryFile").load(path)
     return bf.select(
+        # try_cast: a non-matching filename extracts '' which ANSI cast
+        # would throw on; NULL doc_id is the right answer for strays
         F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
-        .cast("long")
+        .try_cast("long")
         .alias("doc_id"),
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("md5"),
