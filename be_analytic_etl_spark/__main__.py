@@ -105,9 +105,11 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "sql":
+            from be_analytic_etl_spark.functions.sqludf import install_sql_functions
             from be_analytic_etl_spark.sources import install_views
 
             install_views(spark, args.sf_dir)
+            install_sql_functions(spark)
             spark.sql(args.statement).show(args.show, truncate=False)
             return 0
 
