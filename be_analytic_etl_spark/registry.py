@@ -41,6 +41,7 @@ from be_analytic_etl_spark import queries_curation  # noqa: E402,F401
 from be_analytic_etl_spark import queries_storage  # noqa: E402,F401
 from be_analytic_etl_spark import queries_textprep  # noqa: E402,F401
 from be_analytic_etl_spark import queries_versioning  # noqa: E402,F401
+from be_analytic_etl_spark import queries_sqlsurface  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
