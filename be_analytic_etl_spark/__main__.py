@@ -7,13 +7,17 @@ for the Spark engine:
     python -m be_analytic_etl_spark list
     python -m be_analytic_etl_spark run groupby_avg --sf-dir /root/testdata/sf0.01 --show 10
     python -m be_analytic_etl_spark explain ext_minhash_lsh_neardup
+    python -m be_analytic_etl_spark lint ext_pipeline --strict
+    python -m be_analytic_etl_spark sql "SELECT COUNT(*) FROM lineitem"
     python -m be_analytic_etl_spark pipeline --spec spec.json --show 5
 
 ``run`` executes a registered query (``--noop`` materializes without
 driver-side collect — the bench semantics); ``explain`` prints the
-formatted physical plan (the tool to check pushdown/broadcast/codegen
-before a 100 TB run); ``pipeline`` runs a declarative JSON spec over the
-documents table via ``pipeline.run_pipeline``.
+formatted physical plan and ``lint`` turns it into typed findings (the
+pre-flight checks before a 100 TB run); ``sql`` installs the table views
++ SQL UDFs and runs a statement (the reference's pgAdmin workflow);
+``pipeline`` runs a declarative JSON spec over the documents table via
+``pipeline.run_pipeline``.
 """
 
 from __future__ import annotations
