@@ -101,3 +101,29 @@ def test_install_views_and_sql_surface(spark, capsys):
     rc = main(["sql", "SELECT COUNT(*) AS n FROM nation", "--sf-dir", SF_DIR])
     assert rc == 0
     assert "25" in capsys.readouterr().out
+
+
+def test_cli_lint_strict_fails_on_row_udf(spark, tmp_path, capsys):
+    """--strict returns non-zero when the plan has an error finding."""
+    from pyspark.sql.types import IntegerType
+
+    from be_analytic_etl_spark.registry import QUERIES
+
+    plus_one = F.udf(lambda x: x + 1, IntegerType())
+
+    def bad_query(s, sf_dir):
+        from be_analytic_etl_spark.sources import load_table
+
+        return load_table(s, sf_dir, "nation").select(
+            plus_one(F.col("n_nationkey")).alias("k")
+        )
+
+    QUERIES["__lint_test_bad"] = bad_query
+    try:
+        from be_analytic_etl_spark.__main__ import main
+
+        rc = main(["lint", "__lint_test_bad", "--sf-dir", SF_DIR, "--strict"])
+        assert rc == 1
+        assert "row-python-udf" in capsys.readouterr().out
+    finally:
+        del QUERIES["__lint_test_bad"]
