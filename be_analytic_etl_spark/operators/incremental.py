@@ -82,7 +82,10 @@ def merge_states(
 
 
 def refresh_buckets(
-    state: DataFrame, delta_partials: DataFrame, bucket_cols: list[str]
+    state: DataFrame,
+    delta_partials: DataFrame,
+    bucket_cols: list[str],
+    affected: DataFrame | None = None,
 ) -> DataFrame:
     """Invalidation refresh (the continuous-aggregate / hypertable-rollup
     shape): REPLACE every bucket the delta touches with freshly computed
@@ -100,8 +103,18 @@ def refresh_buckets(
     broadcastable — so the refresh costs one anti join on the
     |groups|-sized state plus the delta aggregation: O(delta + groups),
     never O(history).
+
+    ``affected``: the invalidated bucket keys. Defaults to the buckets
+    present in ``delta_partials`` — sufficient when every touched bucket
+    still has rows after the correction. A correction that retracts a
+    bucket ENTIRELY leaves no delta row to infer it from, so the caller
+    must pass the invalidated set explicitly (e.g. the re-ingested
+    partition's full date range) or the stale aggregate survives.
     """
-    affected = delta_partials.select(*bucket_cols).dropDuplicates()
+    if affected is None:
+        affected = delta_partials.select(*bucket_cols).dropDuplicates()
+    else:
+        affected = affected.select(*bucket_cols).dropDuplicates()
     kept = state.join(F.broadcast(affected), bucket_cols, "left_anti")
     return kept.unionByName(delta_partials)
 

@@ -342,10 +342,16 @@ register(
 
 
 def q_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     docs = _t(spark, sf_dir, "documents")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_binfiles_{tag}"
-    os.makedirs(path, exist_ok=True)
+    path = f"/tmp/spark_graft_binfiles_{_tag(sf_dir)}"
+    # Wipe-then-write, the directory-level equivalent of the other
+    # fixtures' .mode("overwrite"): binaryFile scans the WHOLE directory,
+    # so stale files from an earlier fixture generation would surface as
+    # extra rows the oracle lacks.
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
     # Fixture write: one .bin per sampled doc (driver-side loop is fixture
     # construction, like jdbc_roundtrip's embedded Derby — the measured
     # path is the distributed binaryFile scan below).

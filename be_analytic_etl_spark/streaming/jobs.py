@@ -349,18 +349,24 @@ def stream_upsert_parquet(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # __src breaks exact (order, tiebreak) ties in favor of the BATCH
+        # row: a correction re-sent with identical keys but changed
+        # payload must win deterministically on every replay, or the
+        # table flips between old/new payload across recoveries.
         w = Window.partitionBy(*keys).orderBy(
-            F.col(order_col).desc(), F.col(tiebreak_col).desc()
+            F.col(order_col).desc(),
+            F.col(tiebreak_col).desc(),
+            F.col("__src").desc(),
         )
 
         def keep_latest(df: DataFrame) -> DataFrame:
             return (
                 df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .drop("__rn")
+                .drop("__rn", "__src")
             )
 
-        latest = keep_latest(batch)
+        latest = keep_latest(batch.withColumn("__src", F.lit(1)))
         # Explicit existence probe, not try/except around the whole
         # read+merge: a blanket except would treat ANY transient read or
         # merge failure as "first batch" and overwrite the table with just
@@ -370,8 +376,12 @@ def stream_upsert_parquet(
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(hpath):
-            prev = spark.read.parquet(path).select(*latest.columns)
-            merged = keep_latest(prev.unionByName(latest))
+            prev = (
+                spark.read.parquet(path)
+                .select(*latest.columns)
+                .withColumn("__src", F.lit(0))
+            )
+            merged = keep_latest(prev.unionByName(latest.withColumn("__src", F.lit(1))))
         else:
             merged = latest
         # Materialize BEFORE overwriting the input directory (reading and

@@ -65,14 +65,15 @@ def main() -> None:
     # Pass 2: rerun everything slowest-first (min-of-2). Pass 3: one more
     # sample for the 12 slowest survivors — the tail is where a single
     # contention wave distorts the min-of-2 most, and a third sample costs
-    # a bounded slice of the same budget.
-    for rerun_pool in (
-        sorted((n for n, t in timings.items() if t >= 0), key=lambda n: -timings[n]),
-        sorted((n for n, t in timings.items() if t >= 0), key=lambda n: -timings[n])[:12],
-    ):
-        for name in rerun_pool:
+    # a bounded slice of the same budget. The pass-3 pool must be ranked
+    # by POST-pass-2 timings (computed after that loop mutates `timings`),
+    # else a first-sample outlier already corrected in pass 2 wastes the
+    # third sample.
+    def rerun(pool) -> None:
+        nonlocal budget
+        for name in pool:
             if budget <= 0:
-                break
+                return
             try:
                 t0 = time.perf_counter()
                 again = run_once(name)
@@ -85,6 +86,14 @@ def main() -> None:
                     timings[name] = again
             except Exception:
                 pass
+
+    def slowest_first():
+        return sorted(
+            (n for n, t in timings.items() if t >= 0), key=lambda n: -timings[n]
+        )
+
+    rerun(slowest_first())
+    rerun(slowest_first()[:12])
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # The driver keeps only the last 2000 bytes of stdout and json-parses

@@ -102,3 +102,37 @@ def test_refresh_buckets_replaces_only_touched(spark, orders):
     w = {(r["month"], r["o_orderpriority"]): (r["n_rows"], r["sum_totalprice"])
          for r in want.collect()}
     assert g == w
+
+
+def test_refresh_buckets_explicit_retraction(spark, orders):
+    """A correction that empties a bucket entirely must pass the
+    invalidated set explicitly; the refreshed state then drops it."""
+    keys = ["o_orderpriority"]
+    measures = {"totalprice": "o_totalprice"}
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    bkeys = ["month", *keys]
+
+    state = I.aggregate_partial(orders.select(month, "*"), bkeys, measures)
+    # retract EVERYTHING from 1997 onward: corrected partition is empty
+    corrected = orders.filter(F.lit(False))
+    delta = I.aggregate_partial(corrected.select(month, "*"), bkeys, measures)
+    affected = (
+        orders.filter(F.col("o_orderdate") >= "1997-01-01")
+        .select(month)
+        .dropDuplicates()
+    )
+    refreshed = I.refresh_buckets(state, delta, ["month"], affected=affected)
+
+    want = I.aggregate_partial(
+        orders.filter(F.col("o_orderdate") < "1997-01-01").select(month, "*"),
+        bkeys,
+        measures,
+    )
+    g = {tuple(r) for r in refreshed.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+
+    # ... and WITHOUT the explicit set, the stale buckets survive
+    # (the documented default-inference limitation)
+    stale = I.refresh_buckets(state, delta, ["month"])
+    assert stale.count() == state.count()

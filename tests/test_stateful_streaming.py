@@ -253,3 +253,47 @@ def test_stream_upsert_parquet_resumes_from_checkpoint(
     assert got == want
     # the first run really ran on half the data (not replayed wholesale)
     assert n_after_first <= len(want)
+
+
+def test_stream_upsert_batch_wins_exact_tie(spark, tmp_path):
+    """A correction re-sent with identical (ts, event_id) but changed
+    payload must deterministically beat the stored row on every apply."""
+    from pyspark.sql.types import Row
+
+    from be_analytic_etl_spark.streaming.jobs import stream_upsert_parquet
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    out = str(tmp_path / "latest")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def arrive(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(stage)
+        import glob
+        import shutil
+
+        shutil.copy(glob.glob(stage + "/*.parquet")[0], str(src / f"{name}.parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_upsert_parquet(stream, out, keys=["user_id"], checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    arrive([Row(event_id=1, ts=ts, user_id=7, value=1.0)], "a")
+    run_once()
+    # same key, same ts, same event_id — corrected payload
+    arrive([Row(event_id=1, ts=ts, user_id=7, value=2.0)], "b")
+    run_once()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0]["value"] == 2.0
