@@ -88,3 +88,37 @@ def curriculum_buckets(
     return lens.crossJoin(F.broadcast(qs)).select(
         id_col, F.col("__len").alias("length"), bucket.cast("int").alias("bucket")
     )
+
+
+def dataset_manifest(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str = "doc_id",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Provenance manifest: per group, row count, optional size total, and
+    an order-insensitive content checksum over the keys.
+
+    The handoff record a training-data release ships next to its shards:
+    a consumer re-derives the same manifest from what it received and
+    diffs — catching dropped/duplicated rows without comparing data. The
+    checksum is SUM(md5-head-60bit(key)) mod p, accumulated in
+    DECIMAL(38,0) so partial-aggregate merge order (and engine) cannot
+    perturb it; addition is commutative, so the checksum is independent
+    of row order — exactly the property a distributed writer needs.
+
+    One shuffle on ``group_cols`` with map-side partial aggregation;
+    output is |groups| rows.
+    """
+    from be_analytic_etl_spark.operators.textstats import PORTABLE_P, portable_hash60
+
+    h = portable_hash60(F.col(key_col).cast("string"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(PORTABLE_P))
+        .cast("long")
+        .alias("key_checksum"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).cast("long").alias(f"sum_{size_col}"))
+    return df.groupBy(*group_cols).agg(*aggs)

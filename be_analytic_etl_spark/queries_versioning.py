@@ -281,3 +281,47 @@ register(
     FROM corrected GROUP BY month, o_orderpriority
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_dataset_manifest: the provenance record shipped with a training-data
+# release — per (lang, split), row count, char volume, and an
+# order-insensitive key checksum a consumer re-derives to detect dropped
+# or duplicated rows without scanning content. Checksum sums 60-bit
+# md5-head key hashes in exact DECIMAL, so row order, partition merge
+# order, and engine are all irrelevant.
+
+
+def q_ext_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split", assign_split("doc_id")
+    )
+    return V.dataset_manifest(
+        docs, ["lang", "split"], key_col="doc_id", size_col="n_chars"
+    )
+
+
+def _manifest_oracle() -> str:
+    from be_analytic_etl_spark.queries_extensions import _bucket_sql
+
+    return f"""
+    WITH d AS (
+        SELECT lang, n_chars, doc_id,
+               CASE WHEN {_bucket_sql("split")} < 9000 THEN 'train'
+                    WHEN {_bucket_sql("split")} < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)
+               AS key_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+    FROM d GROUP BY lang, split
+    """
+
+
+register("ext_dataset_manifest", q_ext_dataset_manifest, _manifest_oracle())
