@@ -323,3 +323,22 @@ def test_minhash_sql_text_equals_column_form(spark):
     # signature is NULL or has NULL slots (blank docs), hiding divergence.
     n_diff = both.filter(~F.col("sql_form").eqNullSafe(F.col("col_form"))).count()
     assert n_diff == 0
+
+
+@pytest.mark.parametrize("n_parts", [1, 7, 32])
+def test_dataset_manifest_invariant_under_repartition(spark, n_parts):
+    """The manifest is a function of the SET of rows, not their layout:
+    any repartitioning/shuffling of the input yields the identical
+    manifest (count, sums, and the decimal-summed key checksum)."""
+    from be_analytic_etl_spark.operators.versioning import dataset_manifest
+    from be_analytic_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = dataset_manifest(docs, ["lang"], key_col="doc_id", size_col="n_chars")
+    shuffled = dataset_manifest(
+        docs.repartition(n_parts, "text"),  # arbitrary re-layout
+        ["lang"],
+        key_col="doc_id",
+        size_col="n_chars",
+    )
+    assert {tuple(r) for r in base.collect()} == {tuple(r) for r in shuffled.collect()}
