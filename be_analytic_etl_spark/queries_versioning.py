@@ -325,3 +325,75 @@ def _manifest_oracle() -> str:
 
 
 register("ext_dataset_manifest", q_ext_dataset_manifest, _manifest_oracle())
+
+
+# ---------------------------------------------------------------------------
+# ext_manifest_drift: the consumer side of ext_dataset_manifest — re-derive
+# the manifest from what was received (here: the corpus minus one
+# deterministic "lost shard": doc_id % 17 == 3) and diff against the
+# producer's. Checksum inequality pinpoints the damaged groups without
+# any content scan; both manifests are |groups| rows, so the diff is a
+# broadcastable join no matter the corpus size.
+
+
+def q_ext_manifest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    produced = V.dataset_manifest(docs, ["lang"], key_col="doc_id", size_col="n_chars")
+    received = V.dataset_manifest(
+        docs.filter(F.col("doc_id") % 17 != 3),
+        ["lang"],
+        key_col="doc_id",
+        size_col="n_chars",
+    )
+    p = produced.select(
+        "lang",
+        F.col("n_rows").alias("p_rows"),
+        F.col("key_checksum").alias("p_checksum"),
+    )
+    r = received.select(
+        "lang",
+        F.col("n_rows").alias("r_rows"),
+        F.col("key_checksum").alias("r_checksum"),
+    )
+    return (
+        p.join(r, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("p_rows", F.lit(0)).alias("p_rows"),
+            F.coalesce("r_rows", F.lit(0)).alias("r_rows"),
+            (F.coalesce("p_rows", F.lit(0)) - F.coalesce("r_rows", F.lit(0))).alias(
+                "missing_rows"
+            ),
+            (
+                ~F.coalesce("p_checksum", F.lit(-1)).eqNullSafe(
+                    F.coalesce("r_checksum", F.lit(-1))
+                )
+            ).alias("content_drift"),
+        )
+    )
+
+
+def _manifest_drift_oracle() -> str:
+    h = (
+        "CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+        "AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)"
+    )
+    return f"""
+    WITH produced AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS p_rows, {h} AS p_checksum
+        FROM documents GROUP BY lang
+    ), received AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS r_rows, {h} AS r_checksum
+        FROM documents WHERE doc_id % 17 <> 3 GROUP BY lang
+    )
+    SELECT coalesce(p.lang, r.lang) AS lang,
+           coalesce(p_rows, 0) AS p_rows,
+           coalesce(r_rows, 0) AS r_rows,
+           coalesce(p_rows, 0) - coalesce(r_rows, 0) AS missing_rows,
+           coalesce(p_checksum, -1) IS DISTINCT FROM coalesce(r_checksum, -1)
+               AS content_drift
+    FROM produced p FULL OUTER JOIN received r ON p.lang = r.lang
+    """
+
+
+register("ext_manifest_drift", q_ext_manifest_drift, _manifest_drift_oracle())
