@@ -283,6 +283,17 @@ register(
 )
 
 
+
+def _checksum_sql(key: str) -> str:
+    """DuckDB twin of versioning.dataset_manifest's key checksum: 60-bit
+    md5-head hashes summed in exact DECIMAL, mod p. ONE source of truth
+    for every manifest oracle in this file."""
+    return (
+        f"CAST(SUM(CAST(CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # ext_dataset_manifest: the provenance record shipped with a training-data
 # release — per (lang, split), row count, char volume, and an
@@ -316,9 +327,7 @@ def _manifest_oracle() -> str:
     )
     SELECT lang, split,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                         AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)
-               AS key_checksum,
+           {_checksum_sql('doc_id')} AS key_checksum,
            CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
     FROM d GROUP BY lang, split
     """
@@ -374,10 +383,7 @@ def q_ext_manifest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _manifest_drift_oracle() -> str:
-    h = (
-        "CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
-        "AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)"
-    )
+    h = _checksum_sql("doc_id")
     return f"""
     WITH produced AS (
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS p_rows, {h} AS p_checksum

@@ -136,7 +136,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # volume_suppliers), plus the late round-4 additions
 # (ext_preference_pairs ext_pipeline_spec schema_evolution
 # ext_isotonic_trend ext_udtf_sentences ext_incremental_agg
-# ext_decontaminate ext_rollup_refresh ext_dataset_manifest binaryfile_roundtrip
+# ext_decontaminate ext_rollup_refresh ext_dataset_manifest
+# ext_manifest_drift binaryfile_roundtrip
 # recursive_cte_ancestors pipe_syntax_revenue sql_table_function)
 # — ~56 entries; tools/rotate_window.py computes the final list from
 # CORRECTNESS history.
