@@ -275,8 +275,9 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
 
     Persisted intermediates (banded table, shingle sets) are cached until
-    GC of the returned plan; for eager cleanup in a long-lived session call
-    ``spark.catalog.clearCache()`` after materializing the result.
+    GC of the returned plan; for eager cleanup in a long-lived session,
+    produce AND consume inside ``session.cached_scope(spark)`` (bench.py
+    does this per query).
     """
     from pyspark import StorageLevel
 
@@ -405,7 +406,7 @@ def simhash_neardup_pairs(
     on chunks, verify true hamming distance.
 
     The persisted simhash table stays cached until GC of the returned plan
-    (``spark.catalog.clearCache()`` for eager cleanup)."""
+    (``session.cached_scope`` for eager cleanup)."""
     from pyspark import StorageLevel
 
     chunk_bits = (60 if portable else 64) // 4

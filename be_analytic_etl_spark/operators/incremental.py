@@ -57,18 +57,38 @@ def merge_states(
 ) -> DataFrame:
     """Fold a new partition's partial state into the running state.
 
-    Full-outer join on the group keys; counts and sums add (absent side
-    contributes zero). |groups| x |groups| — independent of history size.
-    ``state=None`` bootstraps (first partition becomes the state).
+    Full-outer join on the group keys with NULL-SAFE equality
+    (``eqNullSafe``): group keys are routinely nullable (``lang``,
+    optional dimensions), and plain ``=`` would split the NULL-key group
+    into two state rows forever — silently diverging from the
+    from-scratch aggregation this module promises to be substitutable
+    for. Counts and sums add (absent side contributes zero).
+    |groups| x |groups| — independent of history size. ``state=None``
+    bootstraps (first partition becomes the state).
     """
     if state is None:
         return delta_state
     sum_cols = [c for c in state.columns if c not in keys]
     if sum_cols != [c for c in delta_state.columns if c not in keys]:
         raise ValueError("state and delta_state schemas differ")
-    s = state.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in sum_cols])
-    d = delta_state.select(*keys, *[F.col(c).alias(f"__d_{c}") for c in sum_cols])
-    merged = s.join(d, keys, "full_outer")
+    from functools import reduce
+
+    s = state.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in sum_cols],
+    )
+    d = delta_state.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in sum_cols],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__sk_{k}").eqNullSafe(F.col(f"__dk_{k}")) for k in keys],
+    )
+    merged = s.join(d, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"__sk_{k}"), F.col(f"__dk_{k}")).alias(k) for k in keys
+    ]
     zero = {
         "n_rows": F.lit(0).cast("long"),
     }
@@ -78,7 +98,7 @@ def merge_states(
         out_cols.append(
             (F.coalesce(F.col(f"__s_{c}"), z) + F.coalesce(F.col(f"__d_{c}"), z)).alias(c)
         )
-    return merged.select(*keys, *out_cols)
+    return merged.select(*key_cols, *out_cols)
 
 
 def refresh_buckets(
@@ -109,13 +129,33 @@ def refresh_buckets(
     still has rows after the correction. A correction that retracts a
     bucket ENTIRELY leaves no delta row to infer it from, so the caller
     must pass the invalidated set explicitly (e.g. the re-ingested
-    partition's full date range) or the stale aggregate survives.
+    partition's full date range) or the stale aggregate survives. A
+    caller-supplied set is always UNIONED with delta_partials' own
+    buckets: an ``affected`` that under-covers the delta would otherwise
+    keep the stale state row AND union in the recomputed one, yielding
+    duplicate bucket rows.
     """
+    delta_buckets = delta_partials.select(*bucket_cols).dropDuplicates()
     if affected is None:
-        affected = delta_partials.select(*bucket_cols).dropDuplicates()
+        affected = delta_buckets
     else:
-        affected = affected.select(*bucket_cols).dropDuplicates()
-    kept = state.join(F.broadcast(affected), bucket_cols, "left_anti")
+        affected = (
+            affected.select(*bucket_cols)
+            .unionByName(delta_buckets)
+            .dropDuplicates()
+        )
+    from functools import reduce
+
+    aff = affected.select(
+        *[F.col(k).alias(f"__a_{k}") for k in bucket_cols]
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"__a_{k}")) for k in bucket_cols],
+    )
+    # Null-safe anti join: a NULL bucket key must still invalidate its
+    # stale state row, same rationale as merge_states.
+    kept = state.join(F.broadcast(aff), cond, "left_anti")
     return kept.unionByName(delta_partials)
 
 

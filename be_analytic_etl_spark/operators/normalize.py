@@ -158,10 +158,13 @@ def temperature_weights(
     w_d = p_d^alpha / sum(p^alpha), p_d = domain token share).
 
     The corpus reduces to |domains| rows (token sums are exact BIGINTs)
-    before any float math; p is a deterministic double division, the
+    before any float math; p is a deterministic double division and the
     tempered weights are summed as DECIMAL(28,18) so the renormalizing
-    total is exact (no float-order sensitivity between engines), and
-    the final ratios divide deterministic doubles.
+    total has no float-order sensitivity. pow() itself is libm, though —
+    JVM and DuckDB differ in the last ulp — so the pow-derived outputs
+    (``weight``, ``epochs_vs_uniform``) are emitted rounded to 8
+    decimals (~1e7x margin over the ulp noise); ``p`` is exact and
+    emitted raw.
     """
     per = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -178,9 +181,11 @@ def temperature_weights(
         "n_docs",
         "n_tokens",
         "p",
-        (F.col("__w").cast("double") / total_w.cast("double")).alias("weight"),
-        (
-            (F.col("__w").cast("double") / total_w.cast("double"))
-            / F.col("p")
+        F.round(F.col("__w").cast("double") / total_w.cast("double"), 8).alias(
+            "weight"
+        ),
+        F.round(
+            (F.col("__w").cast("double") / total_w.cast("double")) / F.col("p"),
+            8,
         ).alias("epochs_vs_uniform"),
     )

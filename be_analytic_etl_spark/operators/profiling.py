@@ -116,6 +116,14 @@ def group_zscore_outliers(
     then a fixed sequence of double ops both engines replay identically.
     The outlier test compares ``(x - mean)² > z²·var`` — no sqrt needed.
 
+    The *emitted* ``mean_value``/``variance`` are additionally rounded
+    (4 / 2 decimals): once SUM(x²) exceeds 2⁵³ the decimal→double cast
+    rounds differently across engines, and the ``s2 − s1²/n``
+    cancellation amplifies that last-ulp delta into the ~13th
+    significant digit of the raw variance (observed driver-red round 4).
+    Rounding keeps 50× margin over the ulp noise while the threshold
+    comparison still uses full precision internally.
+
     One shuffle on ``group_cols`` for the stats (partial map-side), one
     broadcast join back for the census (group stats are tiny by
     construction). Returns per-group ``(…group_cols, n, mean_value,
@@ -145,8 +153,8 @@ def group_zscore_outliers(
         .groupBy(*group_cols)
         .agg(
             F.first("n").alias("n"),
-            F.first("mean_value").alias("mean_value"),
-            F.first("variance").alias("variance"),
+            F.round(F.first("mean_value"), 4).alias("mean_value"),
+            F.round(F.first("variance"), 2).alias("variance"),
             F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
         )
     )

@@ -467,11 +467,17 @@ def bigram_lm_doc_score(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.avg("__logp").alias("avg_logp"),
     )
+    # Emit rounded scores: AVG over doubles sums in partition order, so
+    # the raw mean carries ~1e-15-relative engine noise (same ulp class
+    # as the round-4 zscore red). 6 decimals on a ~-9 logp leaves 1e9x
+    # margin; perplexity is derived from the already-rounded mean so the
+    # two emitted columns stay mutually consistent.
+    avg_r = F.round(F.col("avg_logp"), 6)
     return agg.select(
         F.col("__id").alias(id_col),
         "n_bigrams",
-        "avg_logp",
-        F.exp(-F.col("avg_logp")).alias("perplexity"),
+        avg_r.alias("avg_logp"),
+        F.round(F.exp(-avg_r), 4).alias("perplexity"),
     )
 
 

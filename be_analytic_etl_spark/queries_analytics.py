@@ -151,8 +151,12 @@ register(
     )
     SELECT d.l_returnflag, d.l_linestatus,
            MIN(d.n) AS n,
-           MIN(d.mean_value) AS mean_value,
-           MIN(d.variance) AS variance,
+           -- Emit rounded stats: the raw doubles carry engine-specific
+           -- last-ulp noise from the >2^53 decimal->double cast amplified
+           -- by the s2 - s1^2/n cancellation (driver-red round 4). The
+           -- outlier threshold below still uses full precision.
+           ROUND(MIN(d.mean_value), 4) AS mean_value,
+           ROUND(MIN(d.variance), 2) AS variance,
            -- CAST: DuckDB SUM(int) is HUGEINT; Spark's is BIGINT.
            CAST(SUM(CASE WHEN (l.l_extendedprice - d.mean_value)
                          * (l.l_extendedprice - d.mean_value)

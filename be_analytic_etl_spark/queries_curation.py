@@ -86,7 +86,8 @@ register(
 # ---------------------------------------------------------------------------
 # Character-class entropy. The 36 replace-count passes and the fixed
 # summation order are shared between engines via curation.ENTROPY_ALPHABET
-# / char_entropy_sql_exprs, so the double is bit-comparable.
+# / char_entropy_sql_exprs; the log2-derived entropy is emitted rounded
+# (libm ulp differences survive any op-order discipline).
 
 def q_ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -98,7 +99,13 @@ def q_ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("__e.n_alnum").alias("n_alnum"),
-        F.col("__e.entropy_bits").alias("entropy_bits"),
+        # log2 is libm: JVM vs DuckDB differ in the last ulp for some
+        # arguments, so the entropy sum is not bit-comparable however
+        # fixed the op order. Round the emitted double (6 decimals on a
+        # <=5.17-bit entropy leaves ~5e3x margin over the ulp noise).
+        # top_char_frac is a pure IEEE division of exact counts —
+        # deterministic, no rounding needed.
+        F.round(F.col("__e.entropy_bits"), 6).alias("entropy_bits"),
         F.col("__e.top_char_frac").alias("top_char_frac"),
     )
 
@@ -111,7 +118,7 @@ def _char_entropy_oracle() -> str:
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_alnum,
-           {x['entropy']} AS entropy_bits,
+           ROUND({x['entropy']}, 6) AS entropy_bits,
            {x['top']} AS top_char_frac
     FROM base
     """

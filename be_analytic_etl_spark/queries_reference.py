@@ -1302,7 +1302,14 @@ def q_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         F.sum(val).over(w7).cast("double").alias("roll_sum7"),
-        (F.sum(val).over(w7) / F.count(F.lit(1)).over(w7)).cast("double").alias("roll_avg7"),
+        # double-division, not decimal-division: engines round decimal
+        # quotients at different scales (Spark scale-6 vs DuckDB's wider
+        # quotient — last-digit mismatch, strict-float sweep round 5).
+        # The sum is exact decimal, cast exact (<2^53), then one IEEE
+        # division both engines compute bit-identically.
+        (
+            F.sum(val).over(w7).cast("double") / F.count(F.lit(1)).over(w7)
+        ).alias("roll_avg7"),
         F.max("value").over(w7).alias("roll_max7"),
         F.ntile(4).over(w).alias("quartile"),
         F.cume_dist().over(w).alias("cume"),
@@ -1315,8 +1322,8 @@ register(
     """
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w7 AS DOUBLE) AS roll_sum7,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w7
-                / COUNT(*) OVER w7 AS DOUBLE) AS roll_avg7,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w7 AS DOUBLE)
+                / COUNT(*) OVER w7 AS roll_avg7,
            MAX(value) OVER w7 AS roll_max7,
            NTILE(4) OVER w AS quartile,
            CUME_DIST() OVER w AS cume
@@ -1592,9 +1599,15 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
+            # Cast-then-divide (not decimal /7, whose quotient scale and
+            # rounding are engine-specific): exact decimal sum -> exact
+            # double -> one IEEE division, bit-identical across engines.
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")) / 7
-            ).cast("double").alias("avg_yearly"),
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly"),
         )
     )
 
@@ -1604,7 +1617,7 @@ register(
     q_small_quantity_revenue,
     """
     SELECT COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) / 7 AS DOUBLE)
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0
                AS avg_yearly
     FROM lineitem l
     JOIN (SELECT l_partkey AS pk, AVG(l_quantity) * 0.2 AS qty_cut

@@ -202,7 +202,9 @@ def q_ext_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
-            F.avg("__q").alias("avg_quality"),
+            # AVG over doubles sums in partition order — emit rounded
+            # (engine ulp noise, same class as ext_lm_score).
+            F.round(F.avg("__q"), 6).alias("avg_quality"),
         )
     )
 
@@ -218,7 +220,7 @@ register(
     )
     SELECT q_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           AVG(quality) AS avg_quality
+           ROUND(AVG(quality), 6) AS avg_quality
     FROM binned GROUP BY q_bin
     """,
 )
@@ -330,8 +332,11 @@ register(
         LEFT JOIN uni u ON d.w1 = u.w1
         CROSS JOIN v
     )
+    -- Rounded emission (see bigram_lm_doc_score): AVG-of-doubles order
+    -- noise; perplexity derives from the ROUNDED mean on both sides.
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           AVG(logp) AS avg_logp, exp(-AVG(logp)) AS perplexity
+           ROUND(AVG(logp), 6) AS avg_logp,
+           ROUND(exp(-ROUND(AVG(logp), 6)), 4) AS perplexity
     FROM sc GROUP BY doc_id
     """,
 )

@@ -208,10 +208,13 @@ register(
     ), w AS (
         SELECT *, CAST(pow(p, {_ALPHA}) AS DECIMAL(28,18)) AS w_dec FROM p
     )
+    -- pow() is libm (engine ulp differences): pow-derived outputs are
+    -- emitted rounded on both sides; p is an exact division, raw.
     SELECT source, n_docs, n_tokens, p,
-           CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE) AS weight,
-           (CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) / p
-               AS epochs_vs_uniform
+           ROUND(CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE), 8)
+               AS weight,
+           ROUND((CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) / p,
+                 8) AS epochs_vs_uniform
     FROM w
     """,
 )
@@ -228,9 +231,13 @@ def q_ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     score = hashed_linear_score(F.col("text"))
+    # exp() inside the sigmoid is libm (engine ulp differences): emit the
+    # score rounded. keep compares the UNROUNDED score on both sides —
+    # sigmoid is monotone, so it equals raw >= 0, which both engines
+    # compute identically (fixed-order sum of identical doubles).
     return docs.select(
         "doc_id",
-        score.alias("score"),
+        F.round(score, 6).alias("score"),
         (score >= 0.5).alias("keep"),
     )
 
@@ -247,7 +254,7 @@ def _qc_oracle() -> str:
     raw = f"list_reduce([CAST({QC_BIAS!r} AS DOUBLE)] || {per_tok}, (x, y) -> x + y)"
     return f"""
     SELECT doc_id,
-           1.0 / (1.0 + exp(-({raw}))) AS score,
+           ROUND(1.0 / (1.0 + exp(-({raw}))), 6) AS score,
            (1.0 / (1.0 + exp(-({raw}))) >= 0.5) AS keep
     FROM documents
     """
@@ -328,13 +335,17 @@ def q_ext_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = s.groupBy("lang").agg(chosen.alias("__c"), rejected.alias("__r"))
+    # Selection (min/max by score) runs on the RAW sigmoid — monotone, so
+    # a last-ulp exp() delta can only flip it on a sub-ulp tie. The
+    # EMITTED scores/margin are rounded: exp() is libm and its ulp noise
+    # is engine-specific (same class as ext_quality_classifier).
     return agg.select(
         "lang",
         F.col("__c.id").alias("chosen_id"),
-        F.col("__c.s").alias("chosen_score"),
+        F.round(F.col("__c.s"), 6).alias("chosen_score"),
         F.col("__r.id").alias("rejected_id"),
-        F.col("__r.s").alias("rejected_score"),
-        (F.col("__c.s") - F.col("__r.s")).alias("margin"),
+        F.round(F.col("__r.s"), 6).alias("rejected_score"),
+        F.round(F.col("__c.s") - F.col("__r.s"), 6).alias("margin"),
     )
 
 
@@ -361,9 +372,9 @@ def _pref_oracle() -> str:
         FROM s
     )
     SELECT c.lang,
-           c.doc_id AS chosen_id, c.score AS chosen_score,
-           r.doc_id AS rejected_id, r.score AS rejected_score,
-           c.score - r.score AS margin
+           c.doc_id AS chosen_id, ROUND(c.score, 6) AS chosen_score,
+           r.doc_id AS rejected_id, ROUND(r.score, 6) AS rejected_score,
+           ROUND(c.score - r.score, 6) AS margin
     FROM c JOIN r ON c.lang = r.lang
     WHERE c.rn = 1 AND r.rn = 1
     """

@@ -46,101 +46,79 @@ from be_analytic_etl_spark import queries_sqlsurface  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
 # queries against the DuckDB oracle; everything after the window is only
-# locally gated (tests/test_registry_oracle.py). Rounds 1-3 left all ext_*
-# queries outside the window, so order the registry by verification debt:
-#   1. queries that have been driver-checked but never green (4 r1 reds,
-#      3 r3 reds fixed this round);
-#   2. sessionize (green r2, red r3 on an NTZ session delta, fixed);
-#   3. every never-driver-checked ext_* query (the LLM-pipeline surface);
-#   4. the 3 most distinctive never-checked relational shapes;
-#   5. everything already driver-green (r1-r3), then the 8 deferred
-#      join+agg variants of proven-green shapes — next round's rotation.
+# locally gated (tests/test_registry_oracle.py). Round-5 rotation
+# (computed by tools/rotate_window.py from CORRECTNESS_r01-r04): rounds
+# 1-4 proved 108/109 ever-checked queries green; this window holds the
+# one remaining red (ext_zscore_outliers, float-ulp — fixed) plus 49 of
+# the 60 never-driver-checked queries, ranked never-checked-first.
 _DRIVER_WINDOW_PRIORITY = [
-    # 1: checked-but-never-green
-    "ext_simhash",
-    "ext_simhash_neardup",
-    "ext_lsh_ann",
-    "ext_multimodal_features",
-    "ingest_e2e",
-    "ingest_finalize",
-    "json_extract",
-    # 2: regressed-then-fixed
-    "sessionize",
-    # 3: never-checked ext_* — headline dedup/similarity/pipeline ops first
-    "ext_dedup_groups",
-    "ext_pipeline",
-    "ext_leakage_safe_split",
-    "ext_semantic_neardup",
-    "ext_incremental_dedup",
-    "ext_chunk_dedup",
-    "ext_pack_shards",
-    "ext_contamination",
-    "ext_cross_source_overlap",
-    "ext_hash_split",
-    "ext_stratified_sample",
-    "ext_weighted_sample",
-    "ext_tfidf",
-    "ext_vocab_topk",
-    "ext_bigram_topk",
-    "ext_oov_rate",
-    "ext_repetition",
-    "ext_redact",
-    "ext_url_normalize",
-    "ext_asof_join",
-    "ext_range_join",
-    "ext_salted_join",
-    "ext_merge_upsert",
-    "ext_scd2",
-    "ext_gapfill",
-    "ext_ewma",
-    "ext_hll_distinct",
-    "ext_countmin",
-    "ext_bloom_join",
-    "ext_kmeans",
-    "ext_profile",
-    "ext_zorder",
+    # 1: the round-4 red (float-ulp fragility, fixed this round: rounded
+    # emitted mean/variance on both sides)
     "ext_zscore_outliers",
-    "ext_dq_audit",
-    "ext_corr_matrix",
-    "ext_corpus_report",
-    "ext_pagerank",
-    "ext_triangles",
-    "ext_ancestors",
-    # 4: round-4 additions with the most novel machinery (multi-probe
-    # blocking, recall estimation, sketch quantiles). Still outside the
-    # window after round 4: ext_freq_spectrum, ext_skew_profile,
-    # ext_embedding_stats, ext_bigram_lm, grouping_sets, window_suite,
-    # forecast_revenue, plus the 8 deferred join+agg variants — rotate
-    # them in next round in place of whatever goes green here.
-    "ext_semantic_neardup_multiprobe",
-    "ext_lsh_recall",
-    "ext_histogram_quantiles",
+    # 2: never-driver-checked — deferred relational variants first (the
+    # reference-adjacent TPC-H-shaped surface), then the round-3/4 ext_*
+    # additions, then storage/format round-trips.
+    "returned_revenue",
+    "market_share",
+    "window_suite",
+    "min_cost_supplier",
+    "grouping_sets",
+    "forecast_revenue",
+    "sole_blame_supplier",
+    "nation_profit",
+    "important_parts",
+    "supplier_variety",
+    "volume_suppliers",
+    "ext_freq_spectrum",
+    "ext_skew_profile",
+    "ext_embedding_stats",
+    "ext_bigram_lm",
+    "ext_lsh_tuning",
+    "recursive_cte_ancestors",
+    "ext_dup_survivorship",
+    "ext_mixture_sample",
+    "ext_containment",
+    "ext_quality_bins",
+    "ext_rolling_median",
+    "ext_per_key_sample",
+    "ext_lm_score",
+    "ext_semdedup",
+    "ext_pq_ann",
+    "ext_window_dedup",
+    "ext_frequent_pairs",
+    "ext_mad_outliers",
+    "ext_c4_filter",
+    "ext_char_entropy",
+    "ext_paragraph_dedup",
+    "ext_chunk_text",
+    "ext_multimodal_frames",
+    "orc_roundtrip",
+    "partitioned_prune",
+    "bucketed_join",
+    "xml_roundtrip",
+    "rest_tsv_source",
+    "schema_evolution",
+    "binaryfile_roundtrip",
+    "ext_text_normalize",
+    "ext_line_dedup",
+    "ext_corpus_shuffle",
+    "ext_temperature_weights",
+    "ext_quality_classifier",
+    "ext_variant_json",
+    "ext_preference_pairs",
+    "ext_pipeline_spec",
 ]
 
-# ROUND-5 ROTATION PLAN (apply at round-5 start, after CORRECTNESS_r04
-# confirms this window green): replace the then-driver-proven entries
-# above with the never-driver-checked set — the round-3 additions
-# (ext_dup_survivorship ext_mixture_sample ext_containment
-# ext_quality_bins ext_rolling_median ext_per_key_sample ext_lm_score
-# ext_semdedup ext_pq_ann ext_window_dedup ext_frequent_pairs
-# ext_mad_outliers ext_c4_filter ext_char_entropy ext_paragraph_dedup
-# ext_chunk_text ext_multimodal_frames ext_freq_spectrum ext_skew_profile
-# ext_embedding_stats ext_bigram_lm ext_lsh_tuning orc_roundtrip
-# partitioned_prune bucketed_join), the round-4 additions
-# (ext_text_normalize ext_line_dedup ext_corpus_shuffle
-# ext_temperature_weights ext_snapshot_diff ext_curriculum_sample
-# ext_quality_classifier ext_variant_json xml_roundtrip rest_tsv_source),
-# and the deferred relational variants (returned_revenue market_share
-# window_suite min_cost_supplier grouping_sets forecast_revenue
-# sole_blame_supplier nation_profit important_parts supplier_variety
-# volume_suppliers), plus the late round-4 additions
-# (ext_preference_pairs ext_pipeline_spec schema_evolution
-# ext_isotonic_trend ext_udtf_sentences ext_incremental_agg
-# ext_decontaminate ext_rollup_refresh ext_dataset_manifest
-# ext_manifest_drift binaryfile_roundtrip
-# recursive_cte_ancestors pipe_syntax_revenue sql_table_function)
-# — ~56 entries; tools/rotate_window.py computes the final list from
-# CORRECTNESS history.
+# ROUND-6 ROTATION PLAN: the remaining never-driver-checked queries
+# (ext_snapshot_diff ext_curriculum_sample ext_isotonic_trend
+# ext_udtf_sentences ext_incremental_agg ext_decontaminate
+# ext_rollup_refresh ext_dataset_manifest ext_manifest_drift
+# pipe_syntax_revenue sql_table_function, plus anything added in round 5)
+# go first, then the oldest r1 greens for re-confirmation — the SS2
+# reference core (flagship_mom_pivot, ingest_e2e, ingest_finalize,
+# groupby_avg, conditional_pivot, lag_mom_variation) must re-enter the
+# window by round 6 so the headline surface never goes two rounds
+# unverified. tools/rotate_window.py computes the exact list.
 
 
 def _reorder_for_driver_window() -> None:

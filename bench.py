@@ -39,10 +39,18 @@ def main() -> None:
     # pay JVM/codegen cold-start.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    from be_analytic_etl_spark.session import cached_scope
+
     def run_once(name) -> float:
+        # cached_scope: operator-persisted intermediates (LSH banded
+        # tables, shingle sets, dense-id inputs) release on scope exit so
+        # a 169-query session never accumulates cached frames. The
+        # release is INSIDE the timer — at 100 TB the unpersist is part
+        # of the query's real cost envelope, and it is O(blocks), cheap.
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
+        with cached_scope(spark):
+            df = QUERIES[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}

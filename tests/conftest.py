@@ -74,8 +74,14 @@ def _canon_cell(v):
     Type tags make representation mismatches FAIL: DuckDB ``SUM(int)`` is
     HUGEINT which lands in pandas as float64, Spark's BIGINT lands as
     int64 — Python ``15 == 15.0`` would hide that, the driver's hash does
-    not. Floats normalize to 12 significant digits (absorbs cross-engine
-    last-ulp noise at any magnitude) then round(6).
+    not. Floats compare at FULL precision (17 significant digits): the
+    real driver's canon proved stricter than the old 12g form
+    (ext_zscore_outliers passed locally but went driver-red round 4 on a
+    13th-significant-digit delta), so any query whose emitted doubles
+    are not bit-identical across engines must round at the SOURCE (both
+    sides) — libm transcendentals, decimal-quotient scales, and
+    cancellation-amplified casts all require it; plain IEEE +-*/ on
+    identical inputs does not.
     """
     import datetime
     import decimal
@@ -93,7 +99,7 @@ def _canon_cell(v):
         f = float(v)
         if f != f:  # NaN
             return None
-        return ("f", round(float(f"{f:.12g}"), 6))
+        return ("f", f"{f:.17g}")
     if isinstance(v, decimal.Decimal):
         return ("d", str(v.normalize()))
     if isinstance(v, (pd.Timestamp, datetime.datetime)):

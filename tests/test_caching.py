@@ -54,3 +54,31 @@ def test_cached_scope_preserves_preexisting_cache(spark):
     assert kept_ids <= after, "pre-existing cache must survive the scope"
     assert keep.count() == 100
     keep.unpersist()
+
+
+def test_registered_dedup_queries_leave_no_persistent_rdds(spark):
+    """Round-4 VERDICT ask: after each dedup-family registered query
+    completes (produced and consumed inside cached_scope, as bench.py
+    runs every query), getPersistentRDDs holds nothing new."""
+    import pytest
+
+    from be_analytic_etl_spark.registry import QUERIES
+
+    names = [
+        "ext_minhash_lsh_neardup",
+        "ext_simhash_neardup",
+        "ext_lsh_recall",
+        "ext_lsh_tuning",
+        "ext_incremental_dedup",
+    ]
+    missing = [n for n in names if n not in QUERIES]
+    if missing:
+        pytest.fail(f"registry lost dedup queries: {missing}")
+    for name in names:
+        before = persistent_rdd_ids(spark)
+        with cached_scope(spark):
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        leaked = persistent_rdd_ids(spark) - before
+        assert not leaked, f"{name} leaked persisted RDDs: {leaked}"
