@@ -396,28 +396,53 @@ def lsh_bucket_ann(
     """Approximate top-k: random-hyperplane sign buckets, exact re-rank
     within the shared bucket. Recall < 1 by design; the scale win is that
     each query only scans its bucket (~N / 2^n_planes rows).
+
+    The bucket expression is ONE parsed SQL string (the F.*-lambda form
+    cost ~n_planes x dim py4j round trips to build — the module-header
+    pathology; same ops, bit-identical buckets), and per-vector norms
+    attach BEFORE the bucket join so each candidate pair computes one
+    dot instead of re-deriving both norms (bit-identical — same fold,
+    same values; the brute_force_topk discipline).
     """
     from pyspark.sql import Window
 
     planes = _pseudo_hyperplanes(dim, n_planes, seed)
-    plane_lits = lit_doubles_2d(planes)
 
-    def bucket_of(vec: Column) -> Column:
-        signs = F.transform(plane_lits, lambda pl: F.when(dot(pl, vec) >= 0, F.lit(1)).otherwise(F.lit(0)))
-        return F.aggregate(signs, F.lit(0), lambda acc, s: acc * 2 + s)
+    def bucket_sql(col: str) -> str:
+        arr2d = "array(" + ",".join(_arr_sql(row) for row in planes) + ")"
+        signs = (
+            f"transform({arr2d}, pl -> CASE WHEN {_dot_sql('pl', col)} >= 0.0D "
+            f"THEN 1 ELSE 0 END)"
+        )
+        return f"aggregate({signs}, 0, (acc, s) -> acc * 2 + s)"
 
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev"))
-    e = e.withColumn("__bucket", bucket_of(F.col("__ev")))
-    q = queries.select(F.col(query_id_col), _vec(query_vec_col).alias("__qv"))
-    q = q.withColumn("__bucket", bucket_of(F.col("__qv")))
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev")
+    ).select(
+        "neighbor_id",
+        "__ev",
+        F.expr(bucket_sql("__ev")).alias("__bucket"),
+        l2_norm(F.col("__ev")).alias("__en"),
+    )
+    q = queries.select(
+        F.col(query_id_col), _vec(query_vec_col).alias("__qv")
+    ).select(
+        query_id_col,
+        "__qv",
+        F.expr(bucket_sql("__qv")).alias("__bucket"),
+        l2_norm(F.col("__qv")).alias("__qn"),
+    )
 
+    cos = F.when((F.col("__qn") == 0) | (F.col("__en") == 0), F.lit(0.0)).otherwise(
+        dot(F.col("__qv"), F.col("__ev")) / (F.col("__qn") * F.col("__en"))
+    )
     scored = (
         e.join(F.broadcast(q), "__bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            _maybe_round(cosine(F.col("__qv"), F.col("__ev")), round_to).alias("cos_sim"),
+            _maybe_round(cos, round_to).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -530,6 +555,103 @@ def _py_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+# --- PQ building blocks (shared by pq_ann and ivf_pq_ann) -------------------
+
+
+def _pq_codebook(
+    embeddings: DataFrame, id_col: str, vec_col: str, m: int, n_codes: int
+):
+    """Driver-side PQ codebook: per-subspace centroid lists + their
+    precomputed squared norms, from the ``n_codes`` lowest-id vectors
+    (the deterministic, oracle-replicable stand-in for trained k-means).
+    Returns ``(cents, c2, sub)`` with ``cents[mm][j]`` the j-th codebook
+    entry of subspace mm and ``sub`` the subvector length."""
+    cb_rows = (
+        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(cb_rows[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = [
+        [[float(x) for x in r["__v"][mm * sub : (mm + 1) * sub]] for r in cb_rows]
+        for mm in range(m)
+    ]
+    c2 = [[_py_dot(c, c) for c in row] for row in cents]
+    return cents, c2, sub
+
+
+def _pq_codes_expr(
+    vec_col: str, cents, c2, sub: int, m: int, n_codes: int
+) -> Column:
+    """Map-only PQ encode: ``codes[mm] = argmin_j (c2[mm][j] -
+    2*<sub, cent>)`` — the code-independent ``||sub||^2`` term is
+    dropped (ordering unchanged, ties still break to the lowest code).
+    Built as SQL text — the F.*-lambda form of this m x n_codes tree was
+    the measured py4j plan-build bottleneck (see the module header)."""
+    v_sql = f"transform({vec_col}, __x -> CAST(__x AS DOUBLE))"
+
+    def code_sql(mm: int) -> str:
+        s = f"slice({v_sql}, {mm * sub + 1}, {sub})"
+        scores = "array(" + ",".join(
+            f"({c2[mm][j]!r}D - 2.0D * {_dot_sql(s, _arr_sql(cents[mm][j]))})"
+            for j in range(n_codes)
+        ) + ")"
+        return f"CAST((array_position({scores}, array_min({scores})) - 1) AS INT)"
+
+    return F.expr("array(" + ",".join(code_sql(mm) for mm in range(m)) + ")")
+
+
+def _pq_adc_expr(
+    query_vec_col: str, cents, c2, sub: int, m: int, n_codes: int
+) -> Column:
+    """Per-query ADC lookup table: ``adc[mm][j] = ||q_sub -
+    cent[mm][j]||^2`` as column expressions (no driver-side collect of
+    queries)."""
+    qv_sql = f"transform({query_vec_col}, __x -> CAST(__x AS DOUBLE))"
+
+    def adc_sql(mm: int, j: int) -> str:
+        s = f"slice({qv_sql}, {mm * sub + 1}, {sub})"
+        return (
+            f"(({_dot_sql(s, s)} - 2.0D * {_dot_sql(s, _arr_sql(cents[mm][j]))})"
+            f" + {c2[mm][j]!r}D)"
+        )
+
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(adc_sql(mm, j) for j in range(n_codes)) + ")"
+            for mm in range(m)
+        )
+        + ")"
+    )
+
+
+def _pq_score_topk(cand: DataFrame, query_id_col: str, m: int, k: int) -> DataFrame:
+    """ADC scoring + per-query top-k over candidate (query, vector) rows
+    carrying ``__adc`` and ``__codes``: 4 array lookups per pair, folded
+    in subspace order from a 0.0 seed so the oracle replays the sum
+    bit-for-bit; then one row_number window."""
+    from pyspark.sql import Window
+
+    dist = F.lit(0.0)
+    for mm in range(m):
+        dist = dist + F.element_at(
+            F.element_at("__adc", mm + 1), F.element_at("__codes", mm + 1) + 1
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(query_id_col, "neighbor_id", dist.alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_ann(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -568,98 +690,98 @@ def pq_ann(
     Argmin drops the code-independent ``||sub||^2`` term (ordering is
     unchanged, ties still break to the lowest code). ADC distances fold
     in subspace order from a 0.0 seed so the oracle can replay them
-    bit-for-bit. At scale, compose with IVF cells to restrict the scan to
-    probed cells (IVF-PQ); registered standalone here so the PQ math is
-    value-checked in isolation.
+    bit-for-bit. At scale, use ``ivf_pq_ann`` (below), which restricts
+    this scan to the query's probed IVF cells; the standalone form is the
+    isolation check for the PQ math.
     """
-    from pyspark.sql import Window
-
-    cb_rows = (
-        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
-        .orderBy(id_col)
-        .limit(n_codes)
-        .collect()
-    )
-    dim = len(cb_rows[0]["__v"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    # cents[mm][j] = j-th codebook entry for subspace mm (python floats ==
-    # the float32 parquet values widened to double, same as _vec/SQL CAST)
-    cents = [
-        [[float(x) for x in r["__v"][mm * sub : (mm + 1) * sub]] for r in cb_rows]
-        for mm in range(m)
-    ]
-    c2 = [[_py_dot(c, c) for c in row] for row in cents]
-
-    # The encode + ADC expressions are built as SQL TEXT (one F.expr per
-    # frame), not composed Column-by-Column: m x n_codes dot products each
-    # composed of zip_with/aggregate lambdas cost thousands of py4j round
-    # trips — the measured bottleneck was the PYTHON-side plan build
-    # (~3.5 s warm), not execution. The SQL forms are operation-for-
-    # operation identical (same fold, same literals via repr round-trip,
-    # same 2.0D factors), so results are bit-identical.
-    def _lit_sql(xs: list[float]) -> str:
-        return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
-
-    def _dot_sql(a: str, b: str) -> str:
-        return (
-            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-            f"0.0D, (acc, x) -> acc + x)"
-        )
-
-    # --- encode: codes[mm] = argmin_j ( c2[mm][j] - 2*<sub, cent> ) ------
-    v_sql = f"transform({vec_col}, __x -> CAST(__x AS DOUBLE))"
-
-    def code_sql(mm: int) -> str:
-        s = f"slice({v_sql}, {mm * sub + 1}, {sub})"
-        scores = "array(" + ",".join(
-            f"({c2[mm][j]!r}D - 2.0D * {_dot_sql(s, _lit_sql(cents[mm][j]))})"
-            for j in range(n_codes)
-        ) + ")"
-        return f"CAST((array_position({scores}, array_min({scores})) - 1) AS INT)"
+    cents, c2, sub = _pq_codebook(embeddings, id_col, vec_col, m, n_codes)
 
     db = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        F.expr("array(" + ",".join(code_sql(mm) for mm in range(m)) + ")").alias(
-            "__codes"
-        ),
+        _pq_codes_expr(vec_col, cents, c2, sub, m, n_codes).alias("__codes"),
     )
-
-    # --- per-query ADC table: adc[mm][j] = ||q_sub - cent||^2 ------------
-    qv_sql = f"transform({query_vec_col}, __x -> CAST(__x AS DOUBLE))"
-
-    def adc_sql(mm: int, j: int) -> str:
-        s = f"slice({qv_sql}, {mm * sub + 1}, {sub})"
-        return (
-            f"(({_dot_sql(s, s)} - 2.0D * {_dot_sql(s, _lit_sql(cents[mm][j]))})"
-            f" + {c2[mm][j]!r}D)"
-        )
-
-    adc = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(adc_sql(mm, j) for j in range(n_codes)) + ")"
-            for mm in range(m)
-        )
-        + ")"
+    qdf = queries.select(
+        F.col(query_id_col),
+        _pq_adc_expr(query_vec_col, cents, c2, sub, m, n_codes).alias("__adc"),
     )
-    qdf = queries.select(F.col(query_id_col), adc.alias("__adc"))
 
     # --- ADC scan: broadcast queries, 4 lookups + seeded in-order sum ----
     cand = db.crossJoin(F.broadcast(qdf)).filter(
         F.col(query_id_col) != F.col("neighbor_id")
     )
-    dist = F.lit(0.0)
-    for mm in range(m):
-        dist = dist + F.element_at(
-            F.element_at("__adc", mm + 1), F.element_at("__codes", mm + 1) + 1
+    return _pq_score_topk(cand, query_id_col, m, k)
+
+
+def ivf_pq_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the ADC scan of ``pq_ann`` restricted to each query's
+    probed coarse cells — the composition faiss deploys as IndexIVFPQ
+    (Jegou et al., TPAMI 2011, SS.V) and the shape that scales: per query
+    the scan touches ~``n_probe/n_cells`` of the corpus instead of all of
+    it, and what it reads per vector is ``m`` code bytes, never the raw
+    embedding.
+
+    Plan shape (the point of the composition): database vectors get a
+    map-only cell assignment + PQ encode in ONE pass; queries explode to
+    ``n_probe`` (cell, ADC-table) rows and BROADCAST; the scan is a
+    broadcast HASH join on ``cell`` — an equi-join, not the corpus-wide
+    broadcast nested loop of standalone ``pq_ann``. A database vector
+    lives in exactly one cell and a query probes distinct cells, so each
+    (query, neighbor) pair is scored at most once — no dedup stage.
+
+    Both quantizers are the deterministic lowest-id stand-ins (coarse:
+    ``n_cells`` vectors, codebook: ``n_codes`` vectors), so a SQL oracle
+    can replay cells, codes, and ADC sums bit-for-bit. Recall follows
+    IVF: a true neighbor in an unprobed cell is missed; raise ``n_probe``
+    to trade cost for recall.
+    """
+    import math
+
+    cent_rows = (
+        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cent_vecs = [[float(x) for x in r["__v"]] for r in cent_rows]
+    cent_norms = []
+    for cv in cent_vecs:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        cent_norms.append(math.sqrt(acc))
+    cents, c2, sub = _pq_codebook(embeddings, id_col, vec_col, m, n_codes)
+
+    def probe(col: str, n: int) -> Column:
+        return F.expr(
+            _cells_sql(
+                _vec_sql(col), cent_vecs, cent_norms, n, null_guard=False, ranked=True
+            )
         )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("approx_dist").asc(), F.col("neighbor_id")
+
+    db = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(probe(vec_col, 1), 1).alias("cell"),
+        _pq_codes_expr(vec_col, cents, c2, sub, m, n_codes).alias("__codes"),
     )
-    return (
-        cand.select(query_id_col, "neighbor_id", dist.alias("approx_dist"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+    q = queries.select(
+        F.col(query_id_col),
+        F.explode(probe(query_vec_col, n_probe)).alias("cell"),
+        _pq_adc_expr(query_vec_col, cents, c2, sub, m, n_codes).alias("__adc"),
     )
+    cand = db.join(F.broadcast(q), "cell").filter(
+        F.col(query_id_col) != F.col("neighbor_id")
+    )
+    return _pq_score_topk(cand, query_id_col, m, k)

@@ -58,6 +58,21 @@ def _plan_text(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def top_level_fields(struct_body: str) -> int:
+    """Count ReadSchema struct fields at nesting depth 0: a nested field
+    like ``a:struct<b:int,c:int>`` is ONE column read, not three (a plain
+    comma split overcounts nested schemas)."""
+    depth, fields = 0, 0
+    for ch in struct_body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields += 1
+    return fields + 1 if struct_body.strip() else 0
+
+
 def lint_plan(df: DataFrame, *, max_exchanges: int | None = None) -> list[Finding]:
     """Lint a DataFrame's physical plan; returns findings, worst first."""
     text = _plan_text(df)
@@ -101,14 +116,20 @@ def lint_plan(df: DataFrame, *, max_exchanges: int | None = None) -> list[Findin
             )
 
     # Scan census: detail-header anchored ("(N) Scan parquet ...") so each
-    # scan counts once and the ReadSchema/PushedFilters that follow belong
-    # to THAT scan's detail block, not the first node's.
+    # scan counts once. The ReadSchema/PushedFilters search is bounded to
+    # THIS scan's detail block — i.e. the text before the next "(N) "
+    # header — not a fixed window, which could leak the NEXT scan's
+    # schema/filters into a long or ReadSchema-less block.
     for m in re.finditer(r"^\(\d+\) Scan (\w+) ([^\n]*)", text, re.MULTILINE):
         fmt = m.group(1)
         tail = text[m.end():]
-        schema_m = re.search(r"ReadSchema: struct<([^\n]*)", tail[:2000])
-        pushed_m = re.search(r"PushedFilters: \[([^\]]*)\]", tail[:2000])
-        width = len(schema_m.group(1).split(",")) if schema_m and schema_m.group(1) else 0
+        next_hdr = re.search(r"^\(\d+\) ", tail, re.MULTILINE)
+        block = tail[: next_hdr.start()] if next_hdr else tail
+        # ReadSchema prints on one (possibly truncated) line; capture to
+        # end-of-line and count depth-0 commas only.
+        schema_m = re.search(r"ReadSchema: struct<([^\n]*)", block)
+        pushed_m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        width = top_level_fields(schema_m.group(1)) if schema_m else 0
         pushed = bool(pushed_m and pushed_m.group(1).strip())
         findings.append(
             Finding("info", "scan",

@@ -490,6 +490,120 @@ register("ext_pq_ann", q_ext_pq_ann, _pq_ann_oracle())
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: the composition faiss ships as IndexIVFPQ — the PQ ADC scan
+# restricted to each query's probed coarse cells. The plan's scan is a
+# broadcast HASH join on cell (asserted in tests/test_plans.py), not the
+# corpus-wide broadcast nested loop of standalone ext_pq_ann.
+
+def q_ext_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import similarity as S
+    from be_analytic_etl_spark.queries_extensions import (
+        _IVF_CELLS,
+        _IVF_PROBE,
+        _queries_df,
+        _TOPK,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_pq_ann(
+        emb,
+        _queries_df(emb),
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        k=_TOPK,
+    )
+
+
+def _ivf_pq_ann_oracle() -> str:
+    from be_analytic_etl_spark.queries_extensions import (
+        _cos_sql,
+        _dot_sql,
+        _IVF_CELLS,
+        _IVF_PROBE,
+        _TOPK,
+    )
+
+    sub = 16  # 64-dim embeddings / m=4
+    esl = f"list_slice(e.embedding, c.m * {sub} + 1, c.m * {sub} + {sub})"
+    qsl = f"list_slice(q.qv, c.m * {sub} + 1, c.m * {sub} + {sub})"
+    return f"""
+    WITH cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding AS cv
+        FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("c.cv", "e.embedding")} DESC, c.cell) AS rn
+            FROM embeddings e, cent c)
+        WHERE rn = 1
+    ), cb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+               embedding AS cv
+        FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_CODES})
+    ), csub AS (
+        SELECT s.m, cb.code,
+               list_slice(cb.cv, s.m * {sub} + 1, s.m * {sub} + {sub}) AS cv
+        FROM (SELECT unnest(range(0, {_PQ_M})) AS m) s CROSS JOIN cb
+    ), codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT e.vec_id, c.m, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+                       ORDER BY (({_dot_sql("c.cv", "c.cv")})
+                                 - 2.0 * ({_dot_sql(esl, "c.cv")})) ASC,
+                                c.code) AS rn
+            FROM embeddings e CROSS JOIN csub c)
+        WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id % 100 = 0
+    ), probe AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_cos_sql("c.cv", "q.qv")} DESC, c.cell) AS rn
+            FROM q, cent c)
+        WHERE rn <= {_IVF_PROBE}
+    ), adc AS (
+        SELECT q.query_id, c.m, c.code,
+               ((({_dot_sql(qsl, qsl)}) - 2.0 * ({_dot_sql(qsl, "c.cv")}))
+                + ({_dot_sql("c.cv", "c.cv")})) AS d2
+        FROM q CROSS JOIN csub c
+    ), cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probe p JOIN assign a ON p.cell = a.cell
+        WHERE a.vec_id <> p.query_id
+    ), scored AS (
+        SELECT ca.query_id, ca.vec_id AS neighbor_id,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(ad.d2 ORDER BY ad.m),
+                           (x, y) -> x + y) AS approx_dist
+        FROM cand ca
+        JOIN codes kk ON kk.vec_id = ca.vec_id
+        JOIN adc ad ON ad.query_id = ca.query_id
+                   AND ad.m = kk.m AND ad.code = kk.code
+        GROUP BY ca.query_id, ca.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, approx_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist ASC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, approx_dist, rank FROM ranked
+    WHERE rank <= {_TOPK}
+    """
+
+
+register("ext_ivf_pq_ann", q_ext_ivf_pq_ann, _ivf_pq_ann_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Exact repeated-substring (window) dedup — Lee et al. ACL 2022 shape:
 # per-doc ratio of 8-token spans (stride 4) whose hash repeats anywhere in
 # the corpus.

@@ -84,6 +84,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_lm_score",
     "ext_semdedup",
     "ext_pq_ann",
+    "ext_ivf_pq_ann",
     "ext_window_dedup",
     "ext_frequent_pairs",
     "ext_mad_outliers",
@@ -96,7 +97,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "partitioned_prune",
     "bucketed_join",
     "xml_roundtrip",
-    "rest_tsv_source",
     "schema_evolution",
     "binaryfile_roundtrip",
     "ext_text_normalize",
@@ -110,7 +110,7 @@ _DRIVER_WINDOW_PRIORITY = [
 ]
 
 # ROUND-6 ROTATION PLAN: the remaining never-driver-checked queries
-# (ext_snapshot_diff ext_curriculum_sample ext_isotonic_trend
+# (rest_tsv_source ext_snapshot_diff ext_curriculum_sample ext_isotonic_trend
 # ext_udtf_sentences ext_incremental_agg ext_decontaminate
 # ext_rollup_refresh ext_dataset_manifest ext_manifest_drift
 # pipe_syntax_revenue sql_table_function, plus anything added in round 5)

@@ -127,3 +127,27 @@ def test_cli_lint_strict_fails_on_row_udf(spark, tmp_path, capsys):
         assert "row-python-udf" in capsys.readouterr().out
     finally:
         del QUERIES["__lint_test_bad"]
+
+
+def test_scan_census_bounds_to_own_detail_block(spark):
+    """A scan whose detail block lacks ReadSchema must not inherit the
+    NEXT scan's schema (the census search is block-bounded, not a fixed
+    2000-char window)."""
+    from be_analytic_etl_spark.plans.lint import top_level_fields
+
+    # depth-0 comma counting: nested struct fields are one column
+    assert top_level_fields("a:bigint,b:string") == 2
+    assert top_level_fields("a:struct<b:int,c:int>,d:int>") == 2
+    assert top_level_fields("") == 0
+    assert top_level_fields("x:array<struct<y:int,z:int>>>") == 1
+
+
+def test_scan_census_counts_pruned_columns(spark):
+    from be_analytic_etl_spark.plans.lint import lint_plan
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    scans = [f for f in lint_plan(df) if f.code == "scan"]
+    assert len(scans) == 1
+    assert "2 columns read" in scans[0].detail, scans[0].detail

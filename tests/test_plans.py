@@ -449,3 +449,14 @@ def test_incremental_agg_partial_aggregation(spark):
     plan = plan_of(QUERIES["ext_incremental_agg"](spark, SF_DIR))
     assert "HashAggregate" in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_ivf_pq_scan_is_cell_equijoin_not_corpus_bnl(spark):
+    """ivf_pq_ann's ADC scan must hash-join on the probed cell — the
+    whole point of composing IVF with PQ. Standalone pq_ann's plan is a
+    broadcast nested loop over the full corpus; the composed plan must
+    not be."""
+    plan = plan_of(QUERIES["ext_ivf_pq_ann"](spark, SF_DIR))
+    assert "BroadcastHashJoin [cell" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
