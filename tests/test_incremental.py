@@ -136,3 +136,55 @@ def test_refresh_buckets_explicit_retraction(spark, orders):
     # (the documented default-inference limitation)
     stale = I.refresh_buckets(state, delta, ["month"])
     assert stale.count() == state.count()
+
+
+def test_merge_states_null_key_group_merges(spark):
+    """ADVICE r4: a NULL group key must fold into ONE state row (plain
+    ``=`` join equality would split it into two forever)."""
+    state = spark.createDataFrame(
+        [(None, 1, "10.00"), ("en", 2, "7.00")],
+        "lang string, n_rows long, sum_v string",
+    ).withColumn("sum_v", F.col("sum_v").cast("decimal(32,2)"))
+    delta = spark.createDataFrame(
+        [(None, 1, "5.00"), ("de", 3, "1.00")],
+        "lang string, n_rows long, sum_v string",
+    ).withColumn("sum_v", F.col("sum_v").cast("decimal(32,2)"))
+    out = {
+        r["lang"]: (r["n_rows"], str(r["sum_v"]))
+        for r in I.merge_states(state, delta, ["lang"]).collect()
+    }
+    assert out[None] == (2, "15.00"), out
+    assert out["en"] == (2, "7.00")
+    assert out["de"] == (3, "1.00")
+    assert len(out) == 3
+
+
+def test_refresh_buckets_undercovering_affected_no_duplicates(spark):
+    """ADVICE r4: an ``affected`` set that omits a bucket present in the
+    delta must not leave both the stale and the recomputed row."""
+    state = spark.createDataFrame(
+        [("2024-01", 5), ("2024-02", 7), ("2024-03", 9)],
+        "bucket string, n_rows long",
+    )
+    delta = spark.createDataFrame(
+        [("2024-02", 70), ("2024-03", 90)], "bucket string, n_rows long"
+    )
+    # caller claims only 2024-02 is affected — under-covers the delta
+    affected = spark.createDataFrame([("2024-02",)], "bucket string")
+    out = I.refresh_buckets(state, delta, ["bucket"], affected=affected)
+    rows = {r["bucket"]: r["n_rows"] for r in out.collect()}
+    assert out.count() == 3, "no duplicate bucket rows"
+    assert rows == {"2024-01": 5, "2024-02": 70, "2024-03": 90}
+
+
+def test_refresh_buckets_null_bucket_invalidates(spark):
+    """A NULL bucket key in the state must still be replaced when the
+    delta recomputes it (null-safe anti join)."""
+    state = spark.createDataFrame(
+        [(None, 5), ("2024-02", 7)], "bucket string, n_rows long"
+    )
+    delta = spark.createDataFrame([(None, 50)], "bucket string, n_rows long")
+    out = I.refresh_buckets(state, delta, ["bucket"])
+    rows = {r["bucket"]: r["n_rows"] for r in out.collect()}
+    assert rows == {None: 50, "2024-02": 7}
+    assert out.count() == 2

@@ -82,7 +82,9 @@ def test_corpus_shuffle_seed_changes_order(spark):
 def test_temperature_weights_sum_to_one_and_flatten(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     rows = N.temperature_weights(docs, alpha=0.5).collect()
-    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    # weights are emitted rounded to 8 decimals (cross-engine float
+    # policy): the sum can be off 1 by up to |domains| * 5e-9.
+    assert abs(sum(r.weight for r in rows) - 1.0) < 5e-9 * max(len(rows), 2)
     # alpha<1 upsamples rare domains: smallest p gets weight > p
     lo = min(rows, key=lambda r: r.p)
     hi = max(rows, key=lambda r: r.p)
