@@ -241,6 +241,74 @@ def sample_frames(
     return df.mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
+#: Output schema of resize_binary — declared up front (mapInPandas contract).
+RESIZE_SCHEMA = (
+    "item_id long, modality string, src_bytes int, out_w int, out_h int, "
+    "resized_md5 string"
+)
+
+
+def resize_binary(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    width: int = 16,
+    height: int = 16,
+    kernel: str = "portable",
+) -> DataFrame:
+    """Resize plumbing (corpus-scale thumbnailing): decode -> resize ->
+    re-encode per item as Arrow-batched ``mapInPandas``, emitting
+    (item_id, modality, src_bytes, out_w, out_h, resized_md5) — the
+    checksum stands in for the re-encoded payload so the full path is
+    value-checkable without shipping image bytes through the test oracle.
+
+    ``kernel='decode'`` is the real PIL path (stubbed — raises until
+    image libs exist; see ``_decode_payload``). ``kernel='portable'`` is
+    the deterministic stand-in the oracle replays: the "resized image" is
+    the first ``width*height`` hex chars of the md5 seed repeated —
+    DuckDB twin ``md5(substr(repeat(md5(payload), k), 1, w*h))``. Same
+    ``repartition_for_payloads`` + batch-iteration discipline as
+    ``featurize_binary``; a real kernel drops in without touching the
+    Spark side.
+    """
+    if kernel not in ("portable", "decode"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    n_out = width * height
+    reps = -(-n_out // 32)  # md5 hex is 32 chars
+
+    def do(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, mods, sizes, md5s = [], [], [], []
+            for item_id, payload, modality in zip(
+                pdf[id_col], pdf[payload_col], pdf[modality_col]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                if kernel == "decode":
+                    _decode_payload(raw, modality)  # raises (stub)
+                seed = hashlib.md5(raw).hexdigest()
+                resized = (seed * reps)[:n_out]
+                ids.append(item_id)
+                mods.append(modality)
+                sizes.append(len(raw))
+                md5s.append(hashlib.md5(resized.encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.array(ids, dtype="int64"),
+                    "modality": mods,
+                    "src_bytes": pd.array(sizes, dtype="int32"),
+                    "out_w": pd.array([width] * len(ids), dtype="int32"),
+                    "out_h": pd.array([height] * len(ids), dtype="int32"),
+                    "resized_md5": md5s,
+                }
+            )
+
+    return df.mapInPandas(do, schema=RESIZE_SCHEMA)
+
+
 def synthesize_binary_items(docs: DataFrame, payload_repeat: int = 64) -> DataFrame:
     """Build a multimodal-shaped table from the documents test table:
     payload = repeated utf-8 text bytes (deterministic), modality cycled.

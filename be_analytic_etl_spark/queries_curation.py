@@ -234,3 +234,44 @@ register(
     WHERE j < n
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Resize plumbing (the remaining multimodal verb: decode -> resize ->
+# re-encode): portable kernel emits a checksum of the deterministic
+# "resized" stand-in, value-checked by the oracle. md5 hashes utf-8 on
+# both sides, so no ASCII restriction needed (unlike the byte-substring
+# frames oracle).
+
+_RESIZE_W = 16
+_RESIZE_H = 16
+
+
+def q_ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    items = M.synthesize_binary_items(docs, payload_repeat=8)
+    return M.resize_binary(items, width=_RESIZE_W, height=_RESIZE_H)
+
+
+register(
+    "ext_multimodal_resize",
+    q_ext_multimodal_resize,
+    f"""
+    WITH items AS (
+        SELECT doc_id AS item_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               repeat(coalesce(text, ''), 8) AS payload
+        FROM documents
+    )
+    SELECT item_id, modality,
+           CAST(octet_length(CAST(payload AS BLOB)) AS INTEGER) AS src_bytes,
+           CAST({_RESIZE_W} AS INTEGER) AS out_w,
+           CAST({_RESIZE_H} AS INTEGER) AS out_h,
+           md5(substr(repeat(md5(payload), {-(-_RESIZE_W * _RESIZE_H // 32)}),
+                      1, {_RESIZE_W * _RESIZE_H})) AS resized_md5
+    FROM items
+    """,
+)

@@ -105,3 +105,31 @@ def test_features_feed_similarity_search(spark, items):
     for r in topk:
         assert r["neighbor_id"] != r["query_id"]
         assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+def test_resize_portable_kernel_matches_driver_reference(items):
+    """resize_binary's portable kernel: checksum of the first w*h hex
+    chars of the repeated md5 seed — recomputable on the driver."""
+    out = {r["item_id"]: r for r in M.resize_binary(items, width=4, height=8).collect()}
+    raw = {r["item_id"]: bytes(r["payload"]) for r in items.collect()}
+    assert set(out) == set(raw)
+    for item_id, r in out.items():
+        assert (r["out_w"], r["out_h"]) == (4, 8)
+        assert r["src_bytes"] == len(raw[item_id])
+        seed = hashlib.md5(raw[item_id]).hexdigest()
+        resized = (seed * 1)[:32]  # 4*8 = 32 chars = one seed repetition
+        assert r["resized_md5"] == hashlib.md5(resized.encode()).hexdigest()
+
+
+def test_resize_decode_kernel_is_stubbed(items):
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        M.resize_binary(items, kernel="decode").collect()
+
+
+def test_resize_rejects_unknown_kernel(items):
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.resize_binary(items, kernel="bilinear")
