@@ -205,6 +205,75 @@ def pack_shards(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    seq_len: int = 512,
+    n_buckets: int = 8,
+    salt: str = "seqpack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT/T5 pretraining step
+    that concatenates documents in a deterministic order and chops the
+    stream into fixed ``seq_len``-token training examples, documents
+    SPLITTING across example boundaries (unlike ``pack_shards``, which
+    assigns whole documents to ~budget-sized shards).
+
+    Emits one row per (document, example) overlap: ``(key, bucket,
+    example_idx, doc_offset, example_offset, n_seg_tokens)`` — enough for
+    a writer to materialize example tensors by slicing each document's
+    tokens [doc_offset, doc_offset + n_seg_tokens) into the example at
+    example_offset. Example identity is (bucket, example_idx).
+
+    Determinism + scale: documents hash-scatter into ``n_buckets``
+    independent packing streams (a single global stream would serialize
+    the cumulative sum) and order by (key hash, key) inside the bucket —
+    the ``pack_shards`` discipline. ONE shuffle on bucket; the boundary
+    fan-out is a map-side explode of at most ceil(doc_len/seq_len)+1
+    rows. All arithmetic is exact integer (``div``, not double floor
+    division — stream offsets exceed 2^53 long before 100 TB does).
+    Zero-token documents are excluded (they occupy no stream positions).
+    """
+    from pyspark.sql import Window
+
+    from be_analytic_etl_spark.operators.textstats import portable_hash60
+
+    key = F.col(key_col)
+    h = portable_hash60(F.concat(key.cast("string"), F.lit(f"|{salt}")))
+    base = df.filter(F.col(size_col) > 0).select(
+        key, F.col(size_col), h.alias("__h"), (h % n_buckets).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(size_col).over(w).cast("long") - F.col(size_col)).alias(
+        "__start"
+    )
+    staged = base.select(key_col, "bucket", size_col, start)
+    first_ex = F.expr(f"__start div {seq_len}")
+    last_ex = F.expr(f"(__start + {size_col} - 1) div {seq_len}")
+    exploded = staged.withColumn(
+        "example_idx", F.explode(F.sequence(first_ex, last_ex))
+    )
+    ex_start = F.col("example_idx") * seq_len  # stream offset of the example
+    seg_start = F.greatest(ex_start - F.col("__start"), F.lit(0).cast("long"))
+    seg_end = F.least(
+        ex_start + seq_len - F.col("__start"), F.col(size_col).cast("long")
+    )
+    example_offset = F.greatest(F.col("__start") - ex_start, F.lit(0).cast("long"))
+    return exploded.select(
+        key_col,
+        "bucket",
+        F.col("example_idx").cast("long").alias("example_idx"),
+        seg_start.cast("int").alias("doc_offset"),
+        example_offset.cast("int").alias("example_offset"),
+        (seg_end - seg_start).cast("int").alias("n_seg_tokens"),
+    )
+
+
 def mixture_plan(
     df: DataFrame,
     group_col: str,

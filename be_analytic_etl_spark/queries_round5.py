@@ -604,6 +604,59 @@ register("ext_ivf_pq_ann", q_ext_ivf_pq_ann, _ivf_pq_ann_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing (GPT/T5 pretraining): documents in
+# deterministic hash order, chopped into fixed-length training examples,
+# docs splitting across boundaries. One shuffle on bucket; boundary
+# fan-out is a map-side explode; all offset arithmetic exact integer.
+_SEQPACK_LEN = 64
+_SEQPACK_BUCKETS = 8
+
+
+def q_ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+    return SA.pack_sequences(
+        sized, seq_len=_SEQPACK_LEN, n_buckets=_SEQPACK_BUCKETS
+    )
+
+
+register(
+    "ext_pack_sequences",
+    q_ext_pack_sequences,
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|seqpack'),
+                    1, 15) AS BIGINT) AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, h % {_SEQPACK_BUCKETS} AS bucket, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY h % {_SEQPACK_BUCKETS} ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        FROM t WHERE n_tokens > 0
+    ), e AS (
+        SELECT doc_id, bucket, n_tokens, start, u.ex AS example_idx
+        FROM s, unnest(generate_series(start // {_SEQPACK_LEN},
+                                       (start + n_tokens - 1) // {_SEQPACK_LEN})) u(ex)
+    )
+    SELECT doc_id, bucket,
+           CAST(example_idx AS BIGINT) AS example_idx,
+           CAST(greatest(example_idx * {_SEQPACK_LEN} - start, 0) AS INTEGER)
+               AS doc_offset,
+           CAST(greatest(start - example_idx * {_SEQPACK_LEN}, 0) AS INTEGER)
+               AS example_offset,
+           CAST(least(example_idx * {_SEQPACK_LEN} + {_SEQPACK_LEN} - start,
+                      n_tokens)
+                - greatest(example_idx * {_SEQPACK_LEN} - start, 0) AS INTEGER)
+               AS n_seg_tokens
+    FROM e
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Exact repeated-substring (window) dedup — Lee et al. ACL 2022 shape:
 # per-doc ratio of 8-token spans (stride 4) whose hash repeats anywhere in
 # the corpus.

@@ -319,3 +319,53 @@ def test_mad_outliers_fence_resists_a_wild_value(spark):
     med = df.groupBy("event_type").agg(F2.expr("percentile(value, 0.5)").alias("med"))
     r = med.collect()[0]
     assert r["med"] < 10  # median untouched by the wild value
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-chunk packing: segments tile each document exactly,
+    and every example except each bucket's last is exactly seq_len."""
+    from collections import defaultdict
+
+    from be_analytic_etl_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from be_analytic_etl_spark.operators.textstats import token_count
+
+    sized = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    L = 64
+    rows = pack_sequences(sized, seq_len=L, n_buckets=4).collect()
+    truth = {r["doc_id"]: r["n_tokens"] for r in sized.collect() if r["n_tokens"] > 0}
+
+    per_doc = defaultdict(int)
+    per_ex = defaultdict(int)
+    max_ex = {}
+    for r in rows:
+        assert 0 < r["n_seg_tokens"] <= L
+        assert 0 <= r["example_offset"] < L
+        assert r["example_offset"] + r["n_seg_tokens"] <= L
+        per_doc[r["doc_id"]] += r["n_seg_tokens"]
+        k = (r["bucket"], r["example_idx"])
+        per_ex[k] += r["n_seg_tokens"]
+        b = r["bucket"]
+        max_ex[b] = max(max_ex.get(b, -1), r["example_idx"])
+    assert per_doc == truth, "segments must tile each document exactly"
+    for (b, ex), tot in per_ex.items():
+        if ex < max_ex[b]:
+            assert tot == L, f"non-tail example ({b},{ex}) has {tot} tokens"
+        else:
+            assert tot <= L
+
+
+def test_pack_sequences_deterministic_and_excludes_empty(spark):
+    from be_analytic_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 130)], "doc_id long, n_tokens int"
+    )
+    a = sorted(map(tuple, pack_sequences(df, seq_len=64).collect()))
+    b = sorted(map(tuple, pack_sequences(df, seq_len=64).collect()))
+    assert a == b
+    ids = {t[0] for t in a}
+    assert 2 not in ids, "zero-token docs occupy no stream positions"
+    # doc 3 (130 tokens) must split across >= 3 example segments
+    assert sum(1 for t in a if t[0] == 3) >= 3
