@@ -481,6 +481,101 @@ def bigram_lm_doc_score(
     )
 
 
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Zaragoza, FnTIR 2009) for
+    a fixed lowercase query-term set — the keyword-retrieval half of a
+    RAG pipeline, as one declarative plan.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: tokens are filtered to the query terms BEFORE any
+    shuffle, so the (doc, term) tf aggregation moves only matching hits;
+    document length is a map-side size(); N/avgdl reduce to one broadcast
+    scalar row and df(t) to a |terms|-row broadcast — the corpus is
+    scanned once and never joined against itself.
+
+    Cross-engine determinism: idf/tf folds pass through libm ln(), so
+    each per-term score is QUANTIZED to DECIMAL(18,6) before the per-doc
+    sum — the sum is then exact (partition-order-proof) and the final
+    ranking (score desc, id asc) compares identical decimals in any
+    engine; the emitted double is the exact decimal cast.
+
+    Returns (id, n_terms_matched, score, rank) for rank <= k; documents
+    matching no query term are absent (standard retrieval semantics).
+    """
+    from pyspark.sql import Window
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    terms = [t.lower() for t in terms]
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokenize(text_col)).alias("__tok"),
+    ).select("__id", F.lower(F.col("__tok")).alias("__tok"))
+    hits = toks.filter(F.col("__tok").isin(terms))
+    tf = hits.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("tf"))
+
+    dl = docs.select(
+        F.col(id_col).alias("__id"), token_count(text_col).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    term_score = (
+        idf * F.col("tf").cast("double") * F.lit(k1 + 1.0)
+        / (F.col("tf").cast("double") + norm)
+    )
+    scored = (
+        tf.join(dl, "__id")
+        .join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__id",
+            term_score.cast("decimal(18,6)").alias("__ts"),
+        )
+    )
+    agg = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        F.sum("__ts").alias("__score_dec"),
+    )
+    # Top-k as TakeOrdered (orderBy+limit — per-partition partial top-k,
+    # never a global sort), then rank the K-row result with a trivial
+    # window. The engine-wide top-k discipline (see ext_vocab_topk).
+    topk = agg.orderBy(F.col("__score_dec").desc(), F.col("__id")).limit(k)
+    w = Window.orderBy(F.col("__score_dec").desc(), F.col("__id"))
+    return topk.select(
+        F.col("__id").alias(id_col),
+        "n_terms_matched",
+        F.col("__score_dec").cast("double").alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 # --- hashed linear quality classifier ---------------------------------------
 
 #: Number of hashed feature buckets for the linear scorer.

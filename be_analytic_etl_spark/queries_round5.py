@@ -657,6 +657,70 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Okapi BM25 ranked retrieval for a fixed query-term set — the keyword
+# half of a RAG pipeline. Hits filter BEFORE the (doc, term) shuffle;
+# N/avgdl are one broadcast scalar, df a |terms|-row broadcast. Per-term
+# scores quantize to DECIMAL(18,6) before the per-doc sum so ranking
+# compares identical decimals in both engines (libm ln noise absorbed).
+_BM25_TERMS = ["data", "join", "vector", "stream"]
+_BM25_K = 10
+
+
+def q_ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+def _bm25_oracle() -> str:
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lower(u.w) AS tok
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents), unnest(toks) u(w)
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE list_contains({terms_sql}, tok)
+        GROUP BY doc_id, tok
+    ), dl AS (
+        SELECT doc_id, len({_TOKS}) AS dl FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_dl
+        FROM dl
+    ), dfreq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), ts AS (
+        SELECT tf.doc_id,
+               CAST(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * CAST(tf.tf AS DOUBLE) * 2.2
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                               / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+                   AS DECIMAL(18,6)) AS ts
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq d ON tf.tok = d.tok
+        CROSS JOIN stats s
+    ), agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+               SUM(ts) AS score_dec
+        FROM ts GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched,
+           CAST(score_dec AS DOUBLE) AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM agg
+    QUALIFY rank <= {_BM25_K}
+    """
+
+
+register("ext_bm25_topk", q_ext_bm25_topk, _bm25_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Exact repeated-substring (window) dedup — Lee et al. ACL 2022 shape:
 # per-doc ratio of 8-token spans (stride 4) whose hash repeats anywhere in
 # the corpus.

@@ -369,3 +369,64 @@ def test_pack_sequences_deterministic_and_excludes_empty(spark):
     assert 2 not in ids, "zero-token docs occupy no stream positions"
     # doc 3 (130 tokens) must split across >= 3 example segments
     assert sum(1 for t in a if t[0] == 3) >= 3
+
+
+def test_bm25_matches_python_reference(spark):
+    """BM25 against a from-scratch python computation on a tiny corpus."""
+    import math
+
+    from be_analytic_etl_spark.operators.textstats import bm25_topk
+
+    corpus = {
+        1: "data model data training",
+        2: "data pipeline",
+        3: "model serving layer",
+        4: "totally unrelated words here",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    terms = ["data", "model"]
+    out = {r["doc_id"]: r for r in bm25_topk(df, terms, k=10).collect()}
+
+    # python reference (k1=1.2, b=0.75), per-term scores quantized to 6dp
+    N = len(corpus)
+    toks = {d: t.split() for d, t in corpus.items()}
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / N
+    dfreq = {t: sum(1 for d in toks if t in toks[d]) for t in terms}
+    expect = {}
+    for d in toks:
+        s, nt = 0, 0
+        for t in terms:
+            tf = toks[d].count(t)
+            if tf == 0:
+                continue
+            nt += 1
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            ts = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+            s += round(ts, 6)
+        if nt:
+            expect[d] = (nt, round(s, 6))
+    assert set(out) == set(expect)
+    for d, (nt, s) in expect.items():
+        assert out[d]["n_terms_matched"] == nt
+        assert out[d]["score"] == pytest.approx(s, abs=2e-6)
+    # doc 4 matches nothing and must be absent; rank order by score desc
+    ranked = sorted(out.values(), key=lambda r: r["rank"])
+    scores = [r["score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_topk_is_take_ordered_not_global_sort(spark):
+    from be_analytic_etl_spark.registry import QUERIES
+    from tests.test_plans import plan_of
+
+    plan = plan_of(QUERIES["ext_bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_rejects_empty_terms(spark):
+    from be_analytic_etl_spark.operators.textstats import bm25_topk
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
