@@ -342,3 +342,51 @@ def test_dataset_manifest_invariant_under_repartition(spark, n_parts):
         size_col="n_chars",
     )
     assert {tuple(r) for r in base.collect()} == {tuple(r) for r in shuffled.collect()}
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    seq_len=st.sampled_from([1, 7, 64, 128]),
+    n_buckets=st.sampled_from([1, 4]),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_tiles_exactly_on_random_sizes(
+    spark, sizes, seq_len, n_buckets
+):
+    """Property: segments tile every non-empty document exactly; every
+    non-tail example per bucket is exactly seq_len tokens; offsets stay
+    inside the example. Covers the boundary shapes a corpus test can
+    miss: doc length == seq_len, multiples of it, giant single docs,
+    zero-token docs, seq_len=1."""
+    from collections import defaultdict
+
+    from be_analytic_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens int"
+    )
+    rows = pack_sequences(
+        df, seq_len=seq_len, n_buckets=n_buckets
+    ).collect()
+
+    per_doc = defaultdict(int)
+    per_ex = defaultdict(int)
+    max_ex = {}
+    for r in rows:
+        assert 0 < r["n_seg_tokens"] <= seq_len
+        assert 0 <= r["example_offset"] < seq_len
+        assert r["example_offset"] + r["n_seg_tokens"] <= seq_len
+        assert r["doc_offset"] >= 0
+        per_doc[r["doc_id"]] += r["n_seg_tokens"]
+        per_ex[(r["bucket"], r["example_idx"])] += r["n_seg_tokens"]
+        max_ex[r["bucket"]] = max(
+            max_ex.get(r["bucket"], -1), r["example_idx"]
+        )
+    assert per_doc == {
+        i: n for i, n in enumerate(sizes) if n > 0
+    }, "segments must tile each non-empty document exactly"
+    for (b, ex), tot in per_ex.items():
+        if ex < max_ex[b]:
+            assert tot == seq_len
+        else:
+            assert tot <= seq_len
