@@ -31,6 +31,8 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from be_analytic_etl_spark.functions.rounding import stable_round
+
 from be_analytic_etl_spark.operators.textstats import (
     portable_base_hash,
     tokenize,
@@ -163,8 +165,9 @@ def temperature_weights(
     total has no float-order sensitivity. pow() itself is libm, though —
     JVM and DuckDB differ in the last ulp — so the pow-derived outputs
     (``weight``, ``epochs_vs_uniform``) are emitted rounded to 8
-    decimals (~1e7x margin over the ulp noise); ``p`` is exact and
-    emitted raw.
+    decimals (~1e7x margin over the ulp noise) via ``stable_round``
+    (engines' ROUND primitives disagree on half-ties); ``p`` is exact
+    and emitted raw.
     """
     per = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -181,10 +184,10 @@ def temperature_weights(
         "n_docs",
         "n_tokens",
         "p",
-        F.round(F.col("__w").cast("double") / total_w.cast("double"), 8).alias(
+        stable_round(F.col("__w").cast("double") / total_w.cast("double"), 8).alias(
             "weight"
         ),
-        F.round(
+        stable_round(
             (F.col("__w").cast("double") / total_w.cast("double")) / F.col("p"),
             8,
         ).alias("epochs_vs_uniform"),

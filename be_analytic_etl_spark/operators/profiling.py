@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from be_analytic_etl_spark.functions.rounding import stable_round
+
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Long-format profile: (column, n_rows, n_null, n_distinct,
@@ -121,8 +123,12 @@ def group_zscore_outliers(
     rounds differently across engines, and the ``s2 − s1²/n``
     cancellation amplifies that last-ulp delta into the ~13th
     significant digit of the raw variance (observed driver-red round 4).
-    Rounding keeps 50× margin over the ulp noise while the threshold
-    comparison still uses full precision internally.
+    Rounding keeps ≥1e4× margin over the ulp noise while the threshold
+    comparison still uses full precision internally. The rounding is
+    ``stable_round`` (floor-formula), NOT ``F.round``: the mean is an
+    exact decimal quotient whose shortest repr can terminate in a
+    half-tie, where Spark's and DuckDB's ROUND primitives disagree
+    (``functions/rounding.py``).
 
     One shuffle on ``group_cols`` for the stats (partial map-side), one
     broadcast join back for the census (group stats are tiny by
@@ -153,8 +159,8 @@ def group_zscore_outliers(
         .groupBy(*group_cols)
         .agg(
             F.first("n").alias("n"),
-            F.round(F.first("mean_value"), 4).alias("mean_value"),
-            F.round(F.first("variance"), 2).alias("variance"),
+            stable_round(F.first("mean_value"), 4).alias("mean_value"),
+            stable_round(F.first("variance"), 2).alias("variance"),
             F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
         )
     )

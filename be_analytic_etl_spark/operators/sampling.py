@@ -239,6 +239,10 @@ def pack_sequences(
 
     from be_analytic_etl_spark.operators.textstats import portable_hash60
 
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     key = F.col(key_col)
     h = portable_hash60(F.concat(key.cast("string"), F.lit(f"|{salt}")))
     base = df.filter(F.col(size_col) > 0).select(

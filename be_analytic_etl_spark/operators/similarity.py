@@ -45,28 +45,6 @@ def _maybe_round(c: Column, round_to: int | None) -> Column:
     bit-identical doubles (same IEEE op sequence in both engines)."""
     return F.round(c, round_to) if round_to is not None else c
 
-def lit_doubles(xs) -> Column:
-    """Literal array<double> built as ONE parsed SQL expression.
-
-    Semantically identical to ``F.array(*[F.lit(float(x)) for x in xs])``
-    — bit-exact, including subnormals and extremes (``repr()`` round-trips
-    and Spark's literal parser is correctly rounding; verified) — but a
-    single py4j round trip instead of len(xs)+1. For literal-heavy plans
-    (inlined centroid tables: 8 cells x 64 dims; PQ codebooks: 64
-    subvector uses) the Python-side expression build was the measured
-    bottleneck: seconds of py4j chatter before the JVM saw any plan.
-    """
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")")
-
-
-def lit_doubles_2d(rows) -> Column:
-    """Literal array<array<double>> in one py4j round trip."""
-    inner = ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in rows
-    )
-    return F.expr(f"array({inner})")
-
-
 # --- SQL-text builders for the centroid-scoring hot path -------------------
 #
 # assign_cells / ivf_ann score every row against k inlined centroids. Built
@@ -75,8 +53,9 @@ def lit_doubles_2d(rows) -> Column:
 # pure driver-side waste, the same pathology pq_ann fixed in round 4 (see
 # SCALE.md "Python-side plan-build cost"). These helpers emit the IDENTICAL
 # expression as one SQL string parsed in a single round trip: same ops, same
-# order, bit-identical results (repr() round-trips doubles; Spark's literal
-# parser is correctly rounding — the lit_doubles contract).
+# order, bit-identical results: repr() round-trips doubles exactly —
+# including subnormals and extremes — and Spark's literal parser is
+# correctly rounding, so an "1.234D" literal IS the original double.
 
 
 def _arr_sql(xs) -> str:
@@ -312,25 +291,9 @@ def ivf_ann(
     """
     from pyspark.sql import Window
 
-    import math
-
-    cent_rows = (
-        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
-        .orderBy(id_col)
-        .limit(n_cells)
-        .collect()
-    )
-    cent_vecs = [[float(x) for x in r["__v"]] for r in cent_rows]
-    # Centroid norms precomputed driver-side with the SAME left fold as
-    # dot(), so they are bit-identical to what the SQL oracle computes —
-    # and the per-row expression does 1 norm + k dots instead of 2k+1
-    # interpreted HOF folds (cosine() re-derives both norms per centroid).
-    cent_norms = []
-    for cv in cent_vecs:
-        acc = 0.0
-        for x in cv:
-            acc = acc + x * x
-        cent_norms.append(math.sqrt(acc))
+    # Per-row expression does 1 norm + k dots instead of 2k+1 interpreted
+    # HOF folds (cosine() re-derives both norms per centroid).
+    cent_vecs, cent_norms = _coarse_centroids(embeddings, id_col, vec_col, n_cells)
 
     def probe_cells(vec_sql: str, n: int) -> Column:
         """Indices of the n best cells by cosine, first-max tie-break —
@@ -479,21 +442,7 @@ def assign_cells(
     Downstream pair consumers must de-duplicate (a pair can share more
     than one cell).
     """
-    import math
-
-    cent_rows = (
-        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
-        .orderBy(id_col)
-        .limit(n_cells)
-        .collect()
-    )
-    cent_vecs = [[float(x) for x in r["__v"]] for r in cent_rows]
-    cent_norms = []
-    for cv in cent_vecs:
-        acc = 0.0
-        for x in cv:
-            acc = acc + x * x
-        cent_norms.append(math.sqrt(acc))
+    cent_vecs, cent_norms = _coarse_centroids(embeddings, id_col, vec_col, n_cells)
 
     # Built as ONE parsed SQL expression (see _cells_sql): the F.*-lambda
     # form of this tree cost ~2.5 s of py4j chatter per call. NULL-vector
@@ -553,6 +502,27 @@ def _py_dot(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         acc = acc + x * y
     return acc
+
+
+def _coarse_centroids(
+    embeddings: DataFrame, id_col: str, vec_col: str, n_cells: int
+):
+    """Driver-side coarse quantizer: the ``n_cells`` lowest-id vectors
+    (deterministic, oracle-replicable stand-in for trained k-means) plus
+    their norms, computed with the SAME left fold as ``dot()`` so the
+    inlined literals are bit-identical to what the SQL oracle derives.
+    Control-plane-sized collect (n_cells x dim)."""
+    import math
+
+    cent_rows = (
+        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cent_vecs = [[float(x) for x in r["__v"]] for r in cent_rows]
+    cent_norms = [math.sqrt(_py_dot(cv, cv)) for cv in cent_vecs]
+    return cent_vecs, cent_norms
 
 
 # --- PQ building blocks (shared by pq_ann and ivf_pq_ann) -------------------
@@ -747,21 +717,7 @@ def ivf_pq_ann(
     IVF: a true neighbor in an unprobed cell is missed; raise ``n_probe``
     to trade cost for recall.
     """
-    import math
-
-    cent_rows = (
-        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
-        .orderBy(id_col)
-        .limit(n_cells)
-        .collect()
-    )
-    cent_vecs = [[float(x) for x in r["__v"]] for r in cent_rows]
-    cent_norms = []
-    for cv in cent_vecs:
-        acc = 0.0
-        for x in cv:
-            acc = acc + x * x
-        cent_norms.append(math.sqrt(acc))
+    cent_vecs, cent_norms = _coarse_centroids(embeddings, id_col, vec_col, n_cells)
     cents, c2, sub = _pq_codebook(embeddings, id_col, vec_col, m, n_codes)
 
     def probe(col: str, n: int) -> Column:

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from be_analytic_etl_spark.functions.rounding import stable_round
+
 
 def tokenize(col: Column | str) -> Column:
     """Whitespace tokenization; empty/blank text -> empty array."""
@@ -467,17 +469,23 @@ def bigram_lm_doc_score(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.avg("__logp").alias("avg_logp"),
     )
-    # Emit rounded scores: AVG over doubles sums in partition order, so
-    # the raw mean carries ~1e-15-relative engine noise (same ulp class
-    # as the round-4 zscore red). 6 decimals on a ~-9 logp leaves 1e9x
-    # margin; perplexity is derived from the already-rounded mean so the
-    # two emitted columns stay mutually consistent.
-    avg_r = F.round(F.col("avg_logp"), 6)
+    # Emit rounded scores (stable_round, not F.round — engines' ROUND
+    # primitives disagree on shortest-repr half-ties): AVG over doubles
+    # sums in partition order, so the raw mean carries ~1e-15-relative
+    # engine noise (the round-4 zscore red class); 6 decimals on a ~-9
+    # logp leaves 1e9x margin. Perplexity derives from the ROUNDED mean,
+    # SATURATED at e^20 (~4.9e8) before its own rounding: exp() is libm,
+    # its 2e-16-relative noise scales with magnitude, and fixed-decimal
+    # rounding of an unbounded value eventually has less quantum than
+    # noise (avg_logp <= -22 corpora) — the cap keeps >=400x margin, and
+    # any perplexity past e^20 is saturated garbage-quality signal anyway.
+    avg_r = stable_round(F.col("avg_logp"), 6)
+    perp = F.exp(-F.greatest(avg_r, F.lit(-20.0)))
     return agg.select(
         F.col("__id").alias(id_col),
         "n_bigrams",
         avg_r.alias("avg_logp"),
-        F.round(F.exp(-avg_r), 4).alias("perplexity"),
+        stable_round(perp, 4).alias("perplexity"),
     )
 
 
@@ -503,9 +511,12 @@ def bm25_topk(
 
     Scale shape: tokens are filtered to the query terms BEFORE any
     shuffle, so the (doc, term) tf aggregation moves only matching hits;
-    document length is a map-side size(); N/avgdl reduce to one broadcast
-    scalar row and df(t) to a |terms|-row broadcast — the corpus is
-    scanned once and never joined against itself.
+    N/avgdl reduce to one broadcast scalar row and df(t) to a
+    |terms|-row broadcast, and the corpus is never joined against
+    itself. The text column is scanned three times (token explode,
+    per-doc length, corpus stats) — narrow single-column scans; a 100 TB
+    deployment persists the tokenized projection (or precomputes dl as a
+    stored column) to collapse them to one.
 
     Cross-engine determinism: idf/tf folds pass through libm ln(), so
     each per-term score is QUANTIZED to DECIMAL(18,6) before the per-doc

@@ -154,9 +154,11 @@ register(
            -- Emit rounded stats: the raw doubles carry engine-specific
            -- last-ulp noise from the >2^53 decimal->double cast amplified
            -- by the s2 - s1^2/n cancellation (driver-red round 4). The
+           -- floor-formula, not ROUND (engines' ROUND primitives disagree
+           -- on shortest-repr half-ties — functions/rounding.py). The
            -- outlier threshold below still uses full precision.
-           ROUND(MIN(d.mean_value), 4) AS mean_value,
-           ROUND(MIN(d.variance), 2) AS variance,
+           (floor(MIN(d.mean_value) * 10000.0 + 0.5) / 10000.0) AS mean_value,
+           (floor(MIN(d.variance) * 100.0 + 0.5) / 100.0) AS variance,
            -- CAST: DuckDB SUM(int) is HUGEINT; Spark's is BIGINT.
            CAST(SUM(CASE WHEN (l.l_extendedprice - d.mean_value)
                          * (l.l_extendedprice - d.mean_value)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from be_analytic_etl_spark.functions.rounding import stable_round
 from be_analytic_etl_spark.operators import curation as C
 from be_analytic_etl_spark.queries_extensions import _STOP_SQL, _t, _TOKS
 from be_analytic_etl_spark.registry import register
@@ -105,7 +106,7 @@ def q_ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # <=5.17-bit entropy leaves ~5e3x margin over the ulp noise).
         # top_char_frac is a pure IEEE division of exact counts —
         # deterministic, no rounding needed.
-        F.round(F.col("__e.entropy_bits"), 6).alias("entropy_bits"),
+        stable_round(F.col("__e.entropy_bits"), 6).alias("entropy_bits"),
         F.col("__e.top_char_frac").alias("top_char_frac"),
     )
 
@@ -118,7 +119,8 @@ def _char_entropy_oracle() -> str:
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_alnum,
-           ROUND({x['entropy']}, 6) AS entropy_bits,
+           (floor(({x['entropy']}) * 1000000.0 + 0.5) / 1000000.0)
+               AS entropy_bits,
            {x['top']} AS top_char_frac
     FROM base
     """

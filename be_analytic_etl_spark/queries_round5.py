@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from be_analytic_etl_spark.functions.rounding import stable_round
 from be_analytic_etl_spark.operators import dedup as D
 from be_analytic_etl_spark.operators import sampling as SA
 from be_analytic_etl_spark.operators import textstats as T
@@ -203,8 +204,9 @@ def q_ext_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
             # AVG over doubles sums in partition order — emit rounded
-            # (engine ulp noise, same class as ext_lm_score).
-            F.round(F.avg("__q"), 6).alias("avg_quality"),
+            # (engine ulp noise, same class as ext_lm_score; stable_round
+            # because ROUND primitives disagree on half-ties).
+            stable_round(F.avg("__q"), 6).alias("avg_quality"),
         )
     )
 
@@ -220,7 +222,7 @@ register(
     )
     SELECT q_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           ROUND(AVG(quality), 6) AS avg_quality
+           (floor((AVG(quality)) * 1000000.0 + 0.5) / 1000000.0) AS avg_quality
     FROM binned GROUP BY q_bin
     """,
 )
@@ -333,10 +335,12 @@ register(
         CROSS JOIN v
     )
     -- Rounded emission (see bigram_lm_doc_score): AVG-of-doubles order
-    -- noise; perplexity derives from the ROUNDED mean on both sides.
+    -- noise; floor-formula rounding (engines' ROUND primitives disagree
+    -- on shortest-repr half-ties); perplexity derives from the ROUNDED
+    -- mean, saturated at e^20 before its own rounding, on both sides.
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(logp), 6) AS avg_logp,
-           ROUND(exp(-ROUND(AVG(logp), 6)), 4) AS perplexity
+           (floor((AVG(logp)) * 1000000.0 + 0.5) / 1000000.0) AS avg_logp,
+           (floor((exp(-greatest((floor((AVG(logp)) * 1000000.0 + 0.5) / 1000000.0), -20.0))) * 10000.0 + 0.5) / 10000.0) AS perplexity
     FROM sc GROUP BY doc_id
     """,
 )

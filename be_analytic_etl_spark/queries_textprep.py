@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from be_analytic_etl_spark.registry import register
 from be_analytic_etl_spark.operators import normalize as N
 from be_analytic_etl_spark.operators.textstats import PORTABLE_P
+from be_analytic_etl_spark.functions.rounding import stable_round
 from be_analytic_etl_spark.queries_extensions import _TOKS, _t
 
 # ---------------------------------------------------------------------------
@@ -209,12 +210,13 @@ register(
         SELECT *, CAST(pow(p, {_ALPHA}) AS DECIMAL(28,18)) AS w_dec FROM p
     )
     -- pow() is libm (engine ulp differences): pow-derived outputs are
-    -- emitted rounded on both sides; p is an exact division, raw.
+    -- emitted floor-formula-rounded on both sides (ROUND primitives
+    -- disagree on half-ties); p is an exact division, raw.
     SELECT source, n_docs, n_tokens, p,
-           ROUND(CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE), 8)
+           (floor((CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) * 100000000.0 + 0.5) / 100000000.0)
                AS weight,
-           ROUND((CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) / p,
-                 8) AS epochs_vs_uniform
+           (floor(((CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) / p) * 100000000.0 + 0.5) / 100000000.0)
+               AS epochs_vs_uniform
     FROM w
     """,
 )
@@ -237,7 +239,7 @@ def q_ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compute identically (fixed-order sum of identical doubles).
     return docs.select(
         "doc_id",
-        F.round(score, 6).alias("score"),
+        stable_round(score, 6).alias("score"),
         (score >= 0.5).alias("keep"),
     )
 
@@ -254,7 +256,8 @@ def _qc_oracle() -> str:
     raw = f"list_reduce([CAST({QC_BIAS!r} AS DOUBLE)] || {per_tok}, (x, y) -> x + y)"
     return f"""
     SELECT doc_id,
-           ROUND(1.0 / (1.0 + exp(-({raw}))), 6) AS score,
+           (floor((1.0 / (1.0 + exp(-({raw})))) * 1000000.0 + 0.5) / 1000000.0)
+               AS score,
            (1.0 / (1.0 + exp(-({raw}))) >= 0.5) AS keep
     FROM documents
     """
@@ -342,10 +345,10 @@ def q_ext_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "lang",
         F.col("__c.id").alias("chosen_id"),
-        F.round(F.col("__c.s"), 6).alias("chosen_score"),
+        stable_round(F.col("__c.s"), 6).alias("chosen_score"),
         F.col("__r.id").alias("rejected_id"),
-        F.round(F.col("__r.s"), 6).alias("rejected_score"),
-        F.round(F.col("__c.s") - F.col("__r.s"), 6).alias("margin"),
+        stable_round(F.col("__r.s"), 6).alias("rejected_score"),
+        stable_round(F.col("__c.s") - F.col("__r.s"), 6).alias("margin"),
     )
 
 
@@ -372,9 +375,9 @@ def _pref_oracle() -> str:
         FROM s
     )
     SELECT c.lang,
-           c.doc_id AS chosen_id, ROUND(c.score, 6) AS chosen_score,
-           r.doc_id AS rejected_id, ROUND(r.score, 6) AS rejected_score,
-           ROUND(c.score - r.score, 6) AS margin
+           c.doc_id AS chosen_id, (floor((c.score) * 1000000.0 + 0.5) / 1000000.0) AS chosen_score,
+           r.doc_id AS rejected_id, (floor((r.score) * 1000000.0 + 0.5) / 1000000.0) AS rejected_score,
+           (floor((c.score - r.score) * 1000000.0 + 0.5) / 1000000.0) AS margin
     FROM c JOIN r ON c.lang = r.lang
     WHERE c.rn = 1 AND r.rn = 1
     """

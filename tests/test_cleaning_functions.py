@@ -112,3 +112,42 @@ def test_empty_to_null(spark):
 def test_normalize_identifier():
     assert normalize_identifier("Grupo Econômico") == "grupo_econômico"
     assert normalize_identifier("MES-REFERENCIA.X ") == "mes_referencia_x"
+
+
+def test_stable_round_agrees_with_duckdb_on_half_ties(spark):
+    """The engines' ROUND primitives disagree on shortest-repr half-ties
+    (Spark F.round(0.285, 2)=0.29 via shortest-repr HALF_UP, DuckDB
+    ROUND=0.28 via the binary value). stable_round's floor-formula must
+    produce the identical double in both engines on exactly those
+    inputs."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from be_analytic_etl_spark.functions.rounding import (
+        stable_round,
+        stable_round_sql,
+    )
+
+    cases = [(0.285, 2), (0.125, 2), (-9.1234565, 6), (38000.12345, 4),
+             (2.675, 2), (911341401.42872107, 2)]
+    con = duckdb.connect()
+    for x, n in cases:
+        sdf = spark.createDataFrame([(x,)], "x double").select(
+            stable_round(F.col("x"), n).alias("r")
+        )
+        s_val = sdf.collect()[0]["r"]
+        d_val = con.execute(
+            f"SELECT {stable_round_sql('CAST(? AS DOUBLE)', n)}", [x]
+        ).fetchone()[0]
+        assert s_val == d_val, f"stable_round({x}, {n}): {s_val} vs {d_val}"
+    # and document the primitive divergence this guards against
+    spark_round = (
+        spark.createDataFrame([(0.285,)], "x double")
+        .select(F.round("x", 2).alias("r"))
+        .collect()[0]["r"]
+    )
+    duck_round = con.execute("SELECT ROUND(CAST(0.285 AS DOUBLE), 2)").fetchone()[0]
+    assert spark_round != duck_round, (
+        "if the engines' ROUND primitives ever start agreeing, "
+        "stable_round can be retired"
+    )
