@@ -25,3 +25,24 @@ def test_query_matches_oracle(spark, duck, name, fn, sql):
         assert df.count() >= 0
         return
     assert_matches_oracle(df, duck, sql)
+
+
+def test_driver_window_queries_all_have_oracles():
+    """The driver oracle-checks the FIRST 50 registered queries; a
+    window slot spent on a rows-only query wastes a verification slot.
+    Every window query must have a value-checking oracle."""
+    from be_analytic_etl_spark.registry import ORACLE_SQL, QUERIES
+
+    window = list(QUERIES)[:50]
+    missing = [n for n in window if n not in ORACLE_SQL]
+    assert not missing, f"window queries without oracles: {missing}"
+
+
+def test_registry_has_at_most_one_rows_only_query():
+    """Every query except grouped-PAVA (legitimately non-SQL) is
+    value-checked — a registration that forgets its oracle should fail
+    here, not silently downgrade to the driver's weaker rows-only check."""
+    from be_analytic_etl_spark.registry import ORACLE_SQL, QUERIES
+
+    rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
+    assert rows_only == ["ext_isotonic_trend"], rows_only
