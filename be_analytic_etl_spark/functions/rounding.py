@@ -7,9 +7,10 @@ They disagree whenever the shortest repr terminates in a half-tie at
 the rounding scale — verified: ``F.round(0.285, 2)`` = 0.29 in Spark
 vs ``ROUND(CAST(0.285 AS DOUBLE), 2)`` = 0.28 in DuckDB (the binary
 double is 0.28499999999999998). Exact-arithmetic quotients (a decimal
-sum divided by a count) routinely produce such short-repr ties, so the
-emitted-floats policy (SCALE.md "Cross-engine float determinism") must
-not round through either engine's ROUND primitive.
+sum divided by a count, products of small-integer ratios) routinely
+produce such short-repr ties, so the emitted-floats policy (SCALE.md
+"Cross-engine float determinism") must not round through either
+engine's ROUND primitive.
 
 ``stable_round`` instead computes ``floor(x * 10^n + 0.5) / 10^n`` —
 multiply, add, floor, divide are each IEEE-exact-or-identically-rounded
@@ -18,14 +19,18 @@ go toward +inf on both sides; the convention differs from HALF_UP for
 negatives, which is fine — consistency, not convention, is the
 requirement).
 
-Domain bound: Spark's floor(double) returns BIGINT, so callers must
-keep ``|x| * 10^n`` far below 2^63 — true for every bounded emitted
-stat (scores, entropies, weights, log-likelihoods, means, variances).
-Magnitude-unbounded libm outputs (e.g. perplexity = exp(-logp)) need a
-documented saturation cap BEFORE rounding anyway: fixed-decimal
-rounding of a 1e13-magnitude value has less quantum than the 2e-16
-relative libm noise, so stability requires bounding the magnitude
-first (see ``bigram_lm_doc_score``).
+Domain guard: Spark's floor(double) returns BIGINT (NaN -> 0, inf ->
+saturated) while DuckDB's floor(DOUBLE) propagates NaN/inf — so the
+formula is wrapped in a pass-through guard, identical on both sides:
+NULL, NaN, and |x| >= 2^53 / 10^n return x unchanged. Past that
+threshold a double has no representable decimals at scale n anyway
+(rounding is the identity), so the guard loses nothing while keeping
+the Spark BIGINT floor far from overflow and NaN/inf semantics aligned
+with the engines' own ROUND (propagate, never fabricate 0).
+
+ALWAYS pair ``stable_round`` with ``stable_round_sql`` in the oracle —
+never hand-inline the formula (the two must stay in lockstep; the
+half-tie test in tests/test_cleaning_functions.py pins them together).
 """
 
 from __future__ import annotations
@@ -33,14 +38,26 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+_SAFE = float(2**53)
+
 
 def stable_round(col: Column, n: int) -> Column:
-    """Engine-stable round-half-up-toward-+inf at ``n`` decimals."""
+    """Engine-stable round-half-up-toward-+inf at ``n`` decimals.
+    NULL/NaN/|x| >= 2^53/10^n pass through unchanged (see module doc)."""
     s = float(10**n)
-    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+    limit = _SAFE / s
+    rounded = F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+    return F.when(
+        col.isNull() | F.isnan(col) | (F.abs(col) >= F.lit(limit)), col
+    ).otherwise(rounded)
 
 
 def stable_round_sql(expr: str, n: int) -> str:
-    """DuckDB twin of ``stable_round`` — same four IEEE ops."""
+    """DuckDB twin of ``stable_round`` — same ops, same guard."""
     s = repr(float(10**n))
-    return f"(floor(({expr}) * {s} + 0.5) / {s})"
+    limit = repr(_SAFE / float(10**n))
+    return (
+        f"(CASE WHEN ({expr}) IS NULL OR isnan({expr}) "
+        f"OR abs({expr}) >= {limit} THEN ({expr}) "
+        f"ELSE floor(({expr}) * {s} + 0.5) / {s} END)"
+    )

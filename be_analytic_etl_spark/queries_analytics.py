@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_sql
 from be_analytic_etl_spark.operators.graph import triangle_count
 from be_analytic_etl_spark.operators.profiling import group_zscore_outliers
 from be_analytic_etl_spark.operators.sampling import (
@@ -129,10 +130,13 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_sr_mean = stable_round_sql("MIN(d.mean_value)", 4)
+_sr_var = stable_round_sql("MIN(d.variance)", 2)
+
 register(
     "ext_zscore_outliers",
     q_zscore_outliers,
-    """
+    f"""
     WITH stats AS (
         SELECT l_returnflag, l_linestatus,
                COUNT(l_extendedprice) AS n,
@@ -157,8 +161,8 @@ register(
            -- floor-formula, not ROUND (engines' ROUND primitives disagree
            -- on shortest-repr half-ties — functions/rounding.py). The
            -- outlier threshold below still uses full precision.
-           (floor(MIN(d.mean_value) * 10000.0 + 0.5) / 10000.0) AS mean_value,
-           (floor(MIN(d.variance) * 100.0 + 0.5) / 100.0) AS variance,
+           {_sr_mean} AS mean_value,
+           {_sr_var} AS variance,
            -- CAST: DuckDB SUM(int) is HUGEINT; Spark's is BIGINT.
            CAST(SUM(CASE WHEN (l.l_extendedprice - d.mean_value)
                          * (l.l_extendedprice - d.mean_value)
@@ -468,7 +472,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "lang",
         T.token_count("text").alias("__nt"),
-        F.round(T.quality_score("text", round_to=None), 6)
+        stable_round(T.quality_score("text", round_to=None), 6)
         .cast("decimal(18,6)")
         .alias("__q6"),
         (T.lang_id("text") == F.col("lang")).cast("int").alias("__match"),
@@ -482,6 +486,19 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum("__q6").cast("double") / F.count(F.lit(1))).alias("mean_quality"),
     )
+
+
+#: quality_score(round_to=None) as one DuckDB expression over the m-CTE
+#: columns (n_tokens, n_chars, n_punct, n_stop) — shared by the corpus
+#: report oracle.
+_QSCORE_SQL = (
+    "least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) "
+    "* greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0 "
+    "ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 5.0) "
+    "* (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0 "
+    "ELSE CAST(n_stop AS DOUBLE) / n_tokens END) BETWEEN 0.01 AND 0.6 "
+    "THEN 1.0 ELSE 0.5 END)"
+)
 
 
 def _corpus_report_oracle() -> str:
@@ -516,15 +533,7 @@ def _corpus_report_oracle() -> str:
     ), r AS (
         SELECT lang, n_tokens,
                CASE WHEN {chain} = lang THEN 1 ELSE 0 END AS is_match,
-               CAST(round(
-                   least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
-                   * greatest(0.0, 1.0 -
-                       (CASE WHEN n_chars = 0 THEN 0.0
-                             ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 5.0)
-                   * (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
-                                      ELSE CAST(n_stop AS DOUBLE) / n_tokens END)
-                               BETWEEN 0.01 AND 0.6
-                           THEN 1.0 ELSE 0.5 END), 6) AS DECIMAL(18,6)) AS q6
+               CAST({stable_round_sql(_QSCORE_SQL, 6)} AS DECIMAL(18,6)) AS q6
         FROM m
     )
     SELECT lang,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from be_analytic_etl_spark.functions.rounding import stable_round
+from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_sql
 from be_analytic_etl_spark.operators import curation as C
 from be_analytic_etl_spark.queries_extensions import _STOP_SQL, _t, _TOKS
 from be_analytic_etl_spark.registry import register
@@ -119,8 +119,7 @@ def _char_entropy_oracle() -> str:
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_alnum,
-           (floor(({x['entropy']}) * 1000000.0 + 0.5) / 1000000.0)
-               AS entropy_bits,
+           {stable_round_sql(x['entropy'], 6)} AS entropy_bits,
            {x['top']} AS top_char_frac
     FROM base
     """

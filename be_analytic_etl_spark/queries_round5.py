@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from be_analytic_etl_spark.functions.rounding import stable_round
+from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_sql
 from be_analytic_etl_spark.operators import dedup as D
 from be_analytic_etl_spark.operators import sampling as SA
 from be_analytic_etl_spark.operators import textstats as T
@@ -222,7 +222,7 @@ register(
     )
     SELECT q_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           (floor((AVG(quality)) * 1000000.0 + 0.5) / 1000000.0) AS avg_quality
+           {stable_round_sql("AVG(quality)", 6)} AS avg_quality
     FROM binned GROUP BY q_bin
     """,
 )
@@ -305,6 +305,8 @@ def q_ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_lm_doc_score(docs, k=0.5)
 
 
+_AVG_R = stable_round_sql("AVG(logp)", 6)
+
 register(
     "ext_lm_score",
     q_ext_lm_score,
@@ -339,8 +341,8 @@ register(
     -- on shortest-repr half-ties); perplexity derives from the ROUNDED
     -- mean, saturated at e^20 before its own rounding, on both sides.
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           (floor((AVG(logp)) * 1000000.0 + 0.5) / 1000000.0) AS avg_logp,
-           (floor((exp(-greatest((floor((AVG(logp)) * 1000000.0 + 0.5) / 1000000.0), -20.0))) * 10000.0 + 0.5) / 10000.0) AS perplexity
+           {_AVG_R} AS avg_logp,
+           {stable_round_sql(f"exp(-greatest({_AVG_R}, -20.0))", 4)} AS perplexity
     FROM sc GROUP BY doc_id
     """,
 )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from be_analytic_etl_spark.registry import register
 from be_analytic_etl_spark.operators import normalize as N
 from be_analytic_etl_spark.operators.textstats import PORTABLE_P
-from be_analytic_etl_spark.functions.rounding import stable_round
+from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_sql
 from be_analytic_etl_spark.queries_extensions import _TOKS, _t
 
 # ---------------------------------------------------------------------------
@@ -213,9 +213,9 @@ register(
     -- emitted floor-formula-rounded on both sides (ROUND primitives
     -- disagree on half-ties); p is an exact division, raw.
     SELECT source, n_docs, n_tokens, p,
-           (floor((CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) * 100000000.0 + 0.5) / 100000000.0)
+           {stable_round_sql("CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)", 8)}
                AS weight,
-           (floor(((CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) / p) * 100000000.0 + 0.5) / 100000000.0)
+           {stable_round_sql("(CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) / p", 8)}
                AS epochs_vs_uniform
     FROM w
     """,
@@ -256,8 +256,7 @@ def _qc_oracle() -> str:
     raw = f"list_reduce([CAST({QC_BIAS!r} AS DOUBLE)] || {per_tok}, (x, y) -> x + y)"
     return f"""
     SELECT doc_id,
-           (floor((1.0 / (1.0 + exp(-({raw})))) * 1000000.0 + 0.5) / 1000000.0)
-               AS score,
+           {stable_round_sql(f"1.0 / (1.0 + exp(-({raw})))", 6)} AS score,
            (1.0 / (1.0 + exp(-({raw}))) >= 0.5) AS keep
     FROM documents
     """
@@ -375,9 +374,9 @@ def _pref_oracle() -> str:
         FROM s
     )
     SELECT c.lang,
-           c.doc_id AS chosen_id, (floor((c.score) * 1000000.0 + 0.5) / 1000000.0) AS chosen_score,
-           r.doc_id AS rejected_id, (floor((r.score) * 1000000.0 + 0.5) / 1000000.0) AS rejected_score,
-           (floor((c.score - r.score) * 1000000.0 + 0.5) / 1000000.0) AS margin
+           c.doc_id AS chosen_id, {stable_round_sql("c.score", 6)} AS chosen_score,
+           r.doc_id AS rejected_id, {stable_round_sql("r.score", 6)} AS rejected_score,
+           {stable_round_sql("c.score - r.score", 6)} AS margin
     FROM c JOIN r ON c.lang = r.lang
     WHERE c.rn = 1 AND r.rn = 1
     """

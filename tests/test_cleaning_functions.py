@@ -137,7 +137,7 @@ def test_stable_round_agrees_with_duckdb_on_half_ties(spark):
         )
         s_val = sdf.collect()[0]["r"]
         d_val = con.execute(
-            f"SELECT {stable_round_sql('CAST(? AS DOUBLE)', n)}", [x]
+            f"SELECT {stable_round_sql(f'CAST({x!r} AS DOUBLE)', n)}"
         ).fetchone()[0]
         assert s_val == d_val, f"stable_round({x}, {n}): {s_val} vs {d_val}"
     # and document the primitive divergence this guards against
@@ -151,3 +151,41 @@ def test_stable_round_agrees_with_duckdb_on_half_ties(spark):
         "if the engines' ROUND primitives ever start agreeing, "
         "stable_round can be retired"
     )
+
+
+def test_stable_round_guard_passes_through_nan_and_huge(spark):
+    """NULL/NaN/|x| >= 2^53/10^n pass through unchanged on BOTH sides —
+    Spark's BIGINT floor would otherwise fabricate 0 for NaN and
+    saturate huge values while DuckDB's double floor propagates them."""
+    import duckdb
+    import math
+
+    from pyspark.sql import functions as F
+
+    from be_analytic_etl_spark.functions.rounding import (
+        stable_round,
+        stable_round_sql,
+    )
+
+    rows = [(float("nan"),), (float("inf",),), (2.0**60,), (None,), (1.5,)]
+    out = (
+        spark.createDataFrame(rows, "x double")
+        .select("x", stable_round(F.col("x"), 2).alias("r"))
+        .collect()
+    )
+    by_x = {repr(r["x"]): r["r"] for r in out}
+    assert math.isnan(by_x[repr(float("nan"))])
+    assert by_x[repr(float("inf"))] == float("inf")
+    assert by_x[repr(2.0**60)] == 2.0**60
+    assert by_x["None"] is None
+    assert by_x["1.5"] == 1.5
+    con = duckdb.connect()
+    for lit, want in [("'nan'::DOUBLE", "nan"), ("'inf'::DOUBLE", "inf"),
+                      ("CAST(1152921504606846976 AS DOUBLE)", 2.0**60)]:
+        got = con.execute(f"SELECT {stable_round_sql(lit, 2)}").fetchone()[0]
+        if want == "nan":
+            assert math.isnan(got)
+        elif want == "inf":
+            assert got == float("inf")
+        else:
+            assert got == want
