@@ -741,3 +741,54 @@ def ivf_pq_ann(
         F.col(query_id_col) != F.col("neighbor_id")
     )
     return _pq_score_topk(cand, query_id_col, m, k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    out_names: list[str] | None = None,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    N ranked candidate lists — the standard hybrid-retrieval combiner
+    (BM25 keyword list + dense ANN list) that needs no score calibration
+    because it consumes only ranks: rrf(d) = sum_i 1/(k + rank_i(d)).
+
+    Input frames each carry (id_col, rank_col) with NON-NULL ids (they
+    come from row_number'd retrieval lists); a document absent from a
+    list contributes 0 to the sum. Output: the union of all lists with
+    one nullable rank column per input (``out_names``), ``rrf_score``,
+    and ``fused_rank`` (dense ordering by score desc, id asc).
+
+    Cross-engine determinism: each term is one IEEE division of exact
+    small integers (1.0 / (k + rank)) and the fold is a fixed left-to-
+    right chain of adds — bit-identical in any engine, so ``rrf_score``
+    is emitted raw.
+
+    Scale shape: every input list is already top-k'd (bounded by its
+    retriever's depth), so the outer joins and the single-partition
+    fused_rank window touch at most sum_i(depth_i) rows per query —
+    driver-safe at any corpus size. Fusing many queries at once would
+    partition the window by query id instead.
+    """
+    if out_names is None:
+        out_names = [f"rank_{i}" for i in range(len(ranked))]
+    fused: DataFrame | None = None
+    for df, name in zip(ranked, out_names):
+        cur = df.select(F.col(id_col), F.col(rank_col).alias(name))
+        fused = cur if fused is None else fused.join(cur, id_col, "full_outer")
+    score: Column = F.lit(0.0)
+    for name in out_names:
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(name).cast("double")),
+            F.lit(0.0),
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("fused_rank", F.row_number().over(w))
+    )

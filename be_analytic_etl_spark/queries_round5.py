@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_sql
 from be_analytic_etl_spark.operators import dedup as D
 from be_analytic_etl_spark.operators import sampling as SA
+from be_analytic_etl_spark.operators import similarity as S
 from be_analytic_etl_spark.operators import textstats as T
 from be_analytic_etl_spark.queries_extensions import (
+    _dot_sql,
     _grams_sql,
     _STOP_SQL,
     _t,
@@ -677,7 +679,7 @@ def q_ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = _BM25_K) -> str:
     terms_sql = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
     return f"""
     WITH toks AS (
@@ -719,7 +721,7 @@ def _bm25_oracle() -> str:
            CAST(ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id)
                 AS INTEGER) AS rank
     FROM agg
-    QUALIFY rank <= {_BM25_K}
+    QUALIFY rank <= {k}
     """
 
 
@@ -905,3 +907,75 @@ register(
     GROUP BY e.event_type, m.med, m.mad
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of the BM25 keyword list and a
+# dense cosine list over the documents' embeddings (vec_id == doc_id in
+# the corpus). RRF consumes only ranks, so no score calibration crosses
+# the two retrievers; each fused term is one exact IEEE division and the
+# two-term sum is a single add — rrf_score emits raw (see rrf_fuse).
+_RRF_DEPTH = 20
+_RRF_QUERY_VEC = 0
+_RRF_K = 60
+
+
+def q_ext_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = T.bm25_topk(docs, _BM25_TERMS, k=_RRF_DEPTH).select("doc_id", "rank")
+    q = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    dense = S.brute_force_topk(emb, q, k=_RRF_DEPTH, round_to=None).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return S.rrf_fuse(
+        [kw, dense],
+        id_col="doc_id",
+        out_names=["kw_rank", "dense_rank"],
+        k=_RRF_K,
+    )
+
+
+def _rrf_oracle() -> str:
+    rrf = (
+        f"COALESCE(1.0 / ({_RRF_K}.0 + CAST(kw.rank AS DOUBLE)), 0.0) "
+        f"+ COALESCE(1.0 / ({_RRF_K}.0 + CAST(dn.rank AS DOUBLE)), 0.0)"
+    )
+    return f"""
+    WITH kw AS (
+        SELECT doc_id, rank FROM ({_bm25_oracle(k=_RRF_DEPTH)})
+    ), q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}
+    ), sc AS (
+        SELECT e.vec_id AS doc_id,
+               CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0
+                         OR sqrt({_dot_sql("e.embedding", "e.embedding")}) = 0
+                    THEN 0.0
+                    ELSE {_dot_sql("q.qv", "e.embedding")}
+                         / (sqrt({_dot_sql("q.qv", "q.qv")})
+                            * sqrt({_dot_sql("e.embedding", "e.embedding")})) END
+                   AS cs
+        FROM embeddings e, q
+        WHERE e.vec_id <> {_RRF_QUERY_VEC}
+    ), dn AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS INTEGER)
+                   AS rank
+        FROM sc
+        QUALIFY rank <= {_RRF_DEPTH}
+    )
+    SELECT COALESCE(kw.doc_id, dn.doc_id) AS doc_id,
+           kw.rank AS kw_rank,
+           dn.rank AS dense_rank,
+           {rrf} AS rrf_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY {rrf} DESC, COALESCE(kw.doc_id, dn.doc_id)
+           ) AS INTEGER) AS fused_rank
+    FROM kw FULL OUTER JOIN dn ON kw.doc_id = dn.doc_id
+    """
+
+
+register("ext_rrf_fusion", q_ext_rrf_fusion, _rrf_oracle())

@@ -430,3 +430,32 @@ def test_bm25_rejects_empty_terms(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def test_rrf_fuse_semantics(spark):
+    """A doc in both lists outranks docs in one; absent list contributes
+    0; fused_rank is dense by score desc then id."""
+    from be_analytic_etl_spark.operators.similarity import rrf_fuse
+
+    kw = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank int"
+    )
+    out = rrf_fuse(
+        [kw, dense], id_col="doc_id", out_names=["kw_rank", "dense_rank"], k=60
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {10, 20, 30, 40}
+    # doc 20: both lists
+    assert by_id[20]["kw_rank"] == 2 and by_id[20]["dense_rank"] == 1
+    assert by_id[20]["rrf_score"] == 1.0 / 62.0 + 1.0 / 61.0
+    # doc 10: keyword only, dense contributes 0
+    assert by_id[10]["dense_rank"] is None
+    assert by_id[10]["rrf_score"] == 1.0 / 61.0
+    # fused order: 20 (both) first, then 10, 40, 30
+    ranks = {r["doc_id"]: r["fused_rank"] for r in out}
+    assert [i for i, _ in sorted(ranks.items(), key=lambda kv: kv[1])] == [
+        20, 10, 40, 30,
+    ]
