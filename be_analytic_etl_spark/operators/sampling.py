@@ -343,3 +343,53 @@ def mixture_sample(
         df.join(F.broadcast(plan), group_col)
         .filter(hash_bucket(key_col, salt) < F.col("threshold"))
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    rank_col: str,
+    cost_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy per-group budgeted selection: rank rows inside each group
+    by ``rank_col`` desc (ties by ``id_col``), keep a row while the
+    cumulative cost of the rows BEFORE it is under ``budget`` — the
+    "best docs until the token budget fills" recipe for assembling a
+    fixed-size training slice per source/domain. The boundary row may
+    overshoot the budget (deterministic fill-then-stop convention; an
+    exact-knapsack cut would make selection depend on lookahead).
+
+    Adds ``sel_rank`` (1-based rank within the group) and ``cum_cost``
+    (inclusive running cost). Callers pass an engine-stable ``rank_col``
+    (integer, decimal, or a ``stable_round``-ed double) so the ordering
+    replays identically in the SQL oracle.
+
+    Scale: ONE shuffle on ``group_col`` — the rank and the exclusive
+    prefix sum share the same window partitioning, so Catalyst plans a
+    single Exchange + WindowExec; the filter is map-side after it. For
+    very hot groups, pre-aggregate per-(group, rank-band) costs to skip
+    whole bands before the row-level window.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(rank_col).desc(), F.col(id_col)
+    )
+    prior = F.coalesce(
+        F.sum(cost_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return (
+        df.withColumn("sel_rank", F.row_number().over(w))
+        .withColumn("__prior", prior)
+        .filter(F.col("__prior") < budget)
+        .withColumn(
+            "cum_cost", (F.col("__prior") + F.col(cost_col)).cast("long")
+        )
+        .drop("__prior")
+    )

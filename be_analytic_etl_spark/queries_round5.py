@@ -979,3 +979,76 @@ def _rrf_oracle() -> str:
 
 
 register("ext_rrf_fusion", q_ext_rrf_fusion, _rrf_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget selection: the "best documents until the token
+# budget fills" slice a fixed-size training mix needs. Ordering is the
+# stable_round-ed quality score (engine-identical double) with doc_id
+# ties; rank + exclusive prefix sum share one window partitioning, so the
+# whole selection is a single shuffle on source.
+_TB_BUDGET = 600
+
+
+def q_ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        stable_round(T.quality_score("text", round_to=None), 6).alias("q6"),
+    )
+    out = SA.token_budget_sample(
+        sized,
+        group_col="source",
+        rank_col="q6",
+        cost_col="n_tokens",
+        id_col="doc_id",
+        budget=_TB_BUDGET,
+    )
+    return out.select(
+        "source", "doc_id", "q6", "n_tokens", "sel_rank", "cum_cost"
+    )
+
+
+def _token_budget_oracle() -> str:
+    from be_analytic_etl_spark.queries_analytics import _QSCORE_SQL
+
+    order = "q6 DESC, doc_id"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, source, coalesce(text, '') AS t, {_TOKS} AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(length(t) AS INTEGER) AS n_chars,
+               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g'))
+                   AS n_punct,
+               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))
+                   AS n_stop
+        FROM tok
+    ), q AS (
+        SELECT doc_id, source, n_tokens,
+               {stable_round_sql(_QSCORE_SQL, 6)} AS q6
+        FROM m
+    ), r AS (
+        SELECT doc_id, source, q6, n_tokens,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY {order}) AS INTEGER)
+                   AS sel_rank,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY {order}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prior
+        FROM q
+    )
+    SELECT source, doc_id, q6, n_tokens, sel_rank,
+           CAST(prior + n_tokens AS BIGINT) AS cum_cost
+    FROM r WHERE prior < {_TB_BUDGET}
+    """
+
+
+register(
+    "ext_token_budget_sample", q_ext_token_budget_sample, _token_budget_oracle()
+)

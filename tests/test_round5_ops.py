@@ -459,3 +459,38 @@ def test_rrf_fuse_semantics(spark):
     assert [i for i, _ in sorted(ranks.items(), key=lambda kv: kv[1])] == [
         20, 10, 40, 30,
     ]
+
+
+def test_token_budget_sample_boundary_and_plan(spark):
+    """Selection stops once prior cost reaches the budget (boundary row
+    may overshoot); rank + prefix sum share ONE Exchange."""
+    from be_analytic_etl_spark.operators.sampling import token_budget_sample
+
+    rows = [
+        ("a", 1, 9, 400), ("a", 2, 8, 400), ("a", 3, 7, 400),
+        ("b", 4, 9, 1000), ("b", 5, 8, 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, id long, score int, cost long"
+    )
+    out = token_budget_sample(
+        df, group_col="grp", rank_col="score", cost_col="cost",
+        id_col="id", budget=600,
+    )
+    got = {(r["grp"], r["id"]): (r["sel_rank"], r["cum_cost"]) for r in out.collect()}
+    # a: 400 kept (prior 0), 400 kept (prior 400 < 600, cum 800), third dropped
+    assert got == {("a", 1): (1, 400), ("a", 2): (2, 800), ("b", 4): (1, 1000)}
+    # rank + prefix sum share the (partition, order) spec -> ONE Window
+    # node and ONE shuffle on grp. AQE's toString prints the initial
+    # plan too — count inside the final plan only.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert final.count("Window") == 1
+
+    import pytest
+    with pytest.raises(ValueError):
+        token_budget_sample(
+            df, group_col="grp", rank_col="score", cost_col="cost",
+            id_col="id", budget=0,
+        )
