@@ -114,7 +114,12 @@ def connected_components(
         universe = endpoint_ids.distinct()
 
     if driver_solve_edges and sym.count() <= driver_solve_edges:
-        labels = _driver_union_find(sym, universe, id_col)
+        # nodes (not universe): universe's plan references sym, which is
+        # unpersisted on return — a caller action on the result would
+        # silently re-run the whole upstream pair generation (LSH chain).
+        # The union-find already holds every endpoint id locally, so the
+        # returned plan references only `nodes` and a local relation.
+        labels = _driver_union_find(sym, nodes, id_col)
         sym.unpersist()
         if stats is not None:
             stats["rounds"] = 0
@@ -181,7 +186,9 @@ def connected_components(
     return labels
 
 
-def _driver_union_find(sym: DataFrame, universe: DataFrame, id_col: str) -> DataFrame:
+def _driver_union_find(
+    sym: DataFrame, nodes: DataFrame | None, id_col: str
+) -> DataFrame:
     """Solve CC for a sub-threshold edge list with a driver-side
     union-find (path-halving + min-root union), then ship the labels back
     as a small DataFrame joined to the node universe.
@@ -191,6 +198,12 @@ def _driver_union_find(sym: DataFrame, universe: DataFrame, id_col: str) -> Data
     graph that *fits*, not a data-plane funnel. The min-root union makes
     the representative of every set its minimum id, matching the
     distributed contract exactly.
+
+    The returned plan must NOT reference ``sym`` (the caller unpersists
+    it on return, and its upstream — LSH pair generation, cosine search —
+    is the expensive part of the whole job): every endpoint is collected
+    here anyway, so the endpoint side of the universe is a local
+    relation, and ``nodes`` (when given) is the only distributed input.
     """
     from pyspark.sql.types import StructField, StructType
 
@@ -204,19 +217,31 @@ def _driver_union_find(sym: DataFrame, universe: DataFrame, id_col: str) -> Data
             parent[x], x = root, parent[x]
         return root
 
+    seen: set = set()
     for s, d in sym.filter(F.col("s") < F.col("d")).collect():
+        seen.add(s)
+        seen.add(d)
         rs, rd = find(s), find(d)
         if rs != rd:
             lo, hi = (rs, rd) if rs < rd else (rd, rs)
             parent[hi] = lo
 
-    labeled = [(x, find(x)) for x in list(parent)]
+    # every endpoint, self-roots included — the local relation IS the
+    # endpoint universe, so no lineage back to sym survives.
+    labeled = [(x, find(x)) for x in sorted(seen)]
     spark = sym.sparkSession
     id_type = sym.schema["s"].dataType
     schema = StructType(
         [StructField(id_col, id_type, False), StructField("group_id", id_type, False)]
     )
     label_df = spark.createDataFrame(labeled, schema)
+    if nodes is None:
+        return label_df
+    universe = (
+        nodes.select(F.col(id_col))
+        .union(label_df.select(F.col(id_col)))
+        .distinct()
+    )
     return universe.join(F.broadcast(label_df), id_col, "left").select(
         id_col, F.coalesce("group_id", F.col(id_col)).alias("group_id")
     )

@@ -253,3 +253,34 @@ def test_driver_union_find_matches_distributed_propagation(spark):
     assert stats_fast["rounds"] == 0  # took the union-find path
     assert stats_dist["rounds"] >= 1  # took the iterative path
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dist.collect()))
+
+
+def test_driver_cc_result_does_not_reexecute_edge_plan(spark):
+    """The driver union-find path collects every endpoint, so the
+    returned labels plan must reference only `nodes` + a local relation
+    — NOT the (expensive, unpersisted-on-return) edge plan. Regression:
+    the universe used to be built from the symmetrized edges, silently
+    re-running the whole upstream pair generation on the first action."""
+    from pyspark.sql import functions as F
+
+    from be_analytic_etl_spark.operators.graph import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def tick(x):
+        acc.add(1)
+        return x
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    edges = base.select(tick("id_a").alias("id_a"), F.col("id_b"))
+    nodes = spark.range(1, 13).select(F.col("id"))
+    labels = connected_components(edges, nodes=nodes, id_col="id")
+    seen_during_solve = acc.value
+    assert seen_during_solve > 0  # edges were evaluated to solve
+    got = {r["id"]: r["group_id"] for r in labels.collect()}
+    assert acc.value == seen_during_solve, "edge plan re-executed by the result action"
+    assert got[3] == 1 and got[11] == 10 and got[7] == 7
+    assert len(got) == 12
