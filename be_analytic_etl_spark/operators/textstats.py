@@ -634,3 +634,91 @@ def hashed_linear_score(
         + F.element_at(w_lit, (portable_base_hash(t) % n_buckets).cast("int") + 1),
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+
+
+def dsir_llr_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): per-document log
+    importance weight ``llr(d) = sum_b in d [log p_target(b) - log
+    p_corpus(b)]`` over hashed-bigram features, add-``alpha`` smoothed
+    across ``n_buckets`` buckets. Selecting the highest-llr documents
+    reweights a raw corpus toward a target domain without training a
+    classifier.
+
+    Returns (id_col, n_bigrams, llr_dec) with llr_dec DECIMAL(18,6);
+    docs with < 2 tokens have no features and are excluded. Cross-engine
+    determinism: each bucket's log-ratio passes through libm ln once and
+    is quantized to DECIMAL(18,6) (absorbing last-ulp ln noise — the
+    bm25_topk discipline); the per-doc sum is then exact decimal
+    arithmetic, so ordering and emitted values replay identically in the
+    SQL oracle.
+
+    Scale shape: both distributions reduce to ``n_buckets`` partial-agg
+    rows + one scalar total each; the per-doc pass explodes bigrams
+    map-side, hits the broadcast ratio table, and shuffles once on
+    ``id_col`` for the sum — the corpus is scanned twice (distribution
+    estimate, scoring), never joined against itself.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    bg_strings = F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> concat(__t[i - 1], ' ', __t[i]))"
+    )
+    bucket = (
+        portable_hash60(F.concat(F.col("__bg"), F.lit("|dsir")))
+        % n_buckets
+    ).alias("b")
+
+    def bucketed(df: DataFrame, *keep: str) -> DataFrame:
+        return (
+            df.select(*keep, tokenize(text_col).alias("__t"))
+            .filter(F.size("__t") >= 2)
+            .select(*keep, F.explode(bg_strings).alias("__bg"))
+            .select(*keep, bucket)
+        )
+
+    spark = corpus.sparkSession
+    t_b = bucketed(target)
+    c_b = bucketed(corpus)
+    t_counts = t_b.groupBy("b").agg(F.count(F.lit(1)).alias("__ct"))
+    c_counts = c_b.groupBy("b").agg(F.count(F.lit(1)).alias("__cc"))
+    t_tot = t_b.agg(F.count(F.lit(1)).alias("__nt"))
+    c_tot = c_b.agg(F.count(F.lit(1)).alias("__nc"))
+    denom_extra = float(alpha) * n_buckets
+    ratio = (
+        F.log(
+            (F.coalesce("__ct", F.lit(0)) + F.lit(float(alpha)))
+            / (F.col("__nt") + F.lit(denom_extra))
+        )
+        - F.log(
+            (F.coalesce("__cc", F.lit(0)) + F.lit(float(alpha)))
+            / (F.col("__nc") + F.lit(denom_extra))
+        )
+    ).cast("decimal(18,6)")
+    ltable = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("b"))
+        .join(t_counts, "b", "left")
+        .join(c_counts, "b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(c_tot))
+        .select("b", ratio.alias("__l"))
+    )
+    return (
+        bucketed(corpus, id_col)
+        .join(F.broadcast(ltable), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("__l").cast("decimal(18,6)").alias("llr_dec"),
+        )
+    )

@@ -1052,3 +1052,77 @@ def _token_budget_oracle() -> str:
 register(
     "ext_token_budget_sample", q_ext_token_budget_sample, _token_budget_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., NeurIPS 2023): pick the corpus
+# docs whose hashed-bigram distribution looks most like the target domain
+# (here: the English slice). Per-bucket log-ratios quantize to
+# DECIMAL(18,6) (libm ln noise absorbed, the bm25 discipline); the doc
+# score is an exact decimal sum, so top-k ordering replays identically.
+_DSIR_BUCKETS = 256
+_DSIR_ALPHA = 0.5
+_DSIR_K = 50
+
+
+def q_ext_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = T.dsir_llr_weights(
+        docs, target, n_buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA
+    )
+    top = w.orderBy(F.col("llr_dec").desc(), "doc_id").limit(_DSIR_K)
+    return top.select(
+        "doc_id", "n_bigrams", F.col("llr_dec").cast("double").alias("llr")
+    )
+
+
+def _dsir_oracle() -> str:
+    b = _DSIR_BUCKETS
+    extra = _DSIR_ALPHA * b
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang, {_TOKS} AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, lang, u.g AS g
+        FROM tok,
+             unnest(list_transform(range(2, len(t) + 1),
+                                   i -> t[i - 1] || ' ' || t[i])) u(g)
+        WHERE len(t) >= 2
+    ), bb AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(g || '|dsir'), 1, 15) AS BIGINT) % {b}
+                   AS b
+        FROM bg
+    ), tc AS (
+        SELECT b, COUNT(*) AS ct FROM bb WHERE lang = 'en' GROUP BY b
+    ), cc AS (
+        SELECT b, COUNT(*) AS cnt FROM bb GROUP BY b
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM bb WHERE lang = 'en') AS nt,
+               (SELECT COUNT(*) FROM bb) AS nc
+    ), l AS (
+        SELECT r.range AS b,
+               CAST(ln((COALESCE(tc.ct, 0) + {_DSIR_ALPHA})
+                        / (tot.nt + {extra}))
+                    - ln((COALESCE(cc.cnt, 0) + {_DSIR_ALPHA})
+                         / (tot.nc + {extra})) AS DECIMAL(18,6)) AS lr
+        FROM range(0, {b}) r
+        LEFT JOIN tc ON r.range = tc.b
+        LEFT JOIN cc ON r.range = cc.b
+        CROSS JOIN tot
+    ), sc AS (
+        SELECT bb.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(l.lr) AS DECIMAL(18,6)) AS llr_dec
+        FROM bb JOIN l ON bb.b = l.b
+        GROUP BY bb.doc_id
+    )
+    SELECT doc_id, n_bigrams, CAST(llr_dec AS DOUBLE) AS llr
+    FROM sc
+    ORDER BY llr_dec DESC, doc_id
+    LIMIT {_DSIR_K}
+    """
+
+
+register("ext_dsir_sample", q_ext_dsir_sample, _dsir_oracle())

@@ -494,3 +494,30 @@ def test_token_budget_sample_boundary_and_plan(spark):
             df, group_col="grp", rank_col="score", cost_col="cost",
             id_col="id", budget=0,
         )
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target domain's bigrams get higher llr than
+    out-of-domain docs; sub-2-token docs are excluded."""
+    from be_analytic_etl_spark.operators.textstats import dsir_llr_weights
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat quietly"),
+            (3, "import numpy as np"),
+            (4, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    target = corpus.filter("doc_id = 1")
+    w = dsir_llr_weights(corpus, target, n_buckets=64, alpha=0.5)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert 4 not in rows  # single token -> no bigrams
+    assert float(rows[1]["llr_dec"]) > float(rows[3]["llr_dec"])
+    assert float(rows[2]["llr_dec"]) > float(rows[3]["llr_dec"])
+    assert rows[1]["n_bigrams"] == 5
+
+    import pytest
+    with pytest.raises(ValueError):
+        dsir_llr_weights(corpus, target, n_buckets=0)
