@@ -78,3 +78,77 @@ def isotonic_fit(
         .groupBy(group_col)
         .applyInPandas(fit, schema)
     )
+
+
+def isotonic_fit_minimax(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_dec_col: str,
+) -> DataFrame:
+    """Isotonic (nondecreasing) L2 fit per group via the closed-form
+    minimax identity ``y_iso[i] = max_{j<=i} min_{k>=i} mean(y[j..k])``
+    (Robertson/Wright/Dykstra, "Order Restricted Statistical Inference",
+    1988, Thm 1.4.4) — the same solution PAVA computes, as pure Column
+    algebra with NO Python boundary.
+
+    ``y_dec_col`` must be DECIMAL: segment means come from exact decimal
+    prefix-sum differences cast to double once, then ONE IEEE division —
+    so every segment mean, and hence the min/max lattice and the emitted
+    ``y_iso``, is bit-identical in any engine (the discipline SCALE.md
+    "Cross-engine float determinism" prescribes for decimal division).
+
+    Cost is O(n^2) segments x O(n) positions per group — right for short
+    per-group series (daily trends, calibration bins; n<=a few hundred)
+    and as the value-checkable twin of the O(n) ``isotonic_fit`` PAVA
+    path, which remains the long-series/production operator. The n^3
+    work is confined inside each group; groups parallelize.
+
+    Returns (group, x, y, y_iso) with y = CAST(y_dec AS DOUBLE).
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(group_col).orderBy(x_col)
+    pos = df.select(
+        group_col, F.col(x_col), F.col(y_dec_col).alias("__y")
+    ).withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__s", F.sum("__y").over(w)
+    )
+    a = pos.select(
+        group_col,
+        F.col("__rn").alias("__j"),
+        (F.col("__s") - F.col("__y")).alias("__sjm1"),
+    )
+    b = pos.select(
+        group_col, F.col("__rn").alias("__k"), F.col("__s").alias("__sk")
+    )
+    seg = (
+        a.join(b, group_col)
+        .filter(F.col("__j") <= F.col("__k"))
+        .select(
+            group_col,
+            "__j",
+            "__k",
+            (
+                (F.col("__sk") - F.col("__sjm1")).cast("double")
+                / (F.col("__k") - F.col("__j") + 1).cast("double")
+            ).alias("__m"),
+        )
+    )
+    i = pos.select(
+        group_col,
+        F.col("__rn").alias("__i"),
+        F.col(x_col),
+        F.col("__y").cast("double").alias("y"),
+    )
+    inner = (
+        i.select(group_col, "__i")
+        .join(seg, group_col)
+        .filter((F.col("__j") <= F.col("__i")) & (F.col("__k") >= F.col("__i")))
+        .groupBy(group_col, "__i", "__j")
+        .agg(F.min("__m").alias("__mn"))
+    )
+    fit = inner.groupBy(group_col, "__i").agg(F.max("__mn").alias("y_iso"))
+    return i.join(fit, [group_col, "__i"]).select(
+        group_col, x_col, "y", "y_iso"
+    )

@@ -513,3 +513,75 @@ register(
          unnest(list_apply(ps, (x, i) -> struct_pack(pos := i - 1, s := x))) u(e)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_isotonic_minimax: the SAME monotone daily-trend fit as
+# ext_isotonic_trend, via the closed-form minimax identity
+# y_iso[i] = max_{j<=i} min_{k>=i} mean(y[j..k]) — pure Column algebra,
+# so the one previously rows-only operator family gains a fully
+# value-checked oracle twin. Daily means are stable_round-ed to
+# DECIMAL(18,6) first; segment means are exact decimal prefix-sum
+# differences cast to double + ONE IEEE division, so the min/max lattice
+# replays bit-identically in DuckDB. PAVA (isotonic_fit) stays the O(n)
+# production path for long series; this is the short-series/cross-check
+# shape (n = ~30 days here).
+def q_ext_isotonic_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.regression import isotonic_fit_minimax
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("double")
+        .alias("day"),
+    ).agg(
+        stable_round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("y6")
+    )
+    return isotonic_fit_minimax(daily, "event_type", "day", "y6")
+
+
+def _isotonic_minimax_oracle() -> str:
+    avg_sql = stable_round_sql(
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 6
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS DOUBLE) AS day,
+               CAST({avg_sql} AS DECIMAL(18,6)) AS y6
+        FROM events GROUP BY 1, 2
+    ), pos AS (
+        SELECT event_type, day, y6,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+               SUM(y6) OVER (PARTITION BY event_type ORDER BY day) AS s
+        FROM daily
+    ), seg AS (
+        SELECT a.event_type, a.rn AS j, b.rn AS k,
+               CAST(b.s - (a.s - a.y6) AS DOUBLE)
+                   / CAST(b.rn - a.rn + 1 AS DOUBLE) AS m
+        FROM pos a JOIN pos b
+          ON a.event_type = b.event_type AND a.rn <= b.rn
+    ), im AS (
+        SELECT i.event_type, i.rn AS i, s.j, MIN(s.m) AS mn
+        FROM pos i JOIN seg s
+          ON s.event_type = i.event_type AND s.j <= i.rn AND s.k >= i.rn
+        GROUP BY i.event_type, i.rn, s.j
+    ), fit AS (
+        SELECT event_type, i, MAX(mn) AS y_iso FROM im GROUP BY event_type, i
+    )
+    SELECT p.event_type, p.day, CAST(p.y6 AS DOUBLE) AS y, f.y_iso
+    FROM pos p JOIN fit f ON p.event_type = f.event_type AND p.rn = f.i
+    """
+
+
+register(
+    "ext_isotonic_minimax", q_ext_isotonic_minimax, _isotonic_minimax_oracle()
+)

@@ -167,3 +167,43 @@ def test_isotonic_trend_matches_pure_python(spark):
         assert got == pytest.approx(want, abs=1e-12), g
         # monotone nondecreasing
         assert all(b >= a - 1e-12 for a, b in zip(got, got[1:])), g
+
+
+def test_isotonic_minimax_agrees_with_pava(spark):
+    """The closed-form minimax identity and PAVA compute the same L2
+    monotone fit (Robertson et al. 1988, Thm 1.4.4) — the native twin
+    must agree with the applyInPandas production path to fp noise."""
+    from decimal import Decimal
+
+    from be_analytic_etl_spark.operators.regression import (
+        isotonic_fit,
+        isotonic_fit_minimax,
+    )
+
+    rows = [
+        ("a", 1.0, "3.000000"), ("a", 2.0, "1.000000"), ("a", 3.0, "2.000000"),
+        ("a", 4.0, "5.000000"), ("a", 5.0, "4.000000"),
+        ("b", 1.0, "1.000000"), ("b", 2.0, "2.000000"),
+    ]
+    df = spark.createDataFrame(
+        [(g, x, Decimal(y)) for g, x, y in rows],
+        "g string, x double, y6 decimal(18,6)",
+    )
+    mm = {
+        (r["g"], r["x"]): r["y_iso"]
+        for r in isotonic_fit_minimax(df, "g", "x", "y6").collect()
+    }
+    pava = {
+        (r["g"], r["x"]): r["y_iso"]
+        for r in isotonic_fit(
+            df.select("g", "x", F.col("y6").cast("double").alias("y")),
+            "g", "x", "y",
+        ).collect()
+    }
+    assert set(mm) == set(pava)
+    for key in mm:
+        assert abs(mm[key] - pava[key]) < 1e-9, (key, mm[key], pava[key])
+    # the known fit: [3,1,2] pools to 2; [5,4] pools to 4.5
+    assert mm[("a", 1.0)] == 2.0 and mm[("a", 3.0)] == 2.0
+    assert mm[("a", 4.0)] == 4.5 and mm[("a", 5.0)] == 4.5
+    assert mm[("b", 2.0)] == 2.0
