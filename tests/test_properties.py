@@ -390,3 +390,102 @@ def test_pack_sequences_tiles_exactly_on_random_sizes(
             assert tot == seq_len
         else:
             assert tot <= seq_len
+
+
+# --- token-budget sampling --------------------------------------------------
+
+
+@st.composite
+def budget_case(draw):
+    rows = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),     # group
+                st.integers(0, 99),                   # id (deduped below)
+                st.integers(0, 9),                    # rank score
+                st.integers(1, 50),                   # cost
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    uniq = list({(g, i): (g, i, s, c) for g, i, s, c in rows}.values())
+    budget = draw(st.integers(1, 200))
+    return uniq, budget
+
+
+@given(case=budget_case())
+@settings(**SETTINGS)
+def test_token_budget_sample_matches_greedy_reference(spark, case):
+    """Selection is exactly the greedy prefix of the (score desc, id)
+    ordering per group, stopping once prior cost reaches the budget."""
+    from collections import defaultdict
+
+    from be_analytic_etl_spark.operators.sampling import token_budget_sample
+
+    rows, budget = case
+    df = spark.createDataFrame(
+        rows, "grp string, id long, score int, cost long"
+    )
+    got = {
+        (r["grp"], r["id"]): (r["sel_rank"], r["cum_cost"])
+        for r in token_budget_sample(
+            df, group_col="grp", rank_col="score", cost_col="cost",
+            id_col="id", budget=budget,
+        ).collect()
+    }
+    want = {}
+    by_group = defaultdict(list)
+    for g, i, s, c in rows:
+        by_group[g].append((i, s, c))
+    for g, members in by_group.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        prior = 0
+        for rank, (i, s, c) in enumerate(members, start=1):
+            if prior >= budget:
+                break
+            want[(g, i)] = (rank, prior + c)
+            prior += c
+    assert got == want
+
+
+# --- reciprocal rank fusion --------------------------------------------------
+
+
+@st.composite
+def rrf_case(draw):
+    ids = st.integers(0, 30)
+    a = draw(st.lists(ids, min_size=1, max_size=10, unique=True))
+    b = draw(st.lists(ids, min_size=1, max_size=10, unique=True))
+    return a, b
+
+
+@given(case=rrf_case())
+@settings(**SETTINGS)
+def test_rrf_fuse_matches_reference_scores(spark, case):
+    from be_analytic_etl_spark.operators.similarity import rrf_fuse
+
+    a_ids, b_ids = case
+    a = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(a_ids)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(b_ids)], "doc_id long, rank int"
+    )
+    out = rrf_fuse(
+        [a, b], id_col="doc_id", out_names=["ra", "rb"], k=60
+    ).collect()
+    ra = {i: r + 1 for r, i in enumerate(a_ids)}
+    rb = {i: r + 1 for r, i in enumerate(b_ids)}
+    want_score = {
+        i: (1.0 / (60.0 + ra[i]) if i in ra else 0.0)
+        + (1.0 / (60.0 + rb[i]) if i in rb else 0.0)
+        for i in set(a_ids) | set(b_ids)
+    }
+    got_score = {r["doc_id"]: r["rrf_score"] for r in out}
+    assert got_score == want_score  # exact — one division + one add per term
+    order = sorted(want_score, key=lambda i: (-want_score[i], i))
+    got_order = [
+        r["doc_id"] for r in sorted(out, key=lambda r: r["fused_rank"])
+    ]
+    assert got_order == order
