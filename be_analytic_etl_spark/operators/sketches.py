@@ -52,20 +52,20 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     p: int = 8,
     salt: str = "hll",
-    corrected: bool = False,
-    estimate_col: str = "hll_estimate",
 ) -> DataFrame:
-    """Per-group HLL distinct estimate of ``value_col`` with ``2^p``
-    registers (standard error ~1.04/sqrt(2^p); p=8 -> ~6.5%)."""
+    """Per-group HLL register state: ``(…group_cols, __idx, __m)`` with
+    ``2^p`` possible registers holding the max rank seen. This IS the
+    sketch — fixed-size, and mergeable across any grouping dimension by
+    register-wise MAX (``hll_merge_registers``), the property that lets
+    per-shard / per-day sketches roll up without touching raw data."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
-    m = 1 << p
     vbits = HASH_BITS - p  # suffix width used for the rank
     mask = (1 << vbits) - 1
 
@@ -79,12 +79,36 @@ def hll_distinct(
     rank = F.when(rest == 0, F.lit(vbits + 1)).otherwise(
         F.lit(vbits + 1) - F.length(F.bin(rest))
     )
-
-    regs = (
+    return (
         df.select(*group_cols, idx.alias("__idx"), rank.alias("__rank"))
         .groupBy(*group_cols, "__idx")
         .agg(F.max("__rank").alias("__m"))
     )
+
+
+def hll_merge_registers(
+    regs: DataFrame, keep_group_cols: list[str]
+) -> DataFrame:
+    """Union sketches by dropping grouping dimensions: register-wise MAX.
+    Exactly equal to the registers computed directly on the combined
+    data (max is associative/commutative) — the warehouse HLL-union."""
+    return regs.groupBy(*keep_group_cols, "__idx").agg(
+        F.max("__m").alias("__m")
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+    corrected: bool = False,
+    estimate_col: str = "hll_estimate",
+) -> DataFrame:
+    """Estimate from register state (see ``hll_registers``): scaled-
+    integer harmonic mean — exact BIGINT arithmetic up to one final
+    double division, so the estimate is engine-identical."""
+    m = 1 << p
+    vbits = HASH_BITS - p
     # scaled-integer harmonic sum: occupied register M contributes
     # 2^(vbits+1-M); each of the (m - occupied) empty ones contributes
     # 2^(vbits+1) (i.e. 2^-0 scaled). Max total m*2^(vbits+1) < 2^63.
@@ -106,6 +130,21 @@ def hll_distinct(
     return per_group.select(
         *group_cols, est.alias(estimate_col), "n_registers_used"
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    salt: str = "hll",
+    corrected: bool = False,
+    estimate_col: str = "hll_estimate",
+) -> DataFrame:
+    """Per-group HLL distinct estimate of ``value_col`` with ``2^p``
+    registers (standard error ~1.04/sqrt(2^p); p=8 -> ~6.5%)."""
+    regs = hll_registers(df, group_cols, value_col, p, salt)
+    return hll_estimate(regs, group_cols, p, corrected, estimate_col)
 
 
 def hll_sql_twin(
@@ -217,4 +256,54 @@ def countmin_sql_twin(
     SELECT p.v, MIN(c.c) AS cms_estimate
     FROM probes p JOIN counters c USING (row, bucket)
     GROUP BY p.v
+    """
+
+
+def hll_union_sql_twin(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    p: int = 8,
+    salt: str = "hll",
+    estimate_col: str = "hll_estimate",
+) -> str:
+    """DuckDB twin of the register-merge rollup: per-group estimates
+    UNION ALL one 'ALL' row from register-wise-MAX-merged sketches —
+    generated from the same parameters as the operator so they can't
+    drift (the ``hll_sql_twin`` discipline)."""
+    m = 1 << p
+    vbits = HASH_BITS - p
+    mask = (1 << vbits) - 1
+    numerator = repr(_alpha(m) * m * m * float(1 << (vbits + 1)))
+    return f"""
+    WITH hashed AS (
+        SELECT {group_col},
+               CAST('0x' || substr(md5(CAST({value_expr} AS VARCHAR) || '|{salt}'), 1, 15)
+                    AS BIGINT) AS h
+        FROM {table}
+    ),
+    regs AS (
+        SELECT {group_col}, h >> {vbits} AS idx,
+               MAX(CASE WHEN (h & {mask}) = 0 THEN {vbits + 1}
+                        ELSE {vbits + 1} - length(bin(h & {mask})) END) AS m
+        FROM hashed GROUP BY {group_col}, idx
+    ),
+    merged AS (SELECT idx, MAX(m) AS m FROM regs GROUP BY idx),
+    scoped AS (
+        SELECT CAST({group_col} AS VARCHAR) AS scope, idx, m FROM regs
+        UNION ALL
+        SELECT 'ALL', idx, m FROM merged
+    ),
+    agg AS (
+        SELECT scope,
+               SUM(CAST(1 AS BIGINT) << ({vbits + 1} - m)) AS occ_sum,
+               COUNT(*) AS n_registers_used
+        FROM scoped GROUP BY scope
+    )
+    SELECT scope,
+           {numerator} / CAST(occ_sum + ({m} - n_registers_used)
+                              * (CAST(1 AS BIGINT) << {vbits + 1}) AS DOUBLE)
+               AS {estimate_col},
+           n_registers_used
+    FROM agg
     """

@@ -1126,3 +1126,45 @@ def _dsir_oracle() -> str:
 
 
 register("ext_dsir_sample", q_ext_dsir_sample, _dsir_oracle())
+
+
+# ---------------------------------------------------------------------------
+# HLL register-merge rollup: per-source distinct-document sketches union
+# into the corpus sketch by register-wise MAX — the mergeability that
+# lets per-shard / per-day sketches roll up at 100 TB without re-reading
+# raw data (max is associative, so the merged registers are EXACTLY the
+# registers of the combined data). Emits per-source estimates plus the
+# merged 'ALL' row; integer-exact register sums, one final double
+# division (engine-identical, no rounding needed).
+_HLLU_P = 8
+_HLLU_SALT = "hllu"
+
+
+def q_ext_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    regs = hll_registers(docs, ["source"], "text", p=_HLLU_P, salt=_HLLU_SALT)
+    scoped = regs.select(
+        F.col("source").cast("string").alias("scope"), "__idx", "__m"
+    ).unionByName(
+        hll_merge_registers(regs, []).select(
+            F.lit("ALL").alias("scope"), "__idx", "__m"
+        )
+    )
+    return hll_estimate(scoped, ["scope"], p=_HLLU_P)
+
+
+def _hll_union_oracle() -> str:
+    from be_analytic_etl_spark.operators.sketches import hll_union_sql_twin
+
+    return hll_union_sql_twin(
+        "documents", "source", "text", p=_HLLU_P, salt=_HLLU_SALT
+    )
+
+
+register("ext_hll_union", q_ext_hll_union, _hll_union_oracle())
