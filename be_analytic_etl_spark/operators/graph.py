@@ -406,9 +406,15 @@ def pagerank(
         F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
         F.lit(init).cast("long").alias("score"),
     )
-    state = state.localCheckpoint(eager=True)
+    # lazy checkpoints truncate lineage exactly like eager ones but defer
+    # materialization: every round below materializes inside the ONE job
+    # the final (eager) checkpoint runs, instead of one job per round.
+    # The last round MUST be eager — it pins the whole chain (reading e
+    # from cache) before e.unpersist(), so the returned plan never
+    # re-executes the upstream edge derivation.
+    state = state.localCheckpoint(eager=False)
 
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(state.filter(F.col("outdeg") > 0), e["s"] == F.col("id"))
             .select(F.col("d").alias("id"), F.expr("score div outdeg").alias("c"))
@@ -427,7 +433,7 @@ def pagerank(
                 .cast("long")
                 .alias("score"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=(it == iters - 1))
         )
 
     e.unpersist()
