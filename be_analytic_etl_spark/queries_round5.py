@@ -1168,3 +1168,57 @@ def _hll_union_oracle() -> str:
 
 
 register("ext_hll_union", q_ext_hll_union, _hll_union_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality calibration: raw quality scores are not comparable
+# across languages (stopword lists, punctuation norms differ), so
+# curation thresholds the per-lang PERCENTILE, not the raw score.
+# percent_rank over a unique (q6, doc_id) ordering is (rank-1)/(n-1) —
+# one IEEE division of exact small integers, engine-identical with no
+# rounding. One shuffle on lang; the keep flag is map-side after it.
+def q_ext_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q6 = stable_round(T.quality_score("text", round_to=None), 6)
+    w = Window.partitionBy("lang").orderBy("q6", "doc_id")
+    return (
+        docs.select("doc_id", "lang", q6.alias("q6"))
+        .withColumn("pct", F.percent_rank().over(w))
+        .withColumn("kept", F.col("pct") >= 0.5)
+    )
+
+
+def _quality_percentile_oracle() -> str:
+    from be_analytic_etl_spark.queries_analytics import _QSCORE_SQL
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang, coalesce(text, '') AS t, {_TOKS} AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(length(t) AS INTEGER) AS n_chars,
+               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g'))
+                   AS n_punct,
+               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))
+                   AS n_stop
+        FROM tok
+    ), q AS (
+        SELECT doc_id, lang,
+               {stable_round_sql(_QSCORE_SQL, 6)} AS q6
+        FROM m
+    )
+    SELECT doc_id, lang, q6,
+           PERCENT_RANK() OVER (PARTITION BY lang ORDER BY q6, doc_id) AS pct,
+           PERCENT_RANK() OVER (PARTITION BY lang ORDER BY q6, doc_id) >= 0.5
+               AS kept
+    FROM q
+    """
+
+
+register(
+    "ext_quality_percentile",
+    q_ext_quality_percentile,
+    _quality_percentile_oracle(),
+)
