@@ -1222,3 +1222,61 @@ register(
     q_ext_quality_percentile,
     _quality_percentile_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout census: interleave (customer, order-day) bits into a
+# Morton key, bucket the z-sorted orders into 64 "files", and emit each
+# bucket's footer stats (min/max per dimension) plus whether a fixed
+# customer-range probe would touch it — the lakehouse OPTIMIZE ZORDER
+# data-skipping story, in exact integer bit math (oracle replays the
+# keys bit-for-bit). NTILE's global window is the local stand-in for
+# repartitionByRange at scale (operators/layout.py).
+_Z_BUCKETS = 64
+_Z_PROBE_LO, _Z_PROBE_HI = 100, 200
+
+
+def q_ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.layout import zorder_skipping_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("y"),
+        F.col("o_orderkey").alias("id"),
+    )
+    stats = zorder_skipping_stats(
+        base, "x", "y", "id", n_buckets=_Z_BUCKETS, bits=16
+    )
+    return stats.withColumn(
+        "touches_probe",
+        (F.col("min_x") <= _Z_PROBE_HI) & (F.col("max_x") >= _Z_PROBE_LO),
+    )
+
+
+def _zorder_oracle() -> str:
+    from be_analytic_etl_spark.operators.layout import _interleave_sql
+
+    zexpr = _interleave_sql("CAST(x AS BIGINT)", "CAST(y AS BIGINT)", 16)
+    return f"""
+    WITH base AS (
+        SELECT o_custkey AS x,
+               date_diff('day', DATE '1992-01-01', o_orderdate) AS y,
+               o_orderkey AS id
+        FROM orders
+    ), zb AS (
+        SELECT x, y,
+               NTILE({_Z_BUCKETS}) OVER (ORDER BY {zexpr}, id) AS bucket
+        FROM base
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y,
+           (MIN(x) <= {_Z_PROBE_HI} AND MAX(x) >= {_Z_PROBE_LO})
+               AS touches_probe
+    FROM zb GROUP BY bucket
+    """
+
+
+register("ext_zorder_skipping", q_ext_zorder_skipping, _zorder_oracle())

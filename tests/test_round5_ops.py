@@ -521,3 +521,54 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     import pytest
     with pytest.raises(ValueError):
         dsir_llr_weights(corpus, target, n_buckets=0)
+
+
+def test_zorder_prunes_both_dimensions(spark):
+    """On a uniform 2-D grid, z-order bucket spans let a range probe on
+    EITHER dimension prune most buckets; an x-only sort cannot prune on
+    y at all. This is the whole point of the layout."""
+    from be_analytic_etl_spark.operators.layout import (
+        zorder_skipping_stats,
+        zorder_value,
+    )
+
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long, id long")
+    zb = {
+        r["bucket"]: r
+        for r in zorder_skipping_stats(
+            df, "x", "y", "id", n_buckets=16, bits=6
+        ).collect()
+    }
+    # probe: y in [0, 15] (a quarter of the domain)
+    z_touched = sum(
+        1 for r in zb.values() if r["min_y"] <= 15 and r["max_y"] >= 0
+    )
+    # x-sorted layout: every bucket holds all y values -> nothing prunes
+    from pyspark.sql import Window
+
+    w = Window.orderBy("x", "id")
+    xb = (
+        df.withColumn("bucket", F.ntile(16).over(w))
+        .groupBy("bucket")
+        .agg(F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+        .collect()
+    )
+    x_touched = sum(1 for r in xb if r["min_y"] <= 15 and r["max_y"] >= 0)
+    assert x_touched == 16  # x-sort: every bucket touched
+    assert z_touched <= 8  # z-order: the probe prunes at least half
+    # z-values are the exact Morton interleave
+    got = (
+        df.select(zorder_value("x", "y", bits=6).alias("z"), "x", "y")
+        .filter((F.col("x") == 3) & (F.col("y") == 5))
+        .collect()[0]["z"]
+    )
+
+    def morton(x, y):
+        out = 0
+        for i in range(6):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert got == morton(3, 5) == 39
