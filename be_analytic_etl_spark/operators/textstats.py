@@ -687,12 +687,18 @@ def dsir_llr_weights(
         )
 
     spark = corpus.sparkSession
-    t_b = bucketed(target)
-    c_b = bucketed(corpus)
-    t_counts = t_b.groupBy("b").agg(F.count(F.lit(1)).alias("__ct"))
-    c_counts = c_b.groupBy("b").agg(F.count(F.lit(1)).alias("__cc"))
-    t_tot = t_b.agg(F.count(F.lit(1)).alias("__nt"))
-    c_tot = c_b.agg(F.count(F.lit(1)).alias("__nc"))
+    t_counts = bucketed(target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("__ct")
+    )
+    c_counts = bucketed(corpus).groupBy("b").agg(
+        F.count(F.lit(1)).alias("__cc")
+    )
+    # totals reduce from the (<= n_buckets)-row count tables, NOT from
+    # another pass over the raw corpus: each side is scanned once for its
+    # distribution; the corpus's second scan below is the scoring pass —
+    # the irreducible two-pass shape of importance weighting.
+    t_tot = t_counts.agg(F.sum("__ct").alias("__nt"))
+    c_tot = c_counts.agg(F.sum("__cc").alias("__nc"))
     denom_extra = float(alpha) * n_buckets
     ratio = (
         F.log(

@@ -1148,7 +1148,12 @@ def q_ext_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    regs = hll_registers(docs, ["source"], "text", p=_HLLU_P, salt=_HLLU_SALT)
+    # lazy checkpoint: both union branches reference regs — without it
+    # each branch would re-scan the corpus; with it the sketch-sized
+    # register frame (<= 2^p rows per source) materializes once.
+    regs = hll_registers(
+        docs, ["source"], "text", p=_HLLU_P, salt=_HLLU_SALT
+    ).localCheckpoint(eager=False)
     scoped = regs.select(
         F.col("source").cast("string").alias("scope"), "__idx", "__m"
     ).unionByName(
