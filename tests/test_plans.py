@@ -460,3 +460,27 @@ def test_ivf_pq_scan_is_cell_equijoin_not_corpus_bnl(spark):
     assert "BroadcastHashJoin [cell" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_topk_is_takeordered_and_ratio_table_broadcasts(spark):
+    """DSIR: the top-k must be TakeOrdered (never a global sort of the
+    scored corpus) and the bucket ratio table must broadcast onto the
+    scoring pass."""
+    plan = plan_of(QUERIES["ext_dsir_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_fusion_no_cartesian_no_python(spark):
+    plan = plan_of(QUERIES["ext_rrf_fusion"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_zorder_zvalue_is_map_side_expression(spark):
+    """The Morton key must fold into a projection over the scan — no
+    join, no Python, nothing but the window shuffle for NTILE."""
+    plan = plan_of(QUERIES["ext_zorder_skipping"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
