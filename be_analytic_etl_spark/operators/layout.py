@@ -7,9 +7,11 @@ co-locates rows that are close in ANY of the dimensions — per-file
 min/max stats then prune files for predicates on any z-ordered column,
 not just the leading sort column.
 
-Everything here is exact integer bit math (shift/mask/or composed as a
-constant-folded expression), so a SQL oracle replays the keys and the
-skipping census bit-for-bit.
+The Morton key primitive itself lives in ``operators/profiling.py``
+(``zorder_key`` / its ``zorder_sql`` twin — value-checked by
+``ext_zorder``); this module adds the LAYOUT side: bucket the z-sorted
+rows into files-worth of spans and emit the footer stats a reader
+prunes on (``ext_zorder_skipping``).
 
 Scale shape: the z-value is a map-side expression; production layout is
 ``repartitionByRange(z)`` + per-file stats at write. The bucketed census
@@ -20,30 +22,10 @@ for file-footer stats.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _interleave_sql(x: str, y: str, bits: int) -> str:
-    """Bit-interleave expression text (valid in both Spark SQL and
-    DuckDB): x's bit i -> position 2i, y's bit i -> position 2i+1."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
-    return "(" + " + ".join(terms) + ")"
-
-
-def zorder_value(x_col: str, y_col: str, bits: int = 16) -> Column:
-    """Morton z-value of two non-negative integer columns, ``bits`` low
-    bits each (values must fit; mask upstream if needed)."""
-    if not 1 <= bits <= 31:
-        raise ValueError(f"bits must be in [1, 31], got {bits}")
-    return F.expr(
-        _interleave_sql(
-            f"CAST({x_col} AS BIGINT)", f"CAST({y_col} AS BIGINT)", bits
-        )
-    )
+from be_analytic_etl_spark.operators.profiling import zorder_key
 
 
 def zorder_skipping_stats(
@@ -66,7 +48,7 @@ def zorder_skipping_stats(
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     from pyspark.sql import Window
 
-    z = zorder_value(x_col, y_col, bits).alias("__z")
+    z = zorder_key(x_col, y_col, bits).alias("__z")
     w = Window.orderBy(F.col("__z"), F.col(id_col))
     return (
         df.select(F.col(x_col), F.col(y_col), F.col(id_col), z)

@@ -1259,10 +1259,10 @@ def q_ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _zorder_oracle() -> str:
-    from be_analytic_etl_spark.operators.layout import _interleave_sql
+def _zorder_skip_oracle() -> str:
+    from be_analytic_etl_spark.operators.profiling import zorder_sql
 
-    zexpr = _interleave_sql("CAST(x AS BIGINT)", "CAST(y AS BIGINT)", 16)
+    zexpr = zorder_sql("x", "y", bits=16)
     return f"""
     WITH base AS (
         SELECT o_custkey AS x,
@@ -1284,4 +1284,4 @@ def _zorder_oracle() -> str:
     """
 
 
-register("ext_zorder_skipping", q_ext_zorder_skipping, _zorder_oracle())
+register("ext_zorder_skipping", q_ext_zorder_skipping, _zorder_skip_oracle())

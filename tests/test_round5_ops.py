@@ -527,10 +527,8 @@ def test_zorder_prunes_both_dimensions(spark):
     """On a uniform 2-D grid, z-order bucket spans let a range probe on
     EITHER dimension prune most buckets; an x-only sort cannot prune on
     y at all. This is the whole point of the layout."""
-    from be_analytic_etl_spark.operators.layout import (
-        zorder_skipping_stats,
-        zorder_value,
-    )
+    from be_analytic_etl_spark.operators.layout import zorder_skipping_stats
+    from be_analytic_etl_spark.operators.profiling import zorder_key
 
     rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
     df = spark.createDataFrame(rows, "x long, y long, id long")
@@ -559,7 +557,7 @@ def test_zorder_prunes_both_dimensions(spark):
     assert z_touched <= 8  # z-order: the probe prunes at least half
     # z-values are the exact Morton interleave
     got = (
-        df.select(zorder_value("x", "y", bits=6).alias("z"), "x", "y")
+        df.select(zorder_key("x", "y", bits=6).alias("z"), "x", "y")
         .filter((F.col("x") == 3) & (F.col("y") == 5))
         .collect()[0]["z"]
     )
