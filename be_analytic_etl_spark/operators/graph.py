@@ -388,7 +388,12 @@ def pagerank(
     mass is dropped (the simplest published variant; redistribute upstream
     if needed). Per iteration: one join + one partial-agg groupBy, state
     is (node, outdeg, score) — the CC loop's scale shape.
+
+    ``iters`` must be >= 1: the loop's last round carries the eager
+    checkpoint that pins the state before the edge cache is released.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     e = e.persist()
     nodes = (

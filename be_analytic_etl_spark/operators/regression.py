@@ -104,6 +104,12 @@ def isotonic_fit_minimax(
     path, which remains the long-series/production operator. The n^3
     work is confined inside each group; groups parallelize.
 
+    Input contract (same as ``isotonic_fit``): ONE row per (group, x) —
+    reduce first with a native aggregation. The prefix sum uses an
+    explicit ROWS frame so it always aligns with the row_number
+    positions; with duplicated x the tie order (and hence the output)
+    would be nondeterministic.
+
     Returns (group, x, y, y_iso) with y = CAST(y_dec AS DOUBLE).
     """
     from pyspark.sql import Window, functions as F
@@ -112,7 +118,10 @@ def isotonic_fit_minimax(
     pos = df.select(
         group_col, F.col(x_col), F.col(y_dec_col).alias("__y")
     ).withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__s", F.sum("__y").over(w)
+        "__s",
+        F.sum("__y").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
     a = pos.select(
         group_col,

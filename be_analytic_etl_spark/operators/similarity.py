@@ -773,8 +773,14 @@ def rrf_fuse(
     driver-safe at any corpus size. Fusing many queries at once would
     partition the window by query id instead.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     if out_names is None:
         out_names = [f"rank_{i}" for i in range(len(ranked))]
+    if len(out_names) != len(ranked):
+        raise ValueError(
+            f"out_names has {len(out_names)} names for {len(ranked)} lists"
+        )
     fused: DataFrame | None = None
     for df, name in zip(ranked, out_names):
         cur = df.select(F.col(id_col), F.col(rank_col).alias(name))

@@ -489,8 +489,8 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: quality_score(round_to=None) as one DuckDB expression over the m-CTE
-#: columns (n_tokens, n_chars, n_punct, n_stop) — shared by the corpus
-#: report oracle.
+#: columns (n_tokens, n_chars, n_punct, n_stop) — shared by every
+#: quality-scoring oracle (corpus report, token budget, percentile).
 _QSCORE_SQL = (
     "least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) "
     "* greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0 "
@@ -501,9 +501,35 @@ _QSCORE_SQL = (
 )
 
 
+def qscore_feature_ctes(key_cols: str, extra_exprs: str = "") -> str:
+    """The tok/m CTE block computing ``_QSCORE_SQL``'s inputs
+    (n_tokens, n_chars, n_punct, n_stop) per documents row — the single
+    source every quality-scoring oracle embeds, so the feature
+    definitions can never drift from ``textstats.quality_score``.
+
+    ``key_cols``: leading columns carried through (e.g. "doc_id, lang").
+    ``extra_exprs``: additional m-level select items, ", "-prefixed
+    (e.g. ", toks" when the caller also needs the token list).
+    """
+    from be_analytic_etl_spark.queries_extensions import _STOP_SQL
+
+    return f"""tok AS (
+        SELECT {key_cols}, coalesce(text, '') AS t, {_TOKS} AS toks
+        FROM documents
+    ), m AS (
+        SELECT {key_cols}{extra_exprs},
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(length(t) AS INTEGER) AS n_chars,
+               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g'))
+                   AS n_punct,
+               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))
+                   AS n_stop
+        FROM tok
+    )"""
+
+
 def _corpus_report_oracle() -> str:
     from be_analytic_etl_spark.operators import textstats as T
-    from be_analytic_etl_spark.queries_extensions import _STOP_SQL
 
     langs = sorted(T.LANG_MARKERS)
     score_cols = []
@@ -518,19 +544,7 @@ def _corpus_report_oracle() -> str:
         chain += f"WHEN s_{lang} = {mx} THEN '{lang}' "
     chain += "ELSE 'und' END"
     return f"""
-    WITH tok AS (
-        SELECT lang, coalesce(text, '') AS t, {_TOKS} AS toks FROM documents
-    ), m AS (
-        SELECT lang, toks,
-               CAST(len(toks) AS INTEGER) AS n_tokens,
-               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g'))
-                   AS n_punct,
-               CAST(length(t) AS INTEGER) AS n_chars,
-               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))
-                   AS n_stop,
-               {", ".join(score_cols)}
-        FROM tok
-    ), r AS (
+    WITH {qscore_feature_ctes("lang", ", toks, " + ", ".join(score_cols))}, r AS (
         SELECT lang, n_tokens,
                CASE WHEN {chain} = lang THEN 1 ELSE 0 END AS is_match,
                CAST({stable_round_sql(_QSCORE_SQL, 6)} AS DECIMAL(18,6)) AS q6

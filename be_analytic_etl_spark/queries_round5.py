@@ -1012,23 +1012,14 @@ def q_ext_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_budget_oracle() -> str:
-    from be_analytic_etl_spark.queries_analytics import _QSCORE_SQL
+    from be_analytic_etl_spark.queries_analytics import (
+        _QSCORE_SQL,
+        qscore_feature_ctes,
+    )
 
     order = "q6 DESC, doc_id"
     return f"""
-    WITH tok AS (
-        SELECT doc_id, source, coalesce(text, '') AS t, {_TOKS} AS toks
-        FROM documents
-    ), m AS (
-        SELECT doc_id, source,
-               CAST(len(toks) AS INTEGER) AS n_tokens,
-               CAST(length(t) AS INTEGER) AS n_chars,
-               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g'))
-                   AS n_punct,
-               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))
-                   AS n_stop
-        FROM tok
-    ), q AS (
+    WITH {qscore_feature_ctes("doc_id, source")}, q AS (
         SELECT doc_id, source, n_tokens,
                {stable_round_sql(_QSCORE_SQL, 6)} AS q6
         FROM m
@@ -1194,22 +1185,13 @@ def q_ext_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_percentile_oracle() -> str:
-    from be_analytic_etl_spark.queries_analytics import _QSCORE_SQL
+    from be_analytic_etl_spark.queries_analytics import (
+        _QSCORE_SQL,
+        qscore_feature_ctes,
+    )
 
     return f"""
-    WITH tok AS (
-        SELECT doc_id, lang, coalesce(text, '') AS t, {_TOKS} AS toks
-        FROM documents
-    ), m AS (
-        SELECT doc_id, lang,
-               CAST(len(toks) AS INTEGER) AS n_tokens,
-               CAST(length(t) AS INTEGER) AS n_chars,
-               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g'))
-                   AS n_punct,
-               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))
-                   AS n_stop
-        FROM tok
-    ), q AS (
+    WITH {qscore_feature_ctes("doc_id, lang")}, q AS (
         SELECT doc_id, lang,
                {stable_round_sql(_QSCORE_SQL, 6)} AS q6
         FROM m
@@ -1239,6 +1221,11 @@ register(
 # repartitionByRange at scale (operators/layout.py).
 _Z_BUCKETS = 64
 _Z_PROBE_LO, _Z_PROBE_HI = 100, 200
+#: 21 bits per dimension (2^21 = 2M): o_custkey passes 2^16 from TPC-H
+#: sf~0.5 and reaches 150k at sf1 — 16 bits would silently alias keys
+#: mod 65536 and erode the locality the census demonstrates. 2*21 = 42
+#: key bits, well inside BIGINT.
+_Z_BITS = 21
 
 
 def q_ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,7 +1238,7 @@ def q_ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("id"),
     )
     stats = zorder_skipping_stats(
-        base, "x", "y", "id", n_buckets=_Z_BUCKETS, bits=16
+        base, "x", "y", "id", n_buckets=_Z_BUCKETS, bits=_Z_BITS
     )
     return stats.withColumn(
         "touches_probe",
@@ -1262,7 +1249,7 @@ def q_ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_skip_oracle() -> str:
     from be_analytic_etl_spark.operators.profiling import zorder_sql
 
-    zexpr = zorder_sql("x", "y", bits=16)
+    zexpr = zorder_sql("x", "y", bits=_Z_BITS)
     return f"""
     WITH base AS (
         SELECT o_custkey AS x,

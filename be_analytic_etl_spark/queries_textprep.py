@@ -561,7 +561,9 @@ def _isotonic_minimax_oracle() -> str:
     ), pos AS (
         SELECT event_type, day, y6,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
-               SUM(y6) OVER (PARTITION BY event_type ORDER BY day) AS s
+               SUM(y6) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s
         FROM daily
     ), seg AS (
         SELECT a.event_type, a.rn AS j, b.rn AS k,

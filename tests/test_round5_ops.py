@@ -570,3 +570,20 @@ def test_zorder_prunes_both_dimensions(spark):
         return out
 
     assert got == morton(3, 5) == 39
+
+
+def test_round5_operator_input_validation(spark):
+    """Review-pinned guards: rrf_fuse rejects empty/mismatched inputs,
+    pagerank rejects iters < 1 (the eager-checkpoint invariant needs at
+    least one round)."""
+    from be_analytic_etl_spark.operators.graph import pagerank
+    from be_analytic_etl_spark.operators.similarity import rrf_fuse
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([df, df], out_names=["only_one"])
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=0)
