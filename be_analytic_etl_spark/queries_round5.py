@@ -39,29 +39,21 @@ def _bucket_sql(key: str, salt: str) -> str:
     )
 
 
-#: DuckDB CTE chain computing quality_score(round_to=None) per doc_id —
-#: the same fragment ext_token_stats value-checks, re-used as a building
-#: block (tok -> m -> q yielding (doc_id, fingerprint, quality)).
-_QUALITY_CTES = f"""
-    tok AS (
-        SELECT doc_id, coalesce(text, '') AS t, {_TOKS} AS toks FROM documents
-    ), m AS (
-        SELECT doc_id, t,
-               CAST(len(toks) AS INTEGER) AS n_tokens,
-               CAST(length(t) AS INTEGER) AS n_chars_meas,
-               length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g')) AS n_punct,
-               len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x)))) AS n_stop
-        FROM tok
-    ), q AS (
+#: DuckDB CTE chain computing quality_score(round_to=None) per doc_id
+#: (tok -> m -> q yielding (doc_id, fingerprint, quality)) — the
+#: feature block and score formula are single-sourced from
+#: queries_analytics (qscore_feature_ctes / _QSCORE_SQL) so they can
+#: never drift from textstats.quality_score.
+def _quality_ctes() -> str:
+    from be_analytic_etl_spark.queries_analytics import (
+        _QSCORE_SQL,
+        qscore_feature_ctes,
+    )
+
+    return f"""{qscore_feature_ctes("doc_id", ", t")}, q AS (
         SELECT doc_id,
                md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS fingerprint,
-               least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
-                 * greatest(0.0, 1.0 - (CASE WHEN n_chars_meas = 0 THEN 0.0
-                       ELSE CAST(n_punct AS DOUBLE) / n_chars_meas END) * 5.0)
-                 * (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
-                       ELSE CAST(n_stop AS DOUBLE) / n_tokens END)
-                       BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
-                   AS quality
+               {_QSCORE_SQL} AS quality
         FROM m
     )"""
 
@@ -85,7 +77,7 @@ register(
     "ext_dup_survivorship",
     q_ext_dup_survivorship,
     f"""
-    WITH {_QUALITY_CTES}, r AS (
+    WITH {_quality_ctes()}, r AS (
         SELECT doc_id, fingerprint, quality,
                ROW_NUMBER() OVER (
                    PARTITION BY fingerprint ORDER BY quality DESC, doc_id) AS rn,
@@ -217,7 +209,7 @@ register(
     "ext_quality_bins",
     q_ext_quality_bins,
     f"""
-    WITH {_QUALITY_CTES}, binned AS (
+    WITH {_quality_ctes()}, binned AS (
         SELECT d.doc_id, d.n_chars, q.quality,
                CAST(least(9, floor(q.quality * 10)) AS INTEGER) AS q_bin
         FROM documents d JOIN q ON d.doc_id = q.doc_id
