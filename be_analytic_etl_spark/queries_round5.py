@@ -25,7 +25,6 @@ from be_analytic_etl_spark.operators import textstats as T
 from be_analytic_etl_spark.queries_extensions import (
     _dot_sql,
     _grams_sql,
-    _STOP_SQL,
     _t,
     _TOKS,
 )
