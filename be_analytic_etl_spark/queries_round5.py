@@ -1263,3 +1263,93 @@ def _zorder_skip_oracle() -> str:
 
 
 register("ext_zorder_skipping", q_ext_zorder_skipping, _zorder_skip_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (DPR / contrastive-training step, Karpukhin et al.
+# EMNLP 2020): for each anchor, the highest-cosine neighbors whose label
+# DIFFERS — the near-misses a contrastive loss learns most from. Pool =
+# exact top-_HN_POOL neighbors (the brute-force baseline path; swap in
+# ivf_ann at scale), then a label anti-filter and per-anchor re-rank.
+# A pool dominated by same-label neighbors legitimately yields fewer
+# than _HN_K negatives (bounded-pool mining, documented).
+_HN_POOL = 20
+_HN_K = 5
+
+
+def q_ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    pool = S.brute_force_topk(emb, q, k=_HN_POOL, round_to=None)
+    alab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("anchor_label")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label")
+    )
+    hard = (
+        pool.join(alab, "query_id")
+        .join(nlab, "neighbor_id")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        hard.withColumn("hard_rank", F.row_number().over(w))
+        .filter(F.col("hard_rank") <= _HN_K)
+        .select(
+            "query_id",
+            "anchor_label",
+            F.col("neighbor_id").alias("neg_id"),
+            "neg_label",
+            "cos_sim",
+            "hard_rank",
+        )
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0
+                         OR sqrt({_dot_sql("e.embedding", "e.embedding")}) = 0
+                    THEN 0.0
+                    ELSE {_dot_sql("q.qv", "e.embedding")}
+                         / (sqrt({_dot_sql("q.qv", "q.qv")})
+                            * sqrt({_dot_sql("e.embedding", "e.embedding")})) END
+                   AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ), pool AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+        QUALIFY rank <= {_HN_POOL}
+    ), hard AS (
+        SELECT p.query_id, a.label AS anchor_label,
+               p.neighbor_id AS neg_id, n.label AS neg_label, p.cos_sim
+        FROM pool p
+        JOIN embeddings a ON p.query_id = a.vec_id
+        JOIN embeddings n ON p.neighbor_id = n.vec_id
+        WHERE n.label <> a.label
+    )
+    SELECT query_id, anchor_label, neg_id, neg_label, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neg_id
+           ) AS INTEGER) AS hard_rank
+    FROM hard
+    QUALIFY hard_rank <= {_HN_K}
+    """
+
+
+register("ext_hard_negatives", q_ext_hard_negatives, _hard_negatives_oracle())
