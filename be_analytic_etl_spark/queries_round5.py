@@ -1,15 +1,24 @@
-"""Round-5 extension queries: dedup survivorship, mixture sampling,
-containment similarity, curriculum binning, rolling quantiles, per-key
-sampling.
+"""Round-5 extension queries.
 
-These finish the training-data-pipeline story: after near-dup *detection*
-(dedup.py) a pipeline must pick canonical survivors, mix sources to a
-token budget, catch sub-document (containment) duplication that Jaccard
-misses, bin by quality for curriculum schedules, and draw deterministic
-per-key samples for eval sets. Every query pairs the Spark operator with
-a DuckDB oracle twin (same cross-engine determinism rules as
-queries_extensions.py: exact integer divisions, identical IEEE op order,
-md5-head portable hashing).
+First batch — survivorship and selection: dedup survivorship, mixture
+sampling, containment similarity, curriculum binning, rolling
+quantiles, per-key sampling, LM scoring, SemDeDup, PQ/IVF-PQ ANN,
+sequence packing, window dedup, frequent pairs, MAD outliers.
+
+Second batch — retrieval, selection, and layout: BM25 and hybrid (RRF)
+retrieval, hard-negative mining, per-source token-budget selection,
+DSIR importance resampling, per-language quality-percentile
+calibration, the HLL register-merge rollup, and the Z-order
+data-skipping census.
+
+Together these finish the training-data-pipeline story: after near-dup
+*detection* (dedup.py) a pipeline must pick canonical survivors, mix
+and select sources to a token budget, retrieve and mine contrastive
+examples, and lay data out for scan pruning. Every query pairs the
+Spark operator with a DuckDB oracle twin (same cross-engine
+determinism rules as queries_extensions.py: exact integer divisions,
+identical IEEE op order, md5-head portable hashing, stable_round for
+emitted engine-divergent doubles).
 """
 
 from __future__ import annotations
