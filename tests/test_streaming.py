@@ -199,3 +199,41 @@ def test_stream_dedup_within_watermark_single_batch(spark, events_batch, events_
     # output is exactly one row per (user_id, event_type)
     assert got.count() == events_batch.select("user_id", "event_type").distinct().count()
     assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+
+
+def test_stream_hll_registers_match_batch(spark, events_batch, events_stream_dir):
+    """The mergeable HLL register aggregation (groupBy + MAX) is
+    streaming-compatible UNCHANGED: register MAX is associative and
+    monotone (never retracts), so the same sketches.hll_registers plan
+    maintains the sketch incrementally, and the final state — and hence
+    the estimate — is bit-identical to the batch sketch."""
+    from be_analytic_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        hll_registers(stream, ["event_type"], "user_id", p=6)
+        .writeStream.format("memory")
+        .queryName("t_hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got_regs = spark.table("t_hll_regs")
+    want_regs = hll_registers(events_batch, ["event_type"], "user_id", p=6)
+    a = {(r["event_type"], r["__idx"], r["__m"]) for r in got_regs.collect()}
+    b = {(r["event_type"], r["__idx"], r["__m"]) for r in want_regs.collect()}
+    assert a == b
+    got_est = {
+        r["event_type"]: (r["hll_estimate"], r["n_registers_used"])
+        for r in hll_estimate(got_regs, ["event_type"], p=6).collect()
+    }
+    want_est = {
+        r["event_type"]: (r["hll_estimate"], r["n_registers_used"])
+        for r in hll_estimate(want_regs, ["event_type"], p=6).collect()
+    }
+    assert got_est == want_est  # bit-identical, not approximate
