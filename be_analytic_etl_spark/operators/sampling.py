@@ -393,3 +393,47 @@ def token_budget_sample(
         )
         .drop("__prior")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    salt_n: int = 8,
+) -> DataFrame:
+    """Skew-proof EXACT per-group top-k (largest ``order_col``, ties by
+    ``id_col``): phase 1 takes the top-k within (group, salt) sub-buckets
+    — so even a power-law hot group never concentrates on one task and
+    per-task window state is bounded — phase 2 re-ranks the <= k*salt_n
+    survivors per group. Exact because any global top-k row is
+    necessarily top-k within whichever sub-bucket holds it; the result
+    is therefore invariant to the salt assignment (xxhash64, the cheap
+    non-portable path — no oracle ever needs to replay it).
+
+    The plain single-window top-k is the right plan when no group is
+    hot; this is the explicit skew fix, same spirit as
+    ``skew.salted_join``. Adds ``rank`` (1-based).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if salt_n <= 0:
+        raise ValueError(f"salt_n must be positive, got {salt_n}")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("__salt", "__r1")
+    )

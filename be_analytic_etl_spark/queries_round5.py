@@ -1362,3 +1362,37 @@ def _hard_negatives_oracle() -> str:
 
 
 register("ext_hard_negatives", q_ext_hard_negatives, _hard_negatives_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Skew-proof exact per-group top-k: two-phase (sub-bucket top-k, then
+# final re-rank of <= k*salt_n survivors) — the pattern that survives a
+# power-law hot group where a single-window top-k straggles. Result is
+# salt-invariant, so the oracle is the plain window top-k.
+_TOPK_K = 3
+
+
+def q_ext_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return SA.topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        group_cols=["o_orderpriority"],
+        order_col="o_totalprice",
+        id_col="o_orderkey",
+        k=_TOPK_K,
+    )
+
+
+register(
+    "ext_topk_per_group",
+    q_ext_topk_per_group,
+    f"""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS INTEGER) AS rank
+    FROM orders
+    QUALIFY rank <= {_TOPK_K}
+    """,
+)

@@ -587,3 +587,30 @@ def test_round5_operator_input_validation(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(edges, iters=0)
+
+
+def test_topk_per_group_exact_and_salt_invariant(spark):
+    """Two-phase top-k equals the single-window top-k for any salt_n
+    (exactness), including at the k boundary with ties."""
+    from be_analytic_etl_spark.operators.sampling import topk_per_group
+
+    rows = [("g", i, float(100 - (i % 10))) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    want = [
+        (r["grp"], r["id"], r["rank"])
+        for r in topk_per_group(df, ["grp"], "v", "id", k=7, salt_n=1).collect()
+    ]
+    for sn in (2, 8, 32):
+        got = [
+            (r["grp"], r["id"], r["rank"])
+            for r in topk_per_group(
+                df, ["grp"], "v", "id", k=7, salt_n=sn
+            ).collect()
+        ]
+        assert sorted(got) == sorted(want), sn
+    # ties at the boundary: v repeats every 10 ids; rank ties break by id
+    by_rank = {r for _, i, r in want}
+    assert by_rank == set(range(1, 8))
+
+    with pytest.raises(ValueError):
+        topk_per_group(df, ["grp"], "v", "id", k=0)
