@@ -414,7 +414,11 @@ def topk_per_group(
 
     The plain single-window top-k is the right plan when no group is
     hot; this is the explicit skew fix, same spirit as
-    ``skew.salted_join``. Adds ``rank`` (1-based).
+    ``skew.salted_join``. Adds ``rank`` (1-based). ``id_col`` values
+    must be unique within each group — (order_col desc, id_col) is the
+    total order both phases (and any oracle) rank by; duplicate ids
+    with equal order values would make the surviving payload rows
+    arbitrary.
     """
     from pyspark.sql import Window
 
@@ -422,6 +426,9 @@ def topk_per_group(
         raise ValueError(f"k must be positive, got {k}")
     if salt_n <= 0:
         raise ValueError(f"salt_n must be positive, got {salt_n}")
+    if "rank" in df.columns:
+        raise ValueError("input already has a 'rank' column — rename it")
+    orig = list(df.columns)
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n))
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(
         F.col(order_col).desc(), F.col(id_col)
@@ -430,10 +437,9 @@ def topk_per_group(
         F.col(order_col).desc(), F.col(id_col)
     )
     return (
-        df.withColumn("__salt", salt)
-        .withColumn("__r1", F.row_number().over(w1))
+        df.select(*orig, salt.alias("__salt"))
+        .select(*orig, "__salt", F.row_number().over(w1).alias("__r1"))
         .filter(F.col("__r1") <= k)
-        .withColumn("rank", F.row_number().over(w2))
+        .select(*orig, F.row_number().over(w2).alias("rank"))
         .filter(F.col("rank") <= k)
-        .drop("__salt", "__r1")
     )

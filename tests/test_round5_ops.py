@@ -595,6 +595,7 @@ def test_topk_per_group_exact_and_salt_invariant(spark):
     from be_analytic_etl_spark.operators.sampling import topk_per_group
 
     rows = [("g", i, float(100 - (i % 10))) for i in range(50)]
+    rows += [("h", 100 + i, float(i)) for i in range(12)]  # second group
     df = spark.createDataFrame(rows, "grp string, id long, v double")
     want = [
         (r["grp"], r["id"], r["rank"])
