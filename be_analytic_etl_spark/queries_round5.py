@@ -1396,3 +1396,56 @@ register(
     QUALIFY rank <= {_TOPK_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity (distinct-n): unique-trigram ratio per source — the
+# standard diversity check for synthetic/generated training data (Li et
+# al., NAACL 2016 "distinct" metric; Zhu et al. 2018 use its inverse as
+# Self-BLEU's cheap proxy). Low ratio = templated/mode-collapsed text.
+# One explode + two-level partial agg; the ratio is one IEEE division
+# of exact counts.
+_DN_N = 3
+
+
+def q_ext_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokenize(F.col("text"))
+    grams = F.expr(
+        f"transform(sequence(1, size(__t) - {_DN_N - 1}), "
+        f"i -> concat_ws(' ', slice(__t, i, {_DN_N})))"
+    )
+    g = (
+        docs.select("source", toks.alias("__t"))
+        .filter(F.size("__t") >= _DN_N)
+        .select("source", F.explode(grams).alias("g"))
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.countDistinct("g").cast("long").alias("n_distinct"),
+        (F.countDistinct("g").cast("double") / F.count(F.lit(1)))
+        .alias("distinct_ratio"),
+    )
+
+
+register(
+    "ext_distinct_ngrams",
+    q_ext_distinct_ngrams,
+    f"""
+    WITH tok AS (
+        SELECT source, {_TOKS} AS t FROM documents
+    ), g AS (
+        SELECT source, u.g AS g
+        FROM tok,
+             unnest(list_transform(range(1, len(t) - {_DN_N - 1} + 1),
+                    i -> array_to_string(list_slice(t, i, i + {_DN_N - 1}), ' ')))
+                 u(g)
+        WHERE len(t) >= {_DN_N}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS distinct_ratio
+    FROM g GROUP BY source
+    """,
+)
