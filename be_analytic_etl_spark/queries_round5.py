@@ -1449,3 +1449,96 @@ register(
     FROM g GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (Church & Hanks, CL 1990): top bigrams by pointwise
+# mutual information ln(N * c(a,b) / (c(a) * c(b))) with a min-count
+# support floor — the classic collocation/phrase-mining statistic (the
+# phrase-detection step word2vec popularized). All counts are exact
+# partial aggs; the single libm ln quantizes to DECIMAL(18,6) (bm25
+# discipline) so ranking replays identically; top-k is TakeOrdered.
+_PMI_MIN_COUNT = 5
+_PMI_K = 20
+
+
+def q_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokenize(F.col("text"))
+    bg = F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(lower(__t[i - 1]) AS w1, lower(__t[i]) AS w2))"
+    )
+    pairs = (
+        docs.select(toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(F.explode(bg).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    # total tokens reduce from the unigram counts (no extra corpus
+    # scan, no driver action — the DSIR totals discipline)
+    tot = uni.agg(F.sum("c_w").alias("__n"))
+    pmi = (
+        F.log(
+            F.col("__n").cast("double")
+            * F.col("c_ab").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        )
+    ).cast("decimal(18,6)")
+    scored = (
+        bc.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_a")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi_dec"))
+    )
+    top = scored.orderBy(
+        F.col("pmi_dec").desc(), "w1", "w2"
+    ).limit(_PMI_K)
+    return top.select(
+        "w1", "w2", "c_ab", F.col("pmi_dec").cast("double").alias("pmi")
+    )
+
+
+register(
+    "ext_pmi_collocations",
+    q_ext_pmi_collocations,
+    f"""
+    WITH tok AS (
+        SELECT {_TOKS} AS t FROM documents
+    ), pairs AS (
+        SELECT lower(t[i - 1]) AS w1, lower(t[i]) AS w2
+        FROM tok, unnest(range(2, len(t) + 1)) u(i)
+        WHERE len(t) >= 2
+    ), bc AS (
+        SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2
+    ), uni AS (
+        SELECT lower(u.w) AS w, COUNT(*) AS c_w
+        FROM tok, unnest(t) u(w) GROUP BY lower(u.w)
+    ), tot AS (
+        SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM tok
+    ), scored AS (
+        SELECT bc.w1, bc.w2, bc.c_ab,
+               CAST(ln(CAST(tot.n AS DOUBLE) * CAST(bc.c_ab AS DOUBLE)
+                       / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE)))
+                    AS DECIMAL(18,6)) AS pmi_dec
+        FROM bc
+        JOIN uni a ON bc.w1 = a.w
+        JOIN uni b ON bc.w2 = b.w
+        CROSS JOIN tot
+        WHERE bc.c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(pmi_dec AS DOUBLE) AS pmi
+    FROM scored
+    ORDER BY pmi_dec DESC, w1, w2
+    LIMIT {_PMI_K}
+    """,
+)
