@@ -73,8 +73,16 @@ def repair_mojibake(col: Column | str) -> Column:
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Full normalization pass: mojibake repair -> control-char strip ->
+    """Full normalization pass: control-char strip -> mojibake repair ->
     whitespace collapse -> trim.
+
+    The control strip runs FIRST: stripping a control char can join the
+    two halves of a mojibake sequence (e.g. 'Ã<VT>©' -> 'Ã©'), and with
+    repair first that newly-formed pair would survive the pass — a
+    non-idempotence the hypothesis property test caught with exactly
+    that input. Strip-then-repair is idempotent: repairs emit printable
+    characters only, and the later whitespace steps only insert/remove
+    spaces at run or edge positions, never creating new adjacency.
 
     Unicode NFC is deliberately absent: Spark has no built-in normalizer
     (it would force a per-row Python UDF — the slow path), and the fixed
@@ -84,8 +92,8 @@ def normalize_text(col: Column | str) -> Column:
     has already collapsed the easy cases.
     """
     c = F.col(col) if isinstance(col, str) else col
-    c = repair_mojibake(F.coalesce(c, F.lit("")))
-    c = F.regexp_replace(c, CONTROL_CLASS, "")
+    c = F.regexp_replace(F.coalesce(c, F.lit("")), CONTROL_CLASS, "")
+    c = repair_mojibake(c)
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 

@@ -66,11 +66,13 @@ def q_ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _normalize_sql(expr: str) -> str:
-    """DuckDB twin of operators.normalize.normalize_text over ``expr``."""
+    """DuckDB twin of operators.normalize.normalize_text over ``expr``
+    (same op order: control strip FIRST, then repair — see the
+    operator's idempotence note)."""
     out = f"coalesce({expr}, '')"
+    out = rf"regexp_replace({out}, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')"
     for bad, good in N.MOJIBAKE_PAIRS:
         out = f"replace({out}, '{bad}', '{good}')"
-    out = rf"regexp_replace({out}, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')"
     out = rf"regexp_replace({out}, '\s+', ' ', 'g')"
     return f"trim({out})"
 
