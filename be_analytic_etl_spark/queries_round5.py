@@ -1542,3 +1542,87 @@ register(
     LIMIT {_PMI_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (Kusupati et al., NeurIPS 2022): how well
+# do the first 16 of 64 embedding dims preserve the full-dimension
+# neighbor ranking? recall@k = |topk_full ∩ topk_trunc| / k per query —
+# the eval that decides how far a deployment can truncate stored
+# vectors. Both rankings are exact IEEE cosine folds; the overlap count
+# and /k division are engine-identical.
+_MRL_DIMS = 16
+_MRL_K = 10
+
+
+def q_ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q_full = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    full = S.brute_force_topk(emb, q_full, k=_MRL_K, round_to=None).select(
+        "query_id", "neighbor_id"
+    )
+    tr = F.slice(F.col("embedding"), 1, _MRL_DIMS)
+    emb_t = emb.select("vec_id", tr.alias("embedding"))
+    q_t = emb_t.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    trunc = S.brute_force_topk(emb_t, q_t, k=_MRL_K, round_to=None).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        full.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / _MRL_K).alias("recall_at_k"),
+        )
+    )
+
+
+def _matryoshka_oracle() -> str:
+    def ranked(vec: str, name: str) -> str:
+        qv = f"q.qv" if vec == "full" else f"list_slice(q.qv, 1, {_MRL_DIMS})"
+        ev = (
+            "e.embedding"
+            if vec == "full"
+            else f"list_slice(e.embedding, 1, {_MRL_DIMS})"
+        )
+        return f"""{name} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   CASE WHEN sqrt({_dot_sql(qv, qv)}) = 0
+                             OR sqrt({_dot_sql(ev, ev)}) = 0
+                        THEN 0.0
+                        ELSE {_dot_sql(qv, ev)}
+                             / (sqrt({_dot_sql(qv, qv)})
+                                * sqrt({_dot_sql(ev, ev)})) END AS cs
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= {_MRL_K}
+    )"""
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id % 100 = 0
+    ), {ranked("full", "fullk")}, {ranked("trunc", "trunck")}
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / {_MRL_K} AS recall_at_k
+    FROM fullk f JOIN trunck t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """
+
+
+register(
+    "ext_matryoshka_recall", q_ext_matryoshka_recall, _matryoshka_oracle()
+)
