@@ -1626,3 +1626,88 @@ def _matryoshka_oracle() -> str:
 register(
     "ext_matryoshka_recall", q_ext_matryoshka_recall, _matryoshka_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label agreement: for each probe vector, does the MAJORITY label
+# among its k nearest neighbors match its own label? The classic
+# embedding-quality probe (a cheap stand-in for linear-probe accuracy):
+# high agreement = label-coherent neighborhoods. Majority ties break to
+# the smaller label id — deterministic on both engines.
+_KNN_K = 5
+
+
+def q_ext_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    nn = S.brute_force_topk(emb, probes, k=_KNN_K, round_to=None)
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    votes = (
+        nn.join(nlab, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nl")
+    )
+    majority = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("nl").alias("majority_label"), "votes")
+    )
+    own = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own_label")
+    )
+    return majority.join(own, "query_id").select(
+        "query_id",
+        "own_label",
+        "majority_label",
+        F.col("votes").cast("long").alias("majority_votes"),
+        (F.col("majority_label") == F.col("own_label")).alias("agree"),
+    )
+
+
+def _knn_agreement_oracle() -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS own_label
+        FROM embeddings WHERE vec_id % 20 = 0
+    ), scored AS (
+        SELECT q.query_id, q.own_label, e.vec_id AS neighbor_id,
+               e.label AS nl,
+               CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0
+                         OR sqrt({_dot_sql("e.embedding", "e.embedding")}) = 0
+                    THEN 0.0
+                    ELSE {_dot_sql("q.qv", "e.embedding")}
+                         / (sqrt({_dot_sql("q.qv", "q.qv")})
+                            * sqrt({_dot_sql("e.embedding", "e.embedding")})) END
+                   AS cs
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ), nn AS (
+        SELECT query_id, own_label, nl FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= {_KNN_K}
+    ), votes AS (
+        SELECT query_id, own_label, nl, COUNT(*) AS votes
+        FROM nn GROUP BY query_id, own_label, nl
+    )
+    SELECT query_id, own_label, nl AS majority_label,
+           CAST(votes AS BIGINT) AS majority_votes,
+           (nl = own_label) AS agree
+    FROM votes
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, nl) = 1
+    """
+
+
+register(
+    "ext_knn_label_agreement",
+    q_ext_knn_label_agreement,
+    _knn_agreement_oracle(),
+)
