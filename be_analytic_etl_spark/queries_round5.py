@@ -1492,10 +1492,14 @@ def q_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
         )
     ).cast("decimal(18,6)")
+    # NO broadcast hint on uni: the whitespace vocabulary is unbounded
+    # (it grows with the corpus), so these are plain hash joins keyed on
+    # the word — AQE may still broadcast when the table is actually
+    # small, but the plan never *requires* collecting the vocabulary.
     scored = (
         bc.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
-        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_a")), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_b")), "w2")
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_b"), "w2")
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c_ab", pmi.alias("pmi_dec"))
     )
@@ -1571,12 +1575,17 @@ def q_ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     trunc = S.brute_force_topk(emb_t, q_t, k=_MRL_K, round_to=None).select(
-        "query_id", "neighbor_id"
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )
+    # left join (not semi) + conditional sum: a query whose truncated
+    # ranking shares NOTHING with the full one must still emit its
+    # recall-0 row — that worst case is exactly what the eval surfaces.
     return (
-        full.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+        full.join(trunc, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_overlap")
+        )
         .select(
             "query_id",
             "n_overlap",
@@ -1615,9 +1624,11 @@ def _matryoshka_oracle() -> str:
         WHERE vec_id % 100 = 0
     ), {ranked("full", "fullk")}, {ranked("trunc", "trunck")}
     SELECT f.query_id,
-           CAST(COUNT(*) AS BIGINT) AS n_overlap,
-           CAST(COUNT(*) AS DOUBLE) / {_MRL_K} AS recall_at_k
-    FROM fullk f JOIN trunck t
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / {_MRL_K} AS recall_at_k
+    FROM fullk f LEFT JOIN trunck t
       ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
     GROUP BY f.query_id
     """

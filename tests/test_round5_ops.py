@@ -615,3 +615,91 @@ def test_topk_per_group_exact_and_salt_invariant(spark):
 
     with pytest.raises(ValueError):
         topk_per_group(df, ["grp"], "v", "id", k=0)
+
+
+# --- batch 3: diversity, PMI, embedding-eval probes -------------------------
+
+
+def test_distinct_ngrams_detects_templated_text(spark):
+    """A fully-templated source scores near the minimum distinct ratio;
+    an all-unique source scores 1.0."""
+    from be_analytic_etl_spark.registry import QUERIES
+    import tempfile, os
+
+    tmpl = [(i, "the quick brown fox jumps", "en", "tpl", 25) for i in range(10)]
+    uniq = [
+        (100 + i, " ".join(f"w{i}x{j}" for j in range(5)), "en", "unq", 25)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        tmpl + uniq, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["source"]: r for r in QUERIES["ext_distinct_ngrams"](spark, d).collect()}
+    assert out["unq"]["distinct_ratio"] == 1.0
+    # 10 copies of one doc: 3 distinct trigrams over 30 total
+    assert out["tpl"]["n_distinct"] == 3 and out["tpl"]["n_ngrams"] == 30
+    assert out["tpl"]["distinct_ratio"] == 0.1
+
+
+def test_pmi_respects_min_count_and_takeordered(spark):
+    """Bigrams under the support floor never appear, and the top-k is
+    TakeOrdered with no mandatory vocabulary broadcast."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    df = QUERIES["ext_pmi_collocations"](spark, SF_DIR)
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["c_ab"] >= 5 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True) or len(set(pmis)) < len(pmis)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_matryoshka_emits_recall_zero_rows(spark):
+    """A query with zero full/truncated overlap still emits its row —
+    dropping it would overstate truncation quality (review finding)."""
+    from be_analytic_etl_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    # 2-d corpus, truncate to dim0. Query [1,1]: the full cosine winner
+    # has a NEGATIVE dim0 (so its 1-d cosine is -1) while the 1-d winner
+    # has a positive dim0 but a lower full cosine — the two top-1 sets
+    # are disjoint by construction.
+    rows = [
+        (0, [1.0, 1.0]),     # query
+        (1, [-1.0, 100.0]),  # full winner (cos ~0.700), 1-d cos = -1
+        (2, [50.0, -1.0]),   # 1-d winner (cos = +1), full cos ~0.693
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = S.brute_force_topk(emb, q, k=1, round_to=None).select(
+        "query_id", "neighbor_id"
+    )
+    emb_t = emb.select("vec_id", F.slice("embedding", 1, 1).alias("embedding"))
+    q_t = emb_t.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    trunc = S.brute_force_topk(emb_t, q_t, k=1, round_to=None).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    out = (
+        full.join(trunc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("n_overlap"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["n_overlap"] == 0
+
+
+def test_knn_majority_tie_breaks_to_smaller_label(spark):
+    from be_analytic_etl_spark.registry import QUERIES
+
+    rows = QUERIES["ext_knn_label_agreement"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    assert all(1 <= r["majority_votes"] <= 5 for r in rows)
+    assert all(isinstance(r["agree"], bool) for r in rows)
