@@ -1722,3 +1722,52 @@ register(
     q_ext_knn_label_agreement,
     _knn_agreement_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Source concentration (Gini over per-source token mass): how unbalanced
+# is the training mixture? G = 2*sum(i * x_(i)) / (n * sum(x)) - (n+1)/n
+# over sources sorted ascending by mass (ties by name). The rank-sum and
+# totals are exact BIGINTs; the tail is a FIXED 3-op IEEE sequence
+# (divide, divide, subtract) on exact integers — engine-identical, so
+# gini emits raw. n-sources-sized state after one partial agg.
+def q_ext_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(T.token_count("text").cast("long")).alias("toks")
+    )
+    w = Window.orderBy(F.col("toks"), F.col("source"))
+    ranked = per.withColumn("__i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        (
+            (F.lit(2.0) * F.sum(F.col("__i") * F.col("toks")).cast("double"))
+            / (F.count(F.lit(1)) * F.sum("toks")).cast("double")
+            - (F.count(F.lit(1)) + F.lit(1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("gini")
+    )
+
+
+register(
+    "ext_source_gini",
+    q_ext_source_gini,
+    f"""
+    WITH per AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ), ranked AS (
+        SELECT toks,
+               ROW_NUMBER() OVER (ORDER BY toks, source) AS i
+        FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           (2.0 * CAST(SUM(i * toks) AS DOUBLE))
+               / CAST(COUNT(*) * SUM(toks) AS DOUBLE)
+           - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS gini
+    FROM ranked
+    """,
+)
