@@ -1771,3 +1771,123 @@ register(
     FROM ranked
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Dedup ROI: how much token mass would exact dedup remove? Per exact-dup
+# fingerprint group, everything beyond one copy is removable; the
+# inflation factor total/deduped says how over-weighted duplicated text
+# is in the raw mix. All exact integers except one final IEEE division.
+def q_ext_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            T.fingerprint_md5("text").alias("fp"),
+            T.token_count("text").cast("long").alias("nt"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.sum("nt").alias("toks"),
+            F.min("nt").alias("toks_one"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_docs"),
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum("toks_one").cast("long").alias("deduped_tokens"),
+        (F.sum("toks") - F.sum("toks_one")).cast("long").alias("removable_tokens"),
+        (
+            F.sum("toks").cast("double") / F.sum("toks_one").cast("double")
+        ).alias("inflation_factor"),
+    )
+
+
+register(
+    "ext_dup_inflation",
+    q_ext_dup_inflation,
+    f"""
+    WITH per AS (
+        SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp,
+               COUNT(*) AS copies,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS toks,
+               CAST(MIN(len({_TOKS})) AS BIGINT) AS toks_one
+        FROM documents GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(toks_one) AS BIGINT) AS deduped_tokens,
+           CAST(SUM(toks) - SUM(toks_one) AS BIGINT) AS removable_tokens,
+           CAST(SUM(toks) AS DOUBLE) / CAST(SUM(toks_one) AS DOUBLE)
+               AS inflation_factor
+    FROM per
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Time-windowed HLL: daily distinct-user sketches per event type — the
+# window x sketch composition every metrics pipeline runs (and, because
+# registers merge by MAX, daily sketches roll up to weekly/monthly
+# without rescanning — ext_hll_union proves that algebra). State is
+# (days x types x <= 2^p registers); estimate math is integer-exact up
+# to one division.
+_WHLL_P = 6
+
+
+def q_ext_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        "user_id",
+    )
+    regs = hll_registers(
+        ev, ["day", "event_type"], "user_id", p=_WHLL_P, salt="whll"
+    )
+    return hll_estimate(regs, ["day", "event_type"], p=_WHLL_P)
+
+
+def _windowed_hll_oracle() -> str:
+    from be_analytic_etl_spark.operators.sketches import HASH_BITS, _alpha
+
+    p = _WHLL_P
+    m = 1 << p
+    vbits = HASH_BITS - p
+    mask = (1 << vbits) - 1
+    numerator = repr(_alpha(m) * m * m * float(1 << (vbits + 1)))
+    return f"""
+    WITH hashed AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|whll'), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    regs AS (
+        SELECT day, event_type, h >> {vbits} AS idx,
+               MAX(CASE WHEN (h & {mask}) = 0 THEN {vbits + 1}
+                        ELSE {vbits + 1} - length(bin(h & {mask})) END) AS m
+        FROM hashed GROUP BY day, event_type, idx
+    ),
+    agg AS (
+        SELECT day, event_type,
+               SUM(CAST(1 AS BIGINT) << ({vbits + 1} - m)) AS occ_sum,
+               COUNT(*) AS n_registers_used
+        FROM regs GROUP BY day, event_type
+    )
+    SELECT day, event_type,
+           {numerator} / CAST(occ_sum + ({m} - n_registers_used)
+                              * (CAST(1 AS BIGINT) << {vbits + 1}) AS DOUBLE)
+               AS hll_estimate,
+           n_registers_used
+    FROM agg
+    """
+
+
+register("ext_windowed_hll", q_ext_windowed_hll, _windowed_hll_oracle())
