@@ -1891,3 +1891,65 @@ def _windowed_hll_oracle() -> str:
 
 
 register("ext_windowed_hll", q_ext_windowed_hll, _windowed_hll_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Packing efficiency report: per packing bucket, how much of the
+# example capacity the concat-and-chunk stream actually fills (the
+# padding-waste KPI a packing config is tuned on). Derived from the
+# same hash-bucket totals ext_pack_sequences chunks — n_examples =
+# ceil(total/seq_len) exactly (integer div), utilization = one IEEE
+# division of exact integers.
+def q_ext_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = T.portable_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|seqpack"))
+    )
+    sized = docs.select(
+        (h % _SEQPACK_BUCKETS).alias("bucket"),
+        T.token_count("text").cast("long").alias("nt"),
+    ).filter(F.col("nt") > 0)
+    per = sized.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+    )
+    n_ex = F.expr(f"(total_tokens + {_SEQPACK_LEN - 1}) div {_SEQPACK_LEN}")
+    return per.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        n_ex.cast("long").alias("n_examples"),
+        (n_ex * _SEQPACK_LEN).cast("long").alias("capacity_tokens"),
+        (
+            F.col("total_tokens").cast("double")
+            / (n_ex * _SEQPACK_LEN).cast("double")
+        ).alias("utilization"),
+    )
+
+
+register(
+    "ext_pack_efficiency",
+    q_ext_pack_efficiency,
+    f"""
+    WITH sized AS (
+        SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|seqpack'),
+                    1, 15) AS BIGINT) % {_SEQPACK_BUCKETS} AS bucket,
+               CAST(len({_TOKS}) AS BIGINT) AS nt
+        FROM documents
+    ), per AS (
+        SELECT bucket, COUNT(*) AS n_docs, SUM(nt) AS total_tokens
+        FROM sized WHERE nt > 0 GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST((total_tokens + {_SEQPACK_LEN - 1}) // {_SEQPACK_LEN} AS BIGINT)
+               AS n_examples,
+           CAST(((total_tokens + {_SEQPACK_LEN - 1}) // {_SEQPACK_LEN})
+                * {_SEQPACK_LEN} AS BIGINT) AS capacity_tokens,
+           CAST(total_tokens AS DOUBLE)
+               / CAST(((total_tokens + {_SEQPACK_LEN - 1}) // {_SEQPACK_LEN})
+                      * {_SEQPACK_LEN} AS DOUBLE) AS utilization
+    FROM per
+    """,
+)
