@@ -1953,3 +1953,61 @@ register(
     FROM per
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Frequent-span mining: the 8-gram spans appearing in the most DISTINCT
+# documents — the boilerplate/canary surface (cookie banners, license
+# headers, injected watermarks) that window-dedup statistics count but
+# don't name. Distinct-gram-per-doc before the doc-frequency agg; top-k
+# is TakeOrdered on exact counts (ties by span text). At 100 TB the
+# first pass would carry gram HASHES and join the top candidates back
+# for their text — here the spans are small enough to ship directly.
+_SPAN_N = 8
+_SPAN_K = 15
+_SPAN_MIN_DOCS = 3
+
+
+def q_ext_frequent_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokenize(F.col("text"))
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, size(__t) - {_SPAN_N - 1}), "
+        f"i -> concat_ws(' ', slice(__t, i, {_SPAN_N}))))"
+    )
+    g = (
+        docs.select(F.col("doc_id"), toks.alias("__t"))
+        .filter(F.size("__t") >= _SPAN_N)
+        .select("doc_id", F.explode(grams).alias("span"))
+    )
+    df_counts = g.groupBy("span").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        df_counts.filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), "span")
+        .limit(_SPAN_K)
+    )
+
+
+register(
+    "ext_frequent_spans",
+    q_ext_frequent_spans,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id, u.g AS span
+        FROM tok,
+             unnest(list_transform(range(1, len(t) - {_SPAN_N - 1} + 1),
+                    i -> array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' ')))
+                 u(g)
+        WHERE len(t) >= {_SPAN_N}
+    )
+    SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY span
+    HAVING COUNT(*) >= {_SPAN_MIN_DOCS}
+    ORDER BY n_docs DESC, span
+    LIMIT {_SPAN_K}
+    """,
+)
