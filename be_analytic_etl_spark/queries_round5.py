@@ -2011,3 +2011,68 @@ register(
     LIMIT {_SPAN_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Label balance: Shannon entropy of the embedding label distribution,
+# plus its normalized form (H / log2(n_labels), 1.0 = perfectly
+# balanced) — the class-balance diagnostic run before sampling or
+# hard-negative mining. Per-label -p*log2(p) terms quantize to
+# DECIMAL(18,6) before the exact sum (libm log2 noise absorbed, bm25
+# discipline); the normalized ratio divides by another libm log2, so it
+# is stable_round-ed at source on both sides.
+def q_ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    per = emb.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.agg(
+        F.sum("c").alias("__n"), F.count(F.lit(1)).alias("__k")
+    )
+    p = F.col("c").cast("double") / F.col("__n").cast("double")
+    term = (-p * F.log2(p)).cast("decimal(18,6)")
+    h = per.crossJoin(F.broadcast(tot)).agg(
+        F.max("__k").cast("long").alias("n_labels"),
+        F.max("__n").cast("long").alias("n_vecs"),
+        F.sum(term).cast("decimal(18,6)").alias("__h_dec"),
+    )
+    balance = stable_round(
+        F.col("__h_dec").cast("double")
+        / F.log2(F.col("n_labels").cast("double")),
+        6,
+    )
+    return h.select(
+        "n_labels",
+        "n_vecs",
+        F.col("__h_dec").cast("double").alias("entropy_bits"),
+        balance.alias("balance"),
+    )
+
+
+def _label_balance_oracle() -> str:
+    bal = stable_round_sql(
+        "CAST(h_dec AS DOUBLE) / log2(CAST(n_labels AS DOUBLE))", 6
+    )
+    return f"""
+    WITH per AS (
+        SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k FROM per
+    ), terms AS (
+        SELECT CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    AS DECIMAL(18,6)) AS t,
+               k, n
+        FROM per CROSS JOIN tot
+    ), agg AS (
+        SELECT CAST(MAX(k) AS BIGINT) AS n_labels,
+               CAST(MAX(n) AS BIGINT) AS n_vecs,
+               CAST(SUM(t) AS DECIMAL(18,6)) AS h_dec
+        FROM terms
+    )
+    SELECT n_labels, n_vecs,
+           CAST(h_dec AS DOUBLE) AS entropy_bits,
+           {bal} AS balance
+    FROM agg
+    """
+
+
+register("ext_label_balance", q_ext_label_balance, _label_balance_oracle())
