@@ -2076,3 +2076,70 @@ def _label_balance_oracle() -> str:
 
 
 register("ext_label_balance", q_ext_label_balance, _label_balance_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by their first-activity day, with the
+# share still active exactly N days later — the canonical product-
+# analytics cohort table. Two aggregations (first-day per user, then
+# cohort x retained counts via a semi-join on (user, cohort+N)); all
+# exact integers except the one retention-rate division.
+_RET_DAYS = 7
+
+
+def q_ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    target = first.select(
+        "user_id", F.date_add("cohort", _RET_DAYS).alias("d")
+    )
+    retained = (
+        target.join(ev.distinct(), ["user_id", "d"], "left_semi")
+        .join(first, "user_id")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    cohorts = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        cohorts.join(retained, "cohort", "left")
+        .select(
+            "cohort",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            (
+                F.coalesce("n_retained", F.lit(0)).cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("retention_rate"),
+        )
+    )
+
+
+register(
+    "ext_retention",
+    q_ext_retention,
+    f"""
+    WITH ev AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), first AS (
+        SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id
+    ), ret AS (
+        SELECT f.cohort, COUNT(*) AS n_retained
+        FROM first f
+        JOIN ev ON ev.user_id = f.user_id
+               AND ev.d = f.cohort + INTERVAL {_RET_DAYS} DAY
+        GROUP BY f.cohort
+    ), coh AS (
+        SELECT cohort, COUNT(*) AS n_users FROM first GROUP BY cohort
+    )
+    SELECT c.cohort,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(r.n_retained, 0) AS DOUBLE)
+               / CAST(c.n_users AS DOUBLE) AS retention_rate
+    FROM coh c LEFT JOIN ret r ON c.cohort = r.cohort
+    """,
+)
