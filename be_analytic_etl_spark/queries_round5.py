@@ -2143,3 +2143,65 @@ register(
     FROM coh c LEFT JOIN ret r ON c.cohort = r.cohort
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness: per day, distinct users active that day over
+# distinct users active in the trailing 7 days — the engagement ratio
+# every metrics stack reports. The trailing-window distinct cannot be a
+# window aggregate (COUNT(DISTINCT) OVER a range is unsupported /
+# wrong under overlap), so the 7-day side is a day-range join over the
+# per-(user, day) distinct frame — |days| x |active users| pairs,
+# bounded by the calendar, not the event count. Exact ints, one
+# division.
+def q_ext_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.join(
+            ud.select("user_id", F.col("d").alias("ad")),
+            (F.col("ad") <= F.col("d"))
+            & (F.col("ad") >= F.date_sub(F.col("d"), 6)),
+        )
+        .select("d", "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return dau.join(wau, "d").select(
+        "d",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+register(
+    "ext_dau_wau",
+    q_ext_dau_wau,
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM ud
+    ), dau AS (
+        SELECT d, COUNT(*) AS dau FROM ud GROUP BY d
+    ), wau AS (
+        SELECT days.d, COUNT(DISTINCT ud.user_id) AS wau
+        FROM days JOIN ud
+          ON ud.d <= days.d AND ud.d >= days.d - INTERVAL 6 DAY
+        GROUP BY days.d
+    )
+    SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
