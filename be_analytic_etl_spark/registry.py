@@ -46,79 +46,69 @@ from be_analytic_etl_spark import queries_sqlsurface  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
 # queries against the DuckDB oracle; everything after the window is only
-# locally gated (tests/test_registry_oracle.py). Round-5 rotation
-# (computed by tools/rotate_window.py from CORRECTNESS_r01-r04): rounds
-# 1-4 proved 108/109 ever-checked queries green; this window holds the
-# one remaining red (ext_zscore_outliers, float-ulp — fixed) plus 49 of
-# the 60 never-driver-checked queries, ranked never-checked-first.
+# locally gated (tests/test_registry_oracle.py). Round-6 rotation
+# (computed by tools/rotate_window.py from CORRECTNESS_r01-r05): round 5
+# closed at 158/158 ever-checked green, so this window clears the whole
+# remaining backlog — all 36 never-driver-checked queries, then the six
+# SS2 reference-core queries (stale since r3/r4; the rotation tool now
+# force-enters them whenever they would go two rounds unverified), then
+# the eight oldest r1 greens for re-confirmation. After this round every
+# query in the registry has a driver row.
 _DRIVER_WINDOW_PRIORITY = [
-    # 1: the round-4 red (float-ulp fragility, fixed this round: rounded
-    # emitted mean/variance on both sides)
-    "ext_zscore_outliers",
-    # 2: never-driver-checked — deferred relational variants first (the
-    # reference-adjacent TPC-H-shaped surface), then the round-3/4 ext_*
-    # additions, then storage/format round-trips.
-    "returned_revenue",
-    "market_share",
-    "window_suite",
-    "min_cost_supplier",
-    "grouping_sets",
-    "forecast_revenue",
-    "sole_blame_supplier",
-    "nation_profit",
-    "important_parts",
-    "supplier_variety",
-    "volume_suppliers",
-    "ext_freq_spectrum",
-    "ext_skew_profile",
-    "ext_embedding_stats",
-    "ext_bigram_lm",
-    "ext_lsh_tuning",
-    "recursive_cte_ancestors",
-    "ext_dup_survivorship",
-    "ext_mixture_sample",
-    "ext_containment",
-    "ext_quality_bins",
-    "ext_rolling_median",
-    "ext_per_key_sample",
-    "ext_lm_score",
-    "ext_semdedup",
-    "ext_pq_ann",
-    "ext_ivf_pq_ann",
-    "ext_window_dedup",
-    "ext_frequent_pairs",
-    "ext_mad_outliers",
-    "ext_c4_filter",
-    "ext_char_entropy",
-    "ext_paragraph_dedup",
-    "ext_chunk_text",
-    "ext_multimodal_frames",
-    "orc_roundtrip",
-    "partitioned_prune",
-    "bucketed_join",
-    "xml_roundtrip",
-    "schema_evolution",
-    "binaryfile_roundtrip",
-    "ext_text_normalize",
-    "ext_line_dedup",
-    "ext_corpus_shuffle",
-    "ext_temperature_weights",
-    "ext_quality_classifier",
-    "ext_variant_json",
-    "ext_preference_pairs",
-    "ext_pipeline_spec",
+    # never-driver-checked (36): round-5 additions first, then carryovers
+    "ext_pack_sequences",
+    "ext_bm25_topk",
+    "ext_rrf_fusion",
+    "ext_token_budget_sample",
+    "ext_dsir_sample",
+    "ext_hll_union",
+    "ext_quality_percentile",
+    "ext_zorder_skipping",
+    "ext_hard_negatives",
+    "ext_topk_per_group",
+    "ext_distinct_ngrams",
+    "ext_pmi_collocations",
+    "ext_matryoshka_recall",
+    "ext_knn_label_agreement",
+    "ext_source_gini",
+    "ext_dup_inflation",
+    "ext_windowed_hll",
+    "ext_pack_efficiency",
+    "ext_frequent_spans",
+    "ext_label_balance",
+    "ext_retention",
+    "ext_dau_wau",
+    "ext_multimodal_resize",
+    "rest_tsv_source",
+    "ext_isotonic_trend",
+    "ext_udtf_sentences",
+    "ext_isotonic_minimax",
+    "ext_snapshot_diff",
+    "ext_curriculum_sample",
+    "ext_incremental_agg",
+    "ext_decontaminate",
+    "ext_rollup_refresh",
+    "ext_dataset_manifest",
+    "ext_manifest_drift",
+    "pipe_syntax_revenue",
+    "sql_table_function",
+    # SS2 reference core (forced re-entry; last checked r3/r4)
+    "flagship_mom_pivot",
+    "groupby_avg",
+    "lag_mom_variation",
+    "conditional_pivot",
+    "ingest_e2e",
+    "ingest_finalize",
+    # oldest r1 greens, re-confirmation
+    "ext_token_stats",
+    "ext_bpe_fingerprint",
+    "ext_lang_id",
+    "ext_exact_dedup",
+    "ext_minhash_sig",
+    "ext_minhash_lsh_neardup",
+    "ext_ngram_jaccard",
+    "ext_cosine_topk",
 ]
-
-# ROUND-6 ROTATION PLAN: the remaining never-driver-checked queries
-# (rest_tsv_source ext_snapshot_diff ext_curriculum_sample ext_isotonic_trend
-# ext_udtf_sentences ext_incremental_agg ext_decontaminate
-# ext_rollup_refresh ext_dataset_manifest ext_manifest_drift
-# pipe_syntax_revenue sql_table_function, plus anything added in round 5)
-# go first, then the oldest r1 greens for re-confirmation — the SS2
-# reference core (flagship_mom_pivot, ingest_e2e, ingest_finalize,
-# groupby_avg, conditional_pivot, lag_mom_variation) must re-enter the
-# window by round 6 so the headline surface never goes two rounds
-# unverified. tools/rotate_window.py computes the exact list.
 
 
 def _reorder_for_driver_window() -> None:

@@ -2,9 +2,10 @@
 
 The round driver oracle-checks only the FIRST 50 registered queries, so
 each round the window should hold the 50 queries with the most
-verification debt: never-green reds first, then never-checked, then (if
-slots remain) the oldest greens for re-confirmation. Run after a round's
-CORRECTNESS_r{N}.json lands:
+verification debt: never-green reds first, then never-checked, then the
+SS2 reference core when it is about to go two rounds unverified (judge
+ruling, round 4), then (if slots remain) the oldest greens for
+re-confirmation. Run after a round's CORRECTNESS_r{N}.json lands:
 
     python tools/rotate_window.py
 
@@ -20,6 +21,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The reference's actual surface (SURVEY.md §2 headline queries). Per the
+# round-4 judge ruling these must never go two rounds without a driver
+# row: they are force-entered into the window whenever their last check
+# is two or more rounds old.
+SS2_CORE = [
+    "flagship_mom_pivot",
+    "ingest_e2e",
+    "ingest_finalize",
+    "groupby_avg",
+    "conditional_pivot",
+    "lag_mom_variation",
+]
+
 
 def main() -> None:
     from be_analytic_etl_spark.registry import QUERIES
@@ -27,8 +41,10 @@ def main() -> None:
     names = list(QUERIES)
     greens: dict[str, int] = {}   # name -> last round seen green
     checked: dict[str, int] = {}  # name -> last round checked
+    latest = 0
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(f.split("_r")[1].split(".")[0])
+        latest = max(latest, rnd)
         for k, v in json.load(open(f)).items():
             checked[k] = rnd
             ok = not v.get("err") and (
@@ -38,19 +54,30 @@ def main() -> None:
             if ok:
                 greens[k] = rnd
 
+    next_round = latest + 1
+    # SS2 core whose latest check would be >= 2 rounds old by next round.
+    stale_core = [
+        n for n in SS2_CORE
+        if n in names and (n not in checked or next_round - checked[n] >= 2)
+    ]
+
     def debt(n: str) -> tuple:
-        # sort key: reds (checked, never green) < never checked < stale greens
+        # sort key: reds (checked, never green) < never checked
+        #           < stale SS2 core < stale greens
         if n in checked and n not in greens:
             return (0, -checked[n], names.index(n))
         if n not in checked:
             return (1, 0, names.index(n))
-        return (2, greens[n], names.index(n))
+        if n in stale_core:
+            return (2, checked[n], names.index(n))
+        return (3, greens[n], names.index(n))
 
     ranked = sorted(names, key=debt)
     window = ranked[:50]
-    print(f"# {len(names)} registered; window=50")
+    print(f"# {len(names)} registered; window=50; next_round={next_round}")
     print(f"# reds: {[n for n in window if debt(n)[0] == 0]}")
     print(f"# never-checked in window: {len([n for n in window if debt(n)[0] == 1])}")
+    print(f"# forced SS2 core: {[n for n in window if debt(n)[0] == 2]}")
     print("_DRIVER_WINDOW_PRIORITY = [")
     for n in window:
         print(f'    "{n}",')
