@@ -41,13 +41,16 @@ def _fmt(v):
         f = float(v)
         if f != f:
             return "NULL"
-        if os.environ.get("STRICT_FLOAT"):
-            # Full-precision canon: stricter than any plausible driver
-            # canon. A query green under this cannot be ulp-fragile
-            # (ext_zscore_outliers passed the 12g canon locally but went
-            # driver-red in round 4 — hence this mode).
-            return "f:" + f"{f:.17g}"
-        return "f:" + str(round(float(f"{f:.12g}"), 6))
+        if os.environ.get("LEGACY_FLOAT"):
+            # Pre-round-5 forgiving canon, kept only as an explicit
+            # escape hatch for diffing against old results.
+            return "f:" + str(round(float(f"{f:.12g}"), 6))
+        # Full-precision canon (the DEFAULT since round 6, matching the
+        # always-strict pytest canon): stricter than any plausible driver
+        # canon. A query green under this cannot be ulp-fragile
+        # (ext_zscore_outliers passed the 12g canon locally but went
+        # driver-red in round 4 — hence this mode).
+        return "f:" + f"{f:.17g}"
     if isinstance(v, decimal.Decimal):
         return "d:" + str(v.normalize())
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
