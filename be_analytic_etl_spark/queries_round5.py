@@ -543,12 +543,15 @@ def _ivf_pq_ann_oracle() -> str:
         FROM embeddings
         WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})
     ), assign AS (
+        -- NULL embeddings excluded to mirror the operator's explicit
+        -- isNotNull filter (see similarity.ivf_pq_ann)
         SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY {_cos_sql("c.cv", "e.embedding")} DESC, c.cell) AS rn
-            FROM embeddings e, cent c)
+            FROM embeddings e, cent c
+            WHERE e.embedding IS NOT NULL)
         WHERE rn = 1
     ), cb AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
@@ -780,21 +783,39 @@ _BASKET_MINSUP = 2
 
 
 def q_ext_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    tot = li.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    # Basket-local pair expansion, NOT a per-basket self-join: one
+    # collect_set shuffle on l_orderkey builds each basket's distinct
+    # item array, then the a<b pairs expand MAP-SIDE from the sorted
+    # array (nested transform/filter — pure codegen'd exprs) straight
+    # into the (part_a, part_b) count shuffle. Three exchanges total vs
+    # the classic distinct + freq-filter + self-join's five; the k^2
+    # fan-out per basket is the same rows the self-join would emit,
+    # minus a shuffle of the basket table on both sides. The item-level
+    # a-priori filter is provably redundant at equal min-support:
+    # n_baskets(a,b) <= n_item(a), so the pair-level HAVING subsumes it
+    # (oracle keeps the textbook two-stage form; outputs are identical).
+    # Skew: a pathological mega-basket inflates one task by k^2 — at
+    # real scale cap basket size (slice the array) or salt the count,
+    # same guard family as dedup.max_bucket.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     freq = (
-        li.groupBy("l_partkey")
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
         .filter(F.col("n_item") >= _BASKET_MINSUP)
     )
-    fit = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
-    a = fit.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = fit.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pair_expand = F.expr(
+        "flatten(transform(items, x ->"
+        " transform(filter(items, y -> y > x),"
+        " y -> struct(x AS part_a, y AS part_b))))"
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_expand).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
         .filter(F.col("n_baskets") >= _BASKET_MINSUP)
@@ -2034,11 +2055,17 @@ def q_ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__n").cast("long").alias("n_vecs"),
         F.sum(term).cast("decimal(18,6)").alias("__h_dec"),
     )
-    balance = stable_round(
-        F.col("__h_dec").cast("double")
-        / F.log2(F.col("n_labels").cast("double")),
-        6,
-    )
+    # single-label corpus: log2(1)=0 makes Spark's divide yield NULL but
+    # DuckDB +inf — define balance as 1.0 (trivially "balanced") on both
+    # sides instead of leaning on either engine's division-by-zero
+    balance = F.when(
+        F.col("n_labels") > 1,
+        stable_round(
+            F.col("__h_dec").cast("double")
+            / F.log2(F.col("n_labels").cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(1.0))
     return h.select(
         "n_labels",
         "n_vecs",
@@ -2048,9 +2075,10 @@ def q_ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _label_balance_oracle() -> str:
-    bal = stable_round_sql(
+    bal_expr = stable_round_sql(
         "CAST(h_dec AS DOUBLE) / log2(CAST(n_labels AS DOUBLE))", 6
     )
+    bal = f"CASE WHEN n_labels > 1 THEN {bal_expr} ELSE 1.0 END"
     return f"""
     WITH per AS (
         SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label
@@ -2150,25 +2178,28 @@ register(
 # distinct users active in the trailing 7 days — the engagement ratio
 # every metrics stack reports. The trailing-window distinct cannot be a
 # window aggregate (COUNT(DISTINCT) OVER a range is unsupported /
-# wrong under overlap), so the 7-day side is a day-range join over the
-# per-(user, day) distinct frame — |days| x |active users| pairs,
-# bounded by the calendar, not the event count. Exact ints, one
-# division.
+# wrong under overlap), and a day-range join plans as a broadcast
+# nested loop whose COMPARE cost is |user-days| x |calendar days| —
+# a scale-killer even though its output is calendar-bounded. Instead
+# each (user, day) row map-side explodes into the <=7 trailing-window
+# days it covers (constant 7x fan-out, no join), then one
+# distinct + groupBy; the final inner join with DAU drops window days
+# that were never active, matching the oracle's days-from-activity
+# calendar. Exact ints, one division.
 def q_ext_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = (
         _t(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
-    days = ud.select("d").distinct()
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     wau = (
-        days.join(
-            ud.select("user_id", F.col("d").alias("ad")),
-            (F.col("ad") <= F.col("d"))
-            & (F.col("ad") >= F.date_sub(F.col("d"), 6)),
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("d"),
         )
-        .select("d", "user_id")
         .distinct()
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("wau"))

@@ -484,3 +484,14 @@ def test_zorder_zvalue_is_map_side_expression(spark):
     plan = plan_of(QUERIES["ext_zorder_skipping"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_dau_wau_is_explode_not_range_join(spark):
+    """The trailing-7-day WAU must come from a constant 7x map-side
+    explode of each (user, day) row, never a days x user-days range
+    join — the latter plans as a broadcast nested loop whose compare
+    cost is |user-days| x |calendar days| at scale."""
+    plan = plan_of(QUERIES["ext_dau_wau"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan, plan
