@@ -85,6 +85,7 @@ def isotonic_fit_minimax(
     group_col: str,
     x_col: str,
     y_dec_col: str,
+    max_group_rows: int = 512,
 ) -> DataFrame:
     """Isotonic (nondecreasing) L2 fit per group via the closed-form
     minimax identity ``y_iso[i] = max_{j<=i} min_{k>=i} mean(y[j..k])``
@@ -111,13 +112,32 @@ def isotonic_fit_minimax(
     would be nondeterministic.
 
     Returns (group, x, y, y_iso) with y = CAST(y_dec AS DOUBLE).
+
+    ``max_group_rows`` (default 512) is ENFORCED at execution: a group
+    larger than that raises instead of silently exploding into an
+    O(n^3) row blowup — ``isotonic_fit`` (PAVA, O(n)) is the long-series
+    path. The check rides the same window partitioning as the rank, so
+    it costs no extra shuffle.
     """
     from pyspark.sql import Window, functions as F
 
     w = Window.partitionBy(group_col).orderBy(x_col)
+    grp_n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    guarded_rn = F.when(
+        grp_n <= F.lit(max_group_rows), F.row_number().over(w)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "isotonic_fit_minimax: group has %s rows (> max_group_rows="
+                + str(max_group_rows)
+                + "); use isotonic_fit (PAVA) for long series",
+                grp_n,
+            )
+        )
+    )
     pos = df.select(
         group_col, F.col(x_col), F.col(y_dec_col).alias("__y")
-    ).withColumn("__rn", F.row_number().over(w)).withColumn(
+    ).withColumn("__rn", guarded_rn).withColumn(
         "__s",
         F.sum("__y").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

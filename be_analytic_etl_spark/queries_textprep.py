@@ -440,30 +440,65 @@ register("ext_pipeline_spec", q_ext_pipeline_spec, _pipeline_spec_oracle())
 # ---------------------------------------------------------------------------
 # ext_isotonic_trend: monotone-calibrated per-day value trend per event
 # type — PAVA via grouped applyInPandas (the sequential-within-series /
-# parallel-across-groups algorithm class SQL cannot express; registered
-# WITHOUT an oracle, so the driver applies its rows-only check, and
-# tests/test_textprep.py value-checks against a pure-Python reference).
+# parallel-across-groups algorithm class SQL cannot express directly).
+# Value-checked since round 6 via the closed-form minimax identity: the
+# query runs BOTH fits in Spark — O(n) PAVA (the production long-series
+# path) and the O(n^3)-per-group minimax lattice (pure Column algebra,
+# independently oracled as ext_isotonic_minimax) — joins them per
+# (event_type, day) and emits the minimax-disciplined fit plus an
+# ``agree`` flag (|pava - minimax| < 1e-9). Both compute the SAME
+# mathematical solution (Robertson/Wright/Dykstra Thm 1.4.4), so any
+# PAVA defect flips agree rows to false and the driver hash goes red;
+# emitted doubles ride the decimal-exact minimax discipline rather than
+# betting on a Python summation order being bit-identical to SQL.
+# The DuckDB oracle replays the lattice and asserts agree = TRUE.
 
 def q_ext_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from be_analytic_etl_spark.operators.regression import isotonic_fit
+    from be_analytic_etl_spark.operators.regression import (
+        isotonic_fit,
+        isotonic_fit_minimax,
+    )
 
     ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.col("event_type"),
-            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("double").alias("day"),
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("double")
+        .alias("day"),
+    ).agg(
+        stable_round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
         )
-        .agg(
-            (
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_value")
-        )
+        .cast("decimal(18,6)")
+        .alias("y6")
     )
-    return isotonic_fit(daily, "event_type", "day", "avg_value")
+    pava = isotonic_fit(
+        daily.select("event_type", "day", F.col("y6").cast("double").alias("y")),
+        "event_type",
+        "day",
+        "y",
+    ).select("event_type", "day", F.col("y_iso").alias("__y_pava"))
+    mm = isotonic_fit_minimax(daily, "event_type", "day", "y6")
+    return mm.join(pava, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "y",
+        "y_iso",
+        (F.abs(F.col("y_iso") - F.col("__y_pava")) < F.lit(1e-9)).alias("agree"),
+    )
 
 
-register("ext_isotonic_trend", q_ext_isotonic_trend, None)
+def _isotonic_trend_oracle() -> str:
+    # the minimax lattice (see _isotonic_minimax_oracle) + agree = TRUE:
+    # the oracle's claim is precisely "PAVA equals the closed form".
+    # Registered below ext_isotonic_minimax (its oracle body is shared).
+    return _isotonic_minimax_oracle().replace(
+        "SELECT p.event_type, p.day, CAST(p.y6 AS DOUBLE) AS y, f.y_iso",
+        "SELECT p.event_type, p.day, CAST(p.y6 AS DOUBLE) AS y, f.y_iso,"
+        " TRUE AS agree",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -589,3 +624,4 @@ def _isotonic_minimax_oracle() -> str:
 register(
     "ext_isotonic_minimax", q_ext_isotonic_minimax, _isotonic_minimax_oracle()
 )
+register("ext_isotonic_trend", q_ext_isotonic_trend, _isotonic_trend_oracle())

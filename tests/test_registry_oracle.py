@@ -38,11 +38,13 @@ def test_driver_window_queries_all_have_oracles():
     assert not missing, f"window queries without oracles: {missing}"
 
 
-def test_registry_has_at_most_one_rows_only_query():
-    """Every query except grouped-PAVA (legitimately non-SQL) is
-    value-checked — a registration that forgets its oracle should fail
-    here, not silently downgrade to the driver's weaker rows-only check."""
+def test_registry_has_no_rows_only_queries():
+    """EVERY registered query is value-checked — grouped PAVA, the one
+    historic exception, gained a closed-form-equality oracle in round 6
+    (ext_isotonic_trend emits the minimax fit + a PAVA-agreement flag).
+    A registration that forgets its oracle should fail here, not
+    silently downgrade to the driver's weaker rows-only check."""
     from be_analytic_etl_spark.registry import ORACLE_SQL, QUERIES
 
     rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
-    assert rows_only == ["ext_isotonic_trend"], rows_only
+    assert rows_only == [], rows_only

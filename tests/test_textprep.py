@@ -155,16 +155,18 @@ def test_isotonic_trend_matches_pure_python(spark):
 
     df = QUERIES["ext_isotonic_trend"](spark, SF_DIR)
     rows = df.collect()
+    # the query's own PAVA-vs-minimax cross-check must hold everywhere
+    assert rows and all(r.agree for r in rows)
     by_group = {}
     for r in rows:
-        by_group.setdefault(r.event_type, []).append((r.day, r.avg_value, r.y_iso))
+        by_group.setdefault(r.event_type, []).append((r.day, r.y, r.y_iso))
     assert len(by_group) >= 2
     for g, series in by_group.items():
         series.sort()
         ys = [y for _, y, _ in series]
         want = _pava(ys, [1.0] * len(ys))
         got = [yi for _, _, yi in series]
-        assert got == pytest.approx(want, abs=1e-12), g
+        assert got == pytest.approx(want, abs=1e-9), g
         # monotone nondecreasing
         assert all(b >= a - 1e-12 for a, b in zip(got, got[1:])), g
 
