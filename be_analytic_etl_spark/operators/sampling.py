@@ -377,6 +377,14 @@ def token_budget_sample(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    clobbered = {"sel_rank", "cum_cost", "__prior"} & set(df.columns)
+    if clobbered:
+        # same contract as topk_per_group's 'rank' guard: never silently
+        # overwrite a caller's column
+        raise ValueError(
+            f"token_budget_sample would overwrite existing column(s) "
+            f"{sorted(clobbered)}; rename them first"
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.col(rank_col).desc(), F.col(id_col)
     )

@@ -727,7 +727,11 @@ def ivf_pq_ann(
             )
         )
 
-    db = embeddings.select(
+    # NULL embeddings are excluded EXPLICITLY (a NULL cell would be
+    # silently dropped by the equi-join here, while a SQL oracle's
+    # ROW_NUMBER ... NULLS LAST would still assign it a real cell —
+    # an engine divergence; oracles must mirror this filter).
+    db = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.element_at(probe(vec_col, 1), 1).alias("cell"),
         _pq_codes_expr(vec_col, cents, c2, sub, m, n_codes).alias("__codes"),
