@@ -104,6 +104,36 @@ def main() -> None:
     rerun(slowest_first()[:12])
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # The driver's captured stdout tail truncates the per-query dict to
+    # whatever fits ~1800 bytes, which loses two-thirds of the suite for
+    # round-over-round diffs. Persist the COMPLETE per-query timings
+    # in-repo so every round's judge can diff all of them.
+    try:
+        import glob
+
+        rounds = [
+            int(p.split("_r")[-1].split(".")[0])
+            for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+        with open(f"/root/repo/BENCH_LOCAL_r{rnd:02d}.json", "w") as fh:
+            json.dump(
+                {
+                    "metric": "full_query_suite_wall_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": dict(sorted(timings.items())),
+                    "n_queries_total": len(timings),
+                    "sf": sf_val,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError as e:  # read-only checkout must not kill the bench
+        print(f"bench: could not write BENCH_LOCAL: {e}", file=sys.stderr)
+
     # The driver keeps only the last 2000 bytes of stdout and json-parses
     # the final line; 117 full-precision per-query entries overflow that
     # (rounds 2-3 recorded "parsed": null). Emit a compact line: headline

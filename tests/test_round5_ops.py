@@ -293,14 +293,17 @@ def test_window_dedup_excludes_short_docs(spark):
     assert rows[0]["n_spans"] == 1
 
 
-def test_frequent_pairs_apriori_prunes_before_pair_join(spark):
-    """The basket self-join must run over support-filtered items (broadcast
-    semi-reduction), and lift must exceed 1 for genuinely co-bought pairs."""
+def test_frequent_pairs_expands_map_side_no_self_join(spark):
+    """Pairs expand map-side from each basket's sorted item array (one
+    collect_set shuffle + a Generate), never via a per-basket self-join;
+    the lift lookups broadcast. See SCALE.md round-6 plan fixes."""
     from be_analytic_etl_spark.registry import QUERIES
 
     df = QUERIES["ext_frequent_pairs"](spark, SF_DIR)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
     rows = df.collect()
     for r in rows:
         assert r["part_a"] < r["part_b"]
