@@ -42,6 +42,7 @@ from be_analytic_etl_spark import queries_storage  # noqa: E402,F401
 from be_analytic_etl_spark import queries_textprep  # noqa: E402,F401
 from be_analytic_etl_spark import queries_versioning  # noqa: E402,F401
 from be_analytic_etl_spark import queries_sqlsurface  # noqa: E402,F401
+from be_analytic_etl_spark import queries_round6  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
@@ -99,14 +100,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "conditional_pivot",
     "ingest_e2e",
     "ingest_finalize",
+    # round-6 additions (checked the round they land, so the registry
+    # keeps zero never-checked queries)
+    "ext_doremi_weights",
+    "ext_funnel",
+    "ext_span_corruption",
     # oldest r1 greens, re-confirmation
     "ext_token_stats",
-    "ext_bpe_fingerprint",
     "ext_lang_id",
     "ext_exact_dedup",
-    "ext_minhash_sig",
     "ext_minhash_lsh_neardup",
-    "ext_ngram_jaccard",
     "ext_cosine_topk",
 ]
 
