@@ -6,9 +6,9 @@ Three additions that close remaining gaps in the training-data story:
   (Xie et al., NeurIPS 2023) — per-source excess loss -> tempered
   softmax -> uniform-smoothed mixture weights, the step that turns
   per-domain quality diagnostics into actual sampling weights.
-- ``ext_funnel``: ordered multi-step conversion funnel over the event
-  stream (view -> click -> purchase), the product-analytics staple the
-  retention/DAU-WAU family was still missing.
+- ``ext_markov_transitions``: first-order Markov transition matrix
+  over per-user event sequences — the behavioral sequence model the
+  funnel/sessionize/retention family doesn't capture.
 - ``ext_span_corruption``: T5-style span-corruption mask planning
   (Raffel et al., JMLR 2020) — deterministic, hash-seeded span starts
   per document, emitted as mask statistics a tensorizer can replay.
@@ -148,102 +148,64 @@ register("ext_doremi_weights", q_ext_doremi_weights, _doremi_oracle())
 
 
 # ---------------------------------------------------------------------------
-# Ordered conversion funnel: users reaching step i must have done step
-# i-1 STRICTLY EARLIER — t2 = min(click ts > t1), t3 = min(purchase ts
-# > t2). Each stage is a groupBy + an equi-join on user_id (at scale:
-# repartition events by user_id once and the whole cascade co-locates);
-# the emitted frame is 3 rows. Conversion ratios are single IEEE
-# divisions of exact counts — engine-identical, emitted raw.
-_FUNNEL_STEPS = ["view", "click", "purchase"]
+# First-order Markov transition matrix over per-user event sequences —
+# the behavioral sequence model (what follows what, with what
+# probability) that funnel/sessionize/retention don't capture. LEAD
+# over (user_id ORDER BY ts, event_id) pairs each event with its
+# successor — the event_id tiebreak makes same-timestamp order
+# deterministic, so the matrix replays exactly in any engine. ONE
+# shuffle on user_id for the window (per-user state is the sequence
+# length — bounded; a pathological hot user splits under AQE skew
+# handling), then a tiny (|types|^2)-row count shuffle. Row-normalized
+# probabilities are single IEEE divisions of exact counts (emitted
+# raw, quality_percentile precedent).
+def q_ext_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
 
-
-def q_ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    u1 = (
-        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    u2 = (
-        ev.filter(F.col("event_type") == _FUNNEL_STEPS[1])
-        .join(u1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    u3 = (
-        ev.filter(F.col("event_type") == _FUNNEL_STEPS[2])
-        .join(u2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-
-    def stage(i: int, u: DataFrame) -> DataFrame:
-        return u.agg(
-            F.lit(i + 1).cast("int").alias("step"),
-            F.lit(_FUNNEL_STEPS[i]).alias("event_type"),
-            F.count(F.lit(1)).cast("long").alias("n_users"),
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
         )
-
-    s = stage(0, u1).unionByName(stage(1, u2)).unionByName(stage(2, u3))
-    # 3-row frame: derive prev/first by self-join + scalar broadcast
-    # (cheaper to reason about than a window over a union of aggregates)
-    prev = s.select(
-        (F.col("step") + 1).alias("step"), F.col("n_users").alias("__prev")
+        .filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
     )
-    top = s.agg(F.max(F.when(F.col("step") == 1, F.col("n_users"))).alias("__first"))
-    return (
-        s.join(prev, "step", "left")
-        .crossJoin(F.broadcast(top))
-        .select(
-            "step",
-            "event_type",
-            "n_users",
-            (
-                F.col("n_users").cast("double")
-                / F.coalesce("__prev", F.col("n_users")).cast("double")
-            ).alias("conv_from_prev"),
-            (
-                F.col("n_users").cast("double") / F.col("__first").cast("double")
-            ).alias("conv_from_first"),
-        )
+    tot = tr.groupBy("src_type").agg(
+        F.sum("n_transitions").cast("long").alias("__row_total")
+    )
+    return tr.join(F.broadcast(tot), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.col("__row_total").cast("double")
+        ).alias("prob"),
     )
 
 
 register(
-    "ext_funnel",
-    q_ext_funnel,
-    f"""
-    WITH u1 AS (
-        SELECT user_id, MIN(ts) AS t1 FROM events
-        WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
-    ), u2 AS (
-        SELECT e.user_id, MIN(e.ts) AS t2
-        FROM events e JOIN u1 ON e.user_id = u1.user_id
-        WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > u1.t1
-        GROUP BY e.user_id
-    ), u3 AS (
-        SELECT e.user_id, MIN(e.ts) AS t3
-        FROM events e JOIN u2 ON e.user_id = u2.user_id
-        WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > u2.t2
-        GROUP BY e.user_id
-    ), s AS (
-        SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_users FROM u1
-        UNION ALL
-        SELECT 2, '{_FUNNEL_STEPS[1]}', CAST(COUNT(*) AS BIGINT) FROM u2
-        UNION ALL
-        SELECT 3, '{_FUNNEL_STEPS[2]}', CAST(COUNT(*) AS BIGINT) FROM u3
+    "ext_markov_transitions",
+    q_ext_markov_transitions,
+    """
+    WITH seq AS (
+        SELECT event_type AS src_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        FROM events
+    ), tr AS (
+        SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE dst_type IS NOT NULL
+        GROUP BY src_type, dst_type
     )
-    SELECT CAST(s.step AS INTEGER) AS step, s.event_type, s.n_users,
-           CAST(s.n_users AS DOUBLE)
-               / CAST(COALESCE(p.n_users, s.n_users) AS DOUBLE)
-               AS conv_from_prev,
-           CAST(s.n_users AS DOUBLE)
-               / CAST((SELECT n_users FROM s WHERE step = 1) AS DOUBLE)
-               AS conv_from_first
-    FROM s LEFT JOIN s p ON p.step = s.step - 1
+    SELECT src_type, dst_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(SUM(n_transitions) OVER (PARTITION BY src_type) AS DOUBLE)
+               AS prob
+    FROM tr
     """,
 )
 

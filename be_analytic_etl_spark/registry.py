@@ -103,7 +103,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-6 additions (checked the round they land, so the registry
     # keeps zero never-checked queries)
     "ext_doremi_weights",
-    "ext_funnel",
+    "ext_markov_transitions",
     "ext_span_corruption",
     # oldest r1 greens, re-confirmation
     "ext_token_stats",

@@ -40,41 +40,45 @@ def test_doremi_plan_broadcasts_scalar_folds(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_funnel_counts_are_ordered_and_strictly_sequential(spark):
-    rows = {r["step"]: r for r in QUERIES["ext_funnel"](spark, SF_DIR).collect()}
-    assert set(rows) == {1, 2, 3}
-    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
-    assert rows[1]["conv_from_prev"] == 1.0 == rows[1]["conv_from_first"]
-    for i in (2, 3):
-        assert 0.0 <= rows[i]["conv_from_prev"] <= 1.0
-        assert 0.0 <= rows[i]["conv_from_first"] <= 1.0
+def test_markov_rows_are_probability_distributions(spark):
+    rows = QUERIES["ext_markov_transitions"](spark, SF_DIR).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert r["n_transitions"] >= 1
+        assert 0.0 < r["prob"] <= 1.0
+        by_src.setdefault(r["src_type"], []).append(r["prob"])
+    # each source row of the matrix sums to exactly 1 (exact counts /
+    # one division each; the sum of d_i/N reconstructs N/N)
+    for src, probs in by_src.items():
+        assert abs(sum(probs) - 1.0) < 1e-12, (src, sum(probs))
 
 
-def test_funnel_requires_strict_temporal_order(spark):
-    """A user whose click precedes every view must not convert."""
+def test_markov_successor_pairing_is_order_deterministic(spark):
+    """Same-timestamp events order by event_id, so the transition pairs
+    are a pure function of the data, not of partitioning."""
     ev = spark.createDataFrame(
         [
-            (1, "2024-01-01 10:00:00", "view"),
-            (1, "2024-01-01 11:00:00", "click"),
-            (1, "2024-01-01 12:00:00", "purchase"),
-            (2, "2024-01-01 11:00:00", "view"),
-            (2, "2024-01-01 10:00:00", "click"),  # click BEFORE view
+            (10, "2024-01-01 10:00:00", "a", 1),
+            (10, "2024-01-01 10:00:00", "b", 2),  # same ts: id breaks tie
+            (10, "2024-01-01 11:00:00", "c", 3),
+            (20, "2024-01-01 09:00:00", "b", 4),
         ],
-        "user_id long, ts_s string, event_type string",
-    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
-    u1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        "user_id long, ts_s string, event_type string, event_id long",
+    ).select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "event_id"
     )
-    u2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(u1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    assert {r["user_id"] for r in u2.collect()} == {1}
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    got = {
+        (r["event_type"], r["nxt"])
+        for r in ev.select(
+            "event_type", F.lead("event_type").over(w).alias("nxt")
+        ).collect()
+        if r["nxt"] is not None
+    }
+    assert got == {("a", "b"), ("b", "c")}
 
 
 def test_span_corruption_is_map_only_and_deterministic(spark):
