@@ -47,16 +47,18 @@ from be_analytic_etl_spark import queries_round6  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
 # queries against the DuckDB oracle; everything after the window is only
-# locally gated (tests/test_registry_oracle.py). Round-6 rotation
-# (computed by tools/rotate_window.py from CORRECTNESS_r01-r05): round 5
-# closed at 158/158 ever-checked green, so this window clears the whole
-# remaining backlog — all 36 never-driver-checked queries, then the six
-# SS2 reference-core queries (stale since r3/r4; the rotation tool now
-# force-enters them whenever they would go two rounds unverified), then
-# the eight oldest r1 greens for re-confirmation. After this round every
-# query in the registry has a driver row.
+# locally gated (tests/test_registry_oracle.py). This block is GENERATED:
+# run `python tools/rotate_window.py --apply` after a round's
+# CORRECTNESS_r{N}.json lands — never hand-edit. Round-6 rotation
+# (from CORRECTNESS_r01-r05; round 5 closed 158/158 ever-checked green):
+# all 36 never-driver-checked queries, the three round-6 additions
+# (ext_doremi_weights / ext_markov_transitions / ext_span_corruption —
+# registered in-window so they are checked the round they land), the six
+# SS2 reference-core queries (stale since r3/r4; the tool force-enters
+# them whenever they would go two rounds unverified), then the five
+# oldest r1 greens for re-confirmation. After this round every query in
+# the 197-query registry has a driver row.
 _DRIVER_WINDOW_PRIORITY = [
-    # never-driver-checked (36): round-5 additions first, then carryovers
     "ext_pack_sequences",
     "ext_bm25_topk",
     "ext_rrf_fusion",
@@ -93,19 +95,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_manifest_drift",
     "pipe_syntax_revenue",
     "sql_table_function",
-    # SS2 reference core (forced re-entry; last checked r3/r4)
+    "ext_doremi_weights",
+    "ext_markov_transitions",
+    "ext_span_corruption",
     "flagship_mom_pivot",
     "groupby_avg",
     "lag_mom_variation",
     "conditional_pivot",
     "ingest_e2e",
     "ingest_finalize",
-    # round-6 additions (checked the round they land, so the registry
-    # keeps zero never-checked queries)
-    "ext_doremi_weights",
-    "ext_markov_transitions",
-    "ext_span_corruption",
-    # oldest r1 greens, re-confirmation
     "ext_token_stats",
     "ext_lang_id",
     "ext_exact_dedup",
