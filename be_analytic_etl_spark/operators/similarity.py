@@ -305,12 +305,21 @@ def ivf_ann(
             )
         )
 
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev")
-    ).withColumn("cell", F.element_at(probe_cells("__ev", 1), 1))
-    q = queries.select(
-        F.col(query_id_col), _vec(query_vec_col).alias("__qv")
-    ).withColumn("cell", F.explode(probe_cells("__qv", n_probe)))
+    # NULL embeddings are excluded EXPLICITLY on both sides (same contract
+    # as ivf_pq_ann): a NULL vector would get a NULL cell and be silently
+    # dropped by the equi-join here, while a SQL oracle's ROW_NUMBER ...
+    # NULLS LAST would still assign it a real cell — an engine divergence;
+    # oracles must mirror this filter.
+    e = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("__ev"))
+        .withColumn("cell", F.element_at(probe_cells("__ev", 1), 1))
+    )
+    q = (
+        queries.filter(F.col(query_vec_col).isNotNull())
+        .select(F.col(query_id_col), _vec(query_vec_col).alias("__qv"))
+        .withColumn("cell", F.explode(probe_cells("__qv", n_probe)))
+    )
 
     scored = (
         e.join(F.broadcast(q), "cell")

@@ -628,11 +628,12 @@ register(
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY {_cos_sql("c.cv", "e.embedding")} DESC, c.cell) AS rn
-            FROM embeddings e, cent c)
+            FROM embeddings e, cent c
+            WHERE e.embedding IS NOT NULL)
         WHERE rn = 1
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0
+        WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
     ), probe AS (
         SELECT query_id, qv, cell FROM (
             SELECT q.query_id, q.qv, c.cell,

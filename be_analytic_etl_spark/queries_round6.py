@@ -12,6 +12,18 @@ Three additions that close remaining gaps in the training-data story:
 - ``ext_span_corruption``: T5-style span-corruption mask planning
   (Raffel et al., JMLR 2020) — deterministic, hash-seeded span starts
   per document, emitted as mask statistics a tensorizer can replay.
+- ``ext_ngram_novelty``: per-document first-occurrence n-gram novelty
+  (the WIMBD-style "how much of this doc is already in the corpus"
+  memorization diagnostic) — distinct 5-grams hashed to 60-bit keys,
+  first-seen doc = min(doc_id) per gram.
+- ``ext_mixture_kl``: per-source KL divergence (bits) of the token
+  unigram distribution vs the corpus distribution — the drift metric
+  behind data-mixing decisions (which source is lexically farthest
+  from the blend it feeds).
+- ``ext_k_anonymity``: quasi-identifier k-anonymity / l-diversity
+  audit (Sweeney 2002; Machanavajjhala 2006) over customer
+  (nation, segment) classes — the release-risk check ``ext_redact``'s
+  direct-PII scrub does not cover.
 
 Cross-engine determinism follows the repo's proven disciplines: libm
 ``exp`` outputs quantize to DECIMAL(18,6) via ``stable_round`` before
@@ -287,5 +299,222 @@ register(
                (x, y) -> x + y) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                AS mask_ratio
     FROM s
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence n-gram novelty (the WIMBD / memorization diagnostic,
+# Elazar et al., ICLR 2024): for each document, what fraction of its
+# DISTINCT 5-grams appears in no earlier document (first-seen doc =
+# min(doc_id) holder)? Low novelty = the doc is mostly re-treading
+# corpus text — a boilerplate/near-dup signal that survives even when
+# whole-doc dedup passes. Plan: ONE scan -> per-doc distinct grams
+# (array_distinct BEFORE the explode, so a gram repeated within a doc
+# costs one row) -> grams hash to 60-bit keys -> min(doc_id) as a
+# PARTITION WINDOW over the hash (not a groupBy + join back, which
+# would scan-and-explode the corpus twice) -> per-doc agg. Both
+# exchanges carry 8-byte keys (~16 bytes/row), never gram strings.
+# Novelty ratio is one IEEE division of exact counts (emitted raw,
+# quality_percentile precedent); hash collisions are deterministic and
+# identical in both engines (the md5-head hash is the oracle's own),
+# so the check replays bit-for-bit.
+_NOV_N = 5
+
+
+def q_ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokenize(F.col("text"))
+    grams = F.expr(
+        f"transform(sequence(1, size(__t) - {_NOV_N - 1}), "
+        f"i -> concat_ws(' ', slice(__t, i, {_NOV_N})))"
+    )
+    from pyspark.sql import Window
+
+    g = (
+        docs.select("doc_id", toks.alias("__t"))
+        .filter(F.size("__t") >= _NOV_N)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("__g"))
+        .select("doc_id", T.portable_hash60(F.col("__g")).alias("__h"))
+    )
+    first = F.min("doc_id").over(Window.partitionBy("__h"))
+    per = g.withColumn("__first_doc", first).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(
+            F.when(F.col("__first_doc") == F.col("doc_id"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
+        .alias("novelty_ratio"),
+    )
+
+
+register(
+    "ext_ngram_novelty",
+    q_ext_ngram_novelty,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS h
+        FROM tok,
+             unnest(list_distinct(
+                 list_transform(range(1, len(t) - {_NOV_N - 1} + 1),
+                     i -> array_to_string(
+                         list_slice(t, i, i + {_NOV_N - 1}), ' ')))) u(g)
+        WHERE len(t) >= {_NOV_N}
+    ), first AS (
+        SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+    FROM g JOIN first f USING (h)
+    GROUP BY g.doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source lexical drift: KL(P_source || P_corpus) in bits over token
+# unigram distributions — the statistic behind mixture rebalancing
+# (a source with high KL is lexically far from the blend it feeds;
+# DoReMi reweights by loss, this is the distribution-level twin). Every
+# token a source emits is by construction in the corpus, so no
+# zero-probability terms. Plan: ONE corpus scan -> (source, token)
+# partial agg, LAZY-CHECKPOINTED (hll_union precedent) because four
+# downstream frames (token totals, source totals, grand total, the
+# term join) all reference it — without the checkpoint each branch
+# would re-scan and re-explode the corpus; with it the vocab-sized
+# frame (<= |sources| x |vocab| rows) materializes once. The per-token
+# join is the only big shuffle; per-source totals broadcast.
+# Float discipline: probabilities are
+# single IEEE divisions of exact counts (cross-engine exact); the libm
+# log2 term quantizes to DECIMAL(18,6) via stable_round BEFORE the sum
+# (pmi/label_balance precedent); the final cast decimal->double is
+# exact-rounded on both engines.
+def q_ext_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(T.tokenize(F.col("text"))).alias("__w"))
+        .select("source", F.lower("__w").alias("__w"))
+        .groupBy("source", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c_st"))
+    ).localCheckpoint(eager=False)
+    src = st.groupBy("source").agg(
+        F.sum("__c_st").cast("long").alias("__n_s"),
+        F.count(F.lit(1)).cast("long").alias("__vocab_s"),
+    )
+    tok = st.groupBy("__w").agg(F.sum("__c_st").cast("long").alias("__c_t"))
+    tot = src.agg(F.sum("__n_s").cast("long").alias("__n"))
+    p_s = F.col("__c_st").cast("double") / F.col("__n_s").cast("double")
+    p_c = F.col("__c_t").cast("double") / F.col("__n").cast("double")
+    term = (
+        stable_round(p_s * F.log2(p_s / p_c), 6).cast("decimal(18,6)")
+    )
+    j = (
+        st.join(tok, "__w")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("__n_s").alias("n_tokens"),
+            F.max("__vocab_s").alias("vocab_size"),
+            F.sum(term).alias("__kl_dec"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            F.col("__kl_dec").cast("double").alias("kl_bits"),
+        )
+    )
+
+
+register(
+    "ext_mixture_kl",
+    q_ext_mixture_kl,
+    f"""
+    WITH st AS (
+        SELECT source, lower(u.w) AS w, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM (SELECT source, {_TOKS} AS t FROM documents), unnest(t) u(w)
+        GROUP BY source, lower(u.w)
+    ), src AS (
+        SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+               CAST(COUNT(*) AS BIGINT) AS vocab_s
+        FROM st GROUP BY source
+    ), tok AS (
+        SELECT w, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM src
+    ), terms AS (
+        SELECT st.source, src.n_s, src.vocab_s,
+               CAST({stable_round_sql(
+                   "(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+                   " * log2((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+                   " / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)))", 6)}
+                   AS DECIMAL(18,6)) AS term
+        FROM st
+        JOIN tok USING (w)
+        JOIN src USING (source)
+        CROSS JOIN tot
+    )
+    SELECT source, MAX(n_s) AS n_tokens, MAX(vocab_s) AS vocab_size,
+           CAST(SUM(term) AS DOUBLE) AS kl_bits
+    FROM terms GROUP BY source
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity release audit (Sweeney, IJUFKS 2002;
+# Machanavajjhala et al., ICDE 2006) over customer quasi-identifiers
+# (nation, market segment) with the account balance BUCKETED as the
+# sensitive attribute (bucket before auditing — raw continuous values
+# make every class trivially "diverse"). One partial-agg groupBy; see
+# operators/privacy.py for the scale notes. at_risk flags classes
+# smaller than k=10; l_diversity = 1 means the class leaks the
+# sensitive bucket even if it is k-anonymous.
+_KANON_K = 10
+
+
+def q_ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.privacy import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, F.lit("overdrawn"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], sens, k=_KANON_K
+    )
+
+
+register(
+    "ext_k_anonymity",
+    q_ext_k_anonymity,
+    f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                                    WHEN c_acctbal < 5000 THEN 'mid'
+                                    ELSE 'high' END) AS BIGINT) AS l_diversity,
+           COUNT(*) < {_KANON_K} AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
     """,
 )

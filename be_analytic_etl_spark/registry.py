@@ -51,13 +51,14 @@ from be_analytic_etl_spark import queries_round6  # noqa: E402,F401
 # run `python tools/rotate_window.py --apply` after a round's
 # CORRECTNESS_r{N}.json lands — never hand-edit. Round-6 rotation
 # (from CORRECTNESS_r01-r05; round 5 closed 158/158 ever-checked green):
-# all 36 never-driver-checked queries, the three round-6 additions
-# (ext_doremi_weights / ext_markov_transitions / ext_span_corruption —
-# registered in-window so they are checked the round they land), the six
-# SS2 reference-core queries (stale since r3/r4; the tool force-enters
-# them whenever they would go two rounds unverified), then the five
-# oldest r1 greens for re-confirmation. After this round every query in
-# the 197-query registry has a driver row.
+# all 36 never-driver-checked queries, the six round-6 additions
+# (ext_doremi_weights / ext_markov_transitions / ext_span_corruption /
+# ext_ngram_novelty / ext_mixture_kl / ext_k_anonymity — registered
+# in-window so they are checked the round they land), the six SS2
+# reference-core queries (stale since r3/r4; the tool force-enters
+# them whenever they would go two rounds unverified), then the two
+# oldest r1 greens that still fit. After this round every query in the
+# 200-query registry has a driver row.
 _DRIVER_WINDOW_PRIORITY = [
     "ext_pack_sequences",
     "ext_bm25_topk",
@@ -98,6 +99,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_doremi_weights",
     "ext_markov_transitions",
     "ext_span_corruption",
+    "ext_ngram_novelty",
+    "ext_mixture_kl",
+    "ext_k_anonymity",
     "flagship_mom_pivot",
     "groupby_avg",
     "lag_mom_variation",
@@ -106,9 +110,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ingest_finalize",
     "ext_token_stats",
     "ext_lang_id",
-    "ext_exact_dedup",
-    "ext_minhash_lsh_neardup",
-    "ext_cosine_topk",
 ]
 
 

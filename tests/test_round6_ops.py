@@ -99,3 +99,132 @@ def test_span_corruption_is_map_only_and_deterministic(spark):
     # replay: same inputs -> bit-identical mask plan
     again = {r["doc_id"]: (r["n_spans"], r["n_masked"]) for r in df.collect()}
     assert again == {r["doc_id"]: (r["n_spans"], r["n_masked"]) for r in rows}
+
+
+def test_ngram_novelty_first_doc_owns_its_grams(spark):
+    rows = QUERIES["ext_ngram_novelty"](spark, SF_DIR).collect()
+    assert rows
+    by_doc = {r["doc_id"]: r for r in rows}
+    # the earliest doc in the result can only see itself as "first":
+    # everything it emits is novel by construction
+    first = by_doc[min(by_doc)]
+    assert first["n_novel"] == first["n_grams"]
+    assert first["novelty_ratio"] == 1.0
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+        assert abs(r["novelty_ratio"] - r["n_novel"] / r["n_grams"]) == 0.0
+
+
+def test_ngram_novelty_counts_distinct_grams_once(spark):
+    """A gram repeated inside one doc contributes ONE row (array_distinct
+    before the explode), and a shared gram belongs to the lower doc_id."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),  # its 5-grams repeat internally
+            (2, "a b c d e x y z w v"),  # shares 'a b c d e' with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    from be_analytic_etl_spark.operators import textstats as T
+
+    grams = F.expr(
+        "transform(sequence(1, size(__t) - 4), "
+        "i -> concat_ws(' ', slice(__t, i, 5)))"
+    )
+    g = (
+        docs.select("doc_id", T.tokenize(F.col("text")).alias("__t"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    per1 = g.filter(F.col("doc_id") == 1).count()
+    assert per1 == 5  # 6 positions, 'a b c d e' appears twice -> 5 distinct
+    shared = g.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    owner = {r["g"]: r["fd"] for r in shared.collect()}
+    assert owner["a b c d e"] == 1
+
+
+def test_ngram_novelty_shuffles_hashes_not_gram_strings(spark):
+    """Both shuffles key on the 60-bit hash column: no gram string
+    survives into an Exchange (8-byte shuffle payload at 100 TB)."""
+    df = QUERIES["ext_ngram_novelty"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, plan
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "__g" not in keys, plan
+
+
+def test_mixture_kl_is_nonnegative_and_bounded(spark):
+    rows = QUERIES["ext_mixture_kl"](spark, SF_DIR).collect()
+    assert rows
+    n_total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        # Gibbs: KL >= 0 up to the 6dp per-term quantization (vocab_size
+        # half-ulps of slack)
+        assert r["kl_bits"] >= -(r["vocab_size"] * 5e-7), r
+        assert r["vocab_size"] <= r["n_tokens"]
+        # KL(P_s || corpus) <= log2(N / n_s): p_s/p_c <= N/n_s pointwise
+        import math
+
+        assert r["kl_bits"] <= math.log2(n_total / r["n_tokens"]) + r[
+            "vocab_size"
+        ] * 5e-7, r
+
+
+def test_mixture_kl_zero_when_source_is_the_corpus(tmp_path, spark):
+    """A single-source corpus has p_source == p_corpus everywhere, so
+    every log term is log2(1) = 0 and the KL is exactly zero."""
+    one = spark.createDataFrame(
+        [(1, "alpha beta beta gamma", "only"), (2, "beta alpha", "only")],
+        "doc_id long, text string, source string",
+    )
+    d = str(tmp_path / "kl")
+    one.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    import be_analytic_etl_spark.queries_round6 as R
+
+    rows = R.q_ext_mixture_kl(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["kl_bits"] == 0.0
+    assert rows[0]["n_tokens"] == 6
+    assert rows[0]["vocab_size"] == 3
+
+
+def test_k_anonymity_flags_small_classes_and_rejects_bad_input(spark):
+    import pytest
+
+    from be_analytic_etl_spark.operators.privacy import k_anonymity
+
+    df = spark.createDataFrame(
+        [
+            ("US", "A", "x"),
+            ("US", "A", "y"),
+            ("US", "B", "x"),
+        ],
+        "nation string, seg string, sens string",
+    )
+    out = {
+        (r["nation"], r["seg"]): r
+        for r in k_anonymity(df, ["nation", "seg"], "sens", k=2).collect()
+    }
+    assert out[("US", "A")]["class_size"] == 2
+    assert out[("US", "A")]["l_diversity"] == 2
+    assert out[("US", "A")]["at_risk"] is False
+    assert out[("US", "B")]["class_size"] == 1
+    assert out[("US", "B")]["l_diversity"] == 1
+    assert out[("US", "B")]["at_risk"] is True
+    with pytest.raises(ValueError, match="quasi columns"):
+        k_anonymity(df, ["nope"], "sens")
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity(df, ["nation"], "sens", k=0)
+
+
+def test_k_anonymity_query_covers_every_customer_exactly_once(spark):
+    rows = QUERIES["ext_k_anonymity"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["class_size"] for r in rows)
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert total == n_cust
+    for r in rows:
+        assert 1 <= r["l_diversity"] <= min(3, r["class_size"])
+        assert r["at_risk"] == (r["class_size"] < 10)
