@@ -24,6 +24,12 @@ Three additions that close remaining gaps in the training-data story:
   audit (Sweeney 2002; Machanavajjhala 2006) over customer
   (nation, segment) classes — the release-risk check ``ext_redact``'s
   direct-PII scrub does not cover.
+- ``ext_roc_auc``: Mann–Whitney rank-sum ROC-AUC of the quality score
+  over a bounded per-distinct-score histogram (never a corpus-wide
+  sort) — the evaluation every curation classifier needs.
+- ``ext_poisson_bootstrap``: one-pass Poisson(1)-weighted bootstrap CI
+  for per-source mean quality (Chamandy et al., 2012) — the error bar
+  for every per-source curation metric.
 
 Cross-engine determinism follows the repo's proven disciplines: libm
 ``exp`` outputs quantize to DECIMAL(18,6) via ``stable_round`` before
@@ -517,4 +523,130 @@ register(
     FROM customer
     GROUP BY c_nationkey, c_mktsegment
     """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC of the quality score as a classifier for "substantial document"
+# (char_count >= 256) — the Mann-Whitney rank-sum identity over a
+# per-distinct-score histogram (operators/evalstats.py). The corpus-sized
+# work is ONE partial-aggregated groupBy on the 6dp-quantized score; the
+# rank-sum runs on a <= 10^6+1-row histogram regardless of corpus size
+# (the quantization BOUNDS the sort — that is the 100 TB story; a global
+# per-row rank would be a full corpus sort). Ties are exact (each
+# positive at score s credits half a win against negatives at s, folded
+# integer-exactly as 2U), and AUC is one IEEE division of exact decimals.
+_AUC_LEN_THRESHOLD = 256
+
+
+def q_ext_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.evalstats import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        stable_round(T.quality_score("text", round_to=None), 6)
+        .cast("decimal(18,6)")
+        .alias("score"),
+        (T.char_count("text") >= _AUC_LEN_THRESHOLD).cast("int").alias("pos"),
+    )
+    return roc_auc(scored, "score", "pos")
+
+
+def _roc_auc_oracle() -> str:
+    from be_analytic_etl_spark.operators.evalstats import roc_auc_sql
+    from be_analytic_etl_spark.queries_analytics import (
+        _QSCORE_SQL,
+        qscore_feature_ctes,
+    )
+
+    score_rows = f"""
+        SELECT CAST({stable_round_sql(_QSCORE_SQL, 6)} AS DECIMAL(18,6)) AS score,
+               CASE WHEN n_chars >= {_AUC_LEN_THRESHOLD} THEN 1 ELSE 0 END AS pos
+        FROM m
+    """
+    return f"WITH {qscore_feature_ctes('doc_id')}, {roc_auc_sql(score_rows)}"
+
+
+register("ext_roc_auc", q_ext_roc_auc, _roc_auc_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap CI for per-source mean quality (Chamandy et al.,
+# "Estimating uncertainty for massive data streams", Google TR 2012) —
+# the one-pass bootstrap that works distributed: each (doc, replicate)
+# draws an independent Poisson(1) weight from the portable md5 hash
+# (classic resampling would need global coordination per replicate).
+# Constant 16x map-side explode; the shuffle carries (source, rep)
+# partial sums only; the CI is rank-based (2nd smallest / 2nd largest
+# replicate mean), so no engine-specific quantile interpolation leaks
+# into the result. This is the error bar every per-source curation
+# metric in the repo should be read with.
+_PBOOT_REPS = 16
+
+
+def q_ext_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.evalstats import poisson_bootstrap_ci
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        stable_round(T.quality_score("text", round_to=None), 6)
+        .cast("decimal(18,6)")
+        .alias("q6"),
+    )
+    return poisson_bootstrap_ci(
+        base, "source", "doc_id", "q6", n_reps=_PBOOT_REPS
+    )
+
+
+def _poisson_bootstrap_oracle() -> str:
+    from be_analytic_etl_spark.operators.evalstats import (
+        bootstrap_u_sql,
+        poisson1_weight_sql,
+    )
+    from be_analytic_etl_spark.queries_analytics import (
+        _QSCORE_SQL,
+        qscore_feature_ctes,
+    )
+
+    u = bootstrap_u_sql("doc_id", "rep", "pboot")
+    rmean = stable_round_sql("CAST(wv AS DOUBLE) / CAST(wsum AS DOUBLE)", 6)
+    bmean = stable_round_sql(
+        "CAST(SUM(rmean) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6
+    )
+    return f"""
+    WITH {qscore_feature_ctes("doc_id, source")}, s AS (
+        SELECT doc_id, source,
+               CAST({stable_round_sql(_QSCORE_SQL, 6)} AS DECIMAL(18,6)) AS q6
+        FROM m
+    ), reps AS (
+        SELECT s.doc_id, s.source, s.q6, r.rep
+        FROM s CROSS JOIN (SELECT unnest(range(0, {_PBOOT_REPS})) AS rep) r
+    ), wtd AS (
+        SELECT source, rep, {poisson1_weight_sql(u)} AS w, q6 FROM reps
+    ), per AS (
+        SELECT source, rep, SUM(w * q6) AS wv, CAST(SUM(w) AS BIGINT) AS wsum
+        FROM wtd GROUP BY source, rep
+        HAVING CAST(SUM(w) AS BIGINT) > 0
+    ), rm AS (
+        SELECT source, rep, CAST({rmean} AS DECIMAL(18,6)) AS rmean FROM per
+    ), rk AS (
+        SELECT source, rmean,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY rmean, rep) AS rlo,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY rmean DESC, rep DESC) AS rhi
+        FROM rm
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_reps,
+           {bmean} AS boot_mean,
+           CAST(MAX(CASE WHEN rlo = 2 THEN rmean END) AS DOUBLE) AS boot_lo,
+           CAST(MAX(CASE WHEN rhi = 2 THEN rmean END) AS DOUBLE) AS boot_hi
+    FROM rk GROUP BY source
+    """
+
+
+register(
+    "ext_poisson_bootstrap", q_ext_poisson_bootstrap, _poisson_bootstrap_oracle()
 )

@@ -102,14 +102,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_ngram_novelty",
     "ext_mixture_kl",
     "ext_k_anonymity",
+    "ext_roc_auc",
+    "ext_poisson_bootstrap",
     "flagship_mom_pivot",
     "groupby_avg",
     "lag_mom_variation",
     "conditional_pivot",
     "ingest_e2e",
     "ingest_finalize",
-    "ext_token_stats",
-    "ext_lang_id",
 ]
 
 

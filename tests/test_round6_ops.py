@@ -228,3 +228,94 @@ def test_k_anonymity_query_covers_every_customer_exactly_once(spark):
     for r in rows:
         assert 1 <= r["l_diversity"] <= min(3, r["class_size"])
         assert r["at_risk"] == (r["class_size"] < 10)
+
+
+# ---------------------------------------------------------------------------
+# Eval statistics (operators/evalstats.py)
+
+
+def test_roc_auc_known_values(spark):
+    from be_analytic_etl_spark.operators.evalstats import roc_auc
+
+    # perfect separation -> 1.0; exact ties -> 0.5 (rank-sum tie credit)
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 1), (0, 0)], "score int, pos int"
+    )
+    r = roc_auc(perfect, "score", "pos").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 1, 1.0)
+
+    tied = spark.createDataFrame([(5, 1), (5, 0)], "score int, pos int")
+    assert roc_auc(tied, "score", "pos").collect()[0]["auc"] == 0.5
+
+    # one class absent -> NULL, never a divide-by-zero
+    degen = spark.createDataFrame([(1, 1), (2, 1)], "score int, pos int")
+    assert roc_auc(degen, "score", "pos").collect()[0]["auc"] is None
+
+    # textbook mixed case: pos scores {3, 1}, neg scores {2, 1}:
+    # pairs won 2.5 of 4 -> 0.625
+    mixed = spark.createDataFrame(
+        [(3, 1), (1, 1), (2, 0), (1, 0)], "score int, pos int"
+    )
+    assert roc_auc(mixed, "score", "pos").collect()[0]["auc"] == 0.625
+
+
+def test_roc_auc_query_plan_and_range(spark):
+    from be_analytic_etl_spark.registry import QUERIES
+
+    df = QUERIES["ext_roc_auc"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan  # histogram + windows only, no join
+    r = df.collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_poisson_weights_mean_one(spark):
+    """Poisson(1) weights over many draws must average ~1 (the property
+    that makes every bootstrap replicate an unbiased resample)."""
+    from pyspark.sql import functions as F
+
+    from be_analytic_etl_spark.operators.evalstats import (
+        bootstrap_u,
+        poisson1_weight,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), F.lit(0).alias("rep")
+    )
+    w = poisson1_weight(bootstrap_u("k", "rep", "testsalt"))
+    total = df.select(F.sum(w).alias("s")).collect()[0]["s"]
+    assert abs(total / n - 1.0) < 0.03, total / n
+
+
+def test_poisson_bootstrap_ci_semantics(spark):
+    from be_analytic_etl_spark.operators.evalstats import poisson_bootstrap_ci
+
+    # constant values: every replicate mean equals the constant, so the
+    # interval must collapse onto it regardless of which rows each
+    # replicate resamples
+    from decimal import Decimal
+
+    rows = [("g", i, Decimal("0.250000")) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, id long, v decimal(18,6)")
+    r = poisson_bootstrap_ci(df, "grp", "id", "v", n_reps=8).collect()[0]
+    assert r["n_reps"] == 8
+    assert r["boot_lo"] == r["boot_hi"] == 0.25
+    assert r["boot_mean"] == 0.25
+
+
+def test_poisson_bootstrap_query_plan(spark):
+    from be_analytic_etl_spark.registry import QUERIES
+
+    df = QUERIES["ext_poisson_bootstrap"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["n_reps"] == 16
+        assert r["boot_lo"] <= r["boot_hi"]
