@@ -198,6 +198,13 @@ def poisson_bootstrap_ci(
     Poisson(1) that is p ~ e^-n per group — only conceivable for
     near-empty groups).
     """
+    reserved = {"rep", "n_reps", "boot_mean", "boot_lo", "boot_hi"}
+    clobbered = reserved & {group_col, id_col, value_col}
+    if clobbered:
+        raise ValueError(
+            f"poisson_bootstrap_ci: column(s) {sorted(clobbered)} collide "
+            "with the operator's internals — rename before calling"
+        )
     rep = df.select(
         F.col(group_col),
         F.col(id_col).alias("__id"),

@@ -489,3 +489,54 @@ def test_rrf_fuse_matches_reference_scores(spark, case):
         r["doc_id"] for r in sorted(out, key=lambda r: r["fused_rank"])
     ]
     assert got_order == order
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 1)), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_roc_auc_matches_pair_counting_on_random_frames(spark, rows):
+    """The histogram rank-sum AUC must equal the O(n^2) definition:
+    (wins + 0.5 * ties) / (n_pos * n_neg) over all pos/neg pairs."""
+    from be_analytic_etl_spark.operators.evalstats import roc_auc
+
+    df = spark.createDataFrame(rows, "score int, pos int")
+    got = roc_auc(df, "score", "pos").collect()[0]
+
+    pos = [s for s, p in rows if p == 1]
+    neg = [s for s, p in rows if p == 0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert got["auc"] is None
+        return
+    wins = sum(1.0 for a in pos for b in neg if a > b)
+    ties = sum(1.0 for a in pos for b in neg if a == b)
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got["auc"] == pytest.approx(expect, abs=1e-12)
+
+
+@given(n_parts=st.sampled_from([1, 3, 7]))
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_poisson_bootstrap_invariant_under_repartition(spark, n_parts):
+    """Replicate weights are a pure function of (id, rep), so the CI must
+    be bit-identical no matter how the input is partitioned."""
+    from decimal import Decimal
+
+    from be_analytic_etl_spark.operators.evalstats import poisson_bootstrap_ci
+
+    rows = [
+        ("g%d" % (i % 3), i, Decimal(i % 7) / Decimal(10))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, id long, v decimal(18,6)"
+    ).repartition(n_parts)
+    got = sorted(
+        poisson_bootstrap_ci(df, "grp", "id", "v", n_reps=8).collect()
+    )
+    if not hasattr(test_poisson_bootstrap_invariant_under_repartition, "_ref"):
+        test_poisson_bootstrap_invariant_under_repartition._ref = got
+    assert got == test_poisson_bootstrap_invariant_under_repartition._ref

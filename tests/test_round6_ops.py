@@ -319,3 +319,17 @@ def test_poisson_bootstrap_query_plan(spark):
     for r in rows:
         assert r["n_reps"] == 16
         assert r["boot_lo"] <= r["boot_hi"]
+
+
+def test_poisson_bootstrap_rejects_reserved_column_names(spark):
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from be_analytic_etl_spark.operators.evalstats import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [("g", 1, Decimal("0.5"))], "rep string, id long, v decimal(18,6)"
+    )
+    with _pytest.raises(ValueError, match="rep"):
+        poisson_bootstrap_ci(df, "rep", "id", "v")
