@@ -251,15 +251,24 @@ def flagship_orders(spark, sf_dir: str) -> DataFrame:
 
 def flagship_orders_oracle_sql() -> str:
     """DuckDB twin of ``flagship_orders`` (driver correctness gate)."""
+    # DuckDB's ROUND is binary and SIGN-PRESERVING: ROUND(-0.04, 1)
+    # emits -0.0, while Spark's BigDecimal-based F.round can never emit a
+    # negative zero — and the 17g canon distinguishes "0" from "-0"
+    # (observed live: three sf0.1 pivot cells with means in (-0.05, 0)).
+    # `x + 0.0` is the IEEE zero-sign normalizer (identity on every other
+    # value incl. NULL/NaN), applied to every emitted column that can
+    # round a negative mean to zero.
     pivot_exprs = []
     for group_value, name in ORDER_PRIORITIES.items():
         piv = (
             "COALESCE(ROUND(AVG(CASE WHEN o_orderpriority = '"
             + group_value
-            + "' THEN taxa_var END), 1), 0.0)"
+            + "' THEN taxa_var END), 1) + 0.0, 0.0)"
         )
         pivot_exprs.append(f"{piv} AS {name}")
-        pivot_exprs.append(f"ROUND({piv} - ROUND(AVG(taxa_var), 1), 1) AS {name}_diff")
+        pivot_exprs.append(
+            f"ROUND({piv} - ROUND(AVG(taxa_var), 1), 1) + 0.0 AS {name}_diff"
+        )
     pivot_sql = ",\n       ".join(pivot_exprs)
     return f"""
 WITH monthly AS (
@@ -282,7 +291,7 @@ WITH monthly AS (
     WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
 )
 SELECT strftime(mes_ref, '%Y-%m') AS mes,
-       ROUND(AVG(taxa_var), 1) AS taxa_media,
+       ROUND(AVG(taxa_var), 1) + 0.0 AS taxa_media,
        {pivot_sql}
 FROM taxas
 WHERE taxa_var IS NOT NULL
