@@ -82,3 +82,45 @@ def test_sql_view_equals_dataframe_plan(spark):
     sql_out = create_consolidacao_view(spark, fact)
     assert df_out.columns == sql_out.columns
     assert sorted(map(tuple, df_out.collect())) == sorted(map(tuple, sql_out.collect()))
+
+
+def test_flagship_oracle_normalizes_negative_zero(spark, tmp_path):
+    """Regression (round 6, caught at sf0.1): a pivot cell whose mean
+    taxa_var lies in (-0.05, 0) rounds to -0.0 under DuckDB's binary
+    sign-preserving ROUND but +0.0 under Spark's BigDecimal round, and
+    the 17g canon distinguishes them. The oracle's `+ 0.0` normalizer
+    must keep the two sides hash-identical on exactly such data."""
+    import duckdb
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    rows = []
+    oid = 0
+    # 1-URGENT drifts DOWN by 0.01 against a 10000 base each month:
+    # taxa_var = -0.0001 -> ROUND(.., 1) hits the signed-zero branch.
+    # 3-MEDIUM grows 10% so every month keeps >= 2 distinct groups.
+    for m, (urgent, medium) in enumerate(
+        [(10000.00, 100.0), (9999.99, 110.0), (9999.98, 121.0)], start=1
+    ):
+        for prio, price in (("1-URGENT", urgent), ("3-MEDIUM", medium)):
+            oid += 1
+            rows.append((oid, datetime.date(2024, m, 15), prio, price))
+    pdf = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_orderpriority string, o_totalprice double"
+    )
+    pdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = flagship_orders(spark, str(tmp_path)).toPandas()
+    # the urgent cell must actually exercise the branch
+    assert (got["urgent"] == 0.0).any()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        flagship_orders(spark, str(tmp_path)), con, flagship_orders_oracle_sql()
+    )
+    con.close()
