@@ -61,3 +61,23 @@ def stable_round_sql(expr: str, n: int) -> str:
         f"OR abs({expr}) >= {limit} THEN ({expr}) "
         f"ELSE floor(({expr}) * {s} + 0.5) / {s} END)"
     )
+
+
+def exact_dec_double_sql(expr: str) -> str:
+    """Correctly-rounded DECIMAL -> DOUBLE cast for DuckDB oracles.
+
+    DuckDB's direct ``CAST(DECIMAL(38,0) AS DOUBLE)`` is NOT correctly
+    rounded once the value exceeds 2^53 (verified empirically: the
+    HUGEINT 22240711483861231690 casts to 2.224071148386123e+19 — one
+    ulp BELOW the correctly-rounded 2.2240711483861234e+19 that Java
+    BigDecimal (Spark) and Python produce; ~0.3% of random >2^53
+    integers mis-round). Routing through VARCHAR uses DuckDB's
+    correctly-rounded string->double parser instead, making the cast
+    bit-identical to Spark's at every magnitude — the scale-proof form
+    for any oracle that casts an unbounded exact accumulator to double
+    (SCALE.md "Cross-engine float determinism", divergence class 3).
+
+    Spark needs no twin: its decimal->double goes through BigDecimal
+    and is already correctly rounded.
+    """
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"

@@ -641,16 +641,25 @@ def _corr_matrix_oracle() -> str:
         moments.append(
             f"SUM(CAST({qz(a)} * {qz(b)} AS DECIMAL(38,0))) AS s2_{a}_{b}"
         )
+    # Moments exceed 2^53 from sf0.1 up, where DuckDB's direct
+    # DECIMAL->DOUBLE cast mis-rounds by an ulp (exact_dec_double_sql
+    # docstring has the live example from this very query); the VARCHAR
+    # route keeps both engines correctly rounded at every magnitude.
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
+    def dd(name: str) -> str:
+        return exact_dec_double_sql(name)
+
     branches = []
     for a, b in _CORR_PAIRS:
         branches.append(
             f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
-            f"(CAST(n AS DOUBLE) * CAST(s2_{a}_{b} AS DOUBLE)"
-            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) / "
-            f"(sqrt(CAST(n AS DOUBLE) * CAST(s2_{a}_{a} AS DOUBLE)"
-            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) * "
-            f"sqrt(CAST(n AS DOUBLE) * CAST(s2_{b}_{b} AS DOUBLE)"
-            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))) AS corr "
+            f"(CAST(n AS DOUBLE) * {dd(f's2_{a}_{b}')}"
+            f" - {dd(f's_{a}')} * {dd(f's_{b}')}) / "
+            f"(sqrt(CAST(n AS DOUBLE) * {dd(f's2_{a}_{a}')}"
+            f" - {dd(f's_{a}')} * {dd(f's_{a}')}) * "
+            f"sqrt(CAST(n AS DOUBLE) * {dd(f's2_{b}_{b}')}"
+            f" - {dd(f's_{b}')} * {dd(f's_{b}')})) AS corr "
             f"FROM m"
         )
     return (

@@ -189,3 +189,25 @@ def test_stable_round_guard_passes_through_nan_and_huge(spark):
             assert got == float("inf")
         else:
             assert got == want
+
+
+def test_exact_dec_double_sql_correctly_rounds_past_2_53():
+    """DuckDB's direct DECIMAL->DOUBLE cast mis-rounds ~0.3% of >2^53
+    integers; the VARCHAR route must match Python/Java's correctly
+    rounded conversion (the ext_corr_matrix sf0.1 red, round 6)."""
+    import duckdb
+
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
+    # the live mis-rounding example plus deterministic pseudo-randoms
+    vals = [22240711483861231690]
+    x = 1234567891234567
+    for _ in range(200):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 80)
+        vals.append(x)
+    con = duckdb.connect()
+    for v in vals:
+        dec = "CAST('%d' AS DECIMAL(38,0))" % v
+        got = con.sql("SELECT " + exact_dec_double_sql(dec)).fetchone()[0]
+        assert got == float(v), (v, got)
+    con.close()
