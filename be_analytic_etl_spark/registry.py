@@ -51,14 +51,16 @@ from be_analytic_etl_spark import queries_round6  # noqa: E402,F401
 # run `python tools/rotate_window.py --apply` after a round's
 # CORRECTNESS_r{N}.json lands — never hand-edit. Round-6 rotation
 # (from CORRECTNESS_r01-r05; round 5 closed 158/158 ever-checked green):
-# all 36 never-driver-checked queries, the six round-6 additions
-# (ext_doremi_weights / ext_markov_transitions / ext_span_corruption /
-# ext_ngram_novelty / ext_mixture_kl / ext_k_anonymity — registered
-# in-window so they are checked the round they land), the six SS2
-# reference-core queries (stale since r3/r4; the tool force-enters
-# them whenever they would go two rounds unverified), then the two
-# oldest r1 greens that still fit. After this round every query in the
-# 200-query registry has a driver row.
+# all 44 never-driver-checked queries — the 36-query backlog plus the
+# eight round-6 additions (ext_doremi_weights / ext_markov_transitions
+# / ext_span_corruption / ext_ngram_novelty / ext_mixture_kl /
+# ext_k_anonymity / ext_roc_auc / ext_poisson_bootstrap — registered
+# in-window so they are checked the round they land) — plus the six
+# SS2 reference-core queries (stale since r3/r4; the tool force-enters
+# them whenever they would go two rounds unverified): exactly 50.
+# After this round every query in the 202-query registry has a driver
+# row. Every window member was pre-proven this round against
+# tools/verify_driver.py at sf0.001 AND sf0.01 AND sf0.1 (strict 17g).
 _DRIVER_WINDOW_PRIORITY = [
     "ext_pack_sequences",
     "ext_bm25_topk",
