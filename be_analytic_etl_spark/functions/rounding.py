@@ -67,11 +67,16 @@ def exact_dec_double_sql(expr: str) -> str:
     """Correctly-rounded DECIMAL -> DOUBLE cast for DuckDB oracles.
 
     DuckDB's direct ``CAST(DECIMAL(38,0) AS DOUBLE)`` is NOT correctly
-    rounded once the value exceeds 2^53 (verified empirically: the
-    HUGEINT 22240711483861231690 casts to 2.224071148386123e+19 — one
-    ulp BELOW the correctly-rounded 2.2240711483861234e+19 that Java
-    BigDecimal (Spark) and Python produce; ~0.3% of random >2^53
-    integers mis-round). Routing through VARCHAR uses DuckDB's
+    rounded once the value leaves BIGINT range: the HUGEINT conversion
+    splits into 64-bit halves and double-rounds, so values in roughly
+    the 2^64..2^75 band can land one ulp off (measured: ~9% of random
+    66-bit integers; live example 22240711483861231690 ->
+    2.224071148386123e+19, one ulp BELOW the correctly-rounded
+    2.2240711483861234e+19 that Java BigDecimal (Spark) and Python
+    produce; BIGINT-range values convert correctly). Exact accumulators
+    reach that band quickly — the corr moments hit 2.2e19 at sf0.1 —
+    so every oracle-side decimal->double cast of an unbounded sum must
+    use this form. Routing through VARCHAR uses DuckDB's
     correctly-rounded string->double parser instead, making the cast
     bit-identical to Spark's at every magnitude — the scale-proof form
     for any oracle that casts an unbounded exact accumulator to double

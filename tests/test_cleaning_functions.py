@@ -192,22 +192,32 @@ def test_stable_round_guard_passes_through_nan_and_huge(spark):
 
 
 def test_exact_dec_double_sql_correctly_rounds_past_2_53():
-    """DuckDB's direct DECIMAL->DOUBLE cast mis-rounds ~0.3% of >2^53
-    integers; the VARCHAR route must match Python/Java's correctly
-    rounded conversion (the ext_corr_matrix sf0.1 red, round 6)."""
+    """DuckDB's direct DECIMAL->DOUBLE cast double-rounds through the
+    HUGEINT 64-bit halves for values just past BIGINT range (~9% of
+    random 66-bit integers land an ulp off); the VARCHAR route must
+    match Python/Java's correctly rounded conversion at every
+    magnitude (the ext_corr_matrix sf0.1 red, round 6)."""
     import duckdb
 
     from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
 
     # the live mis-rounding example plus deterministic pseudo-randoms
+    # concentrated in the broken 2^64..2^75 double-rounding band
     vals = [22240711483861231690]
     x = 1234567891234567
-    for _ in range(200):
-        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 80)
-        vals.append(x)
+    for bits in (66, 68, 70, 72):
+        for _ in range(60):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 128)
+            vals.append((x % (1 << bits)) | (1 << (bits - 1)) | 1)
     con = duckdb.connect()
+    n_direct_wrong = 0
     for v in vals:
         dec = "CAST('%d' AS DECIMAL(38,0))" % v
         got = con.sql("SELECT " + exact_dec_double_sql(dec)).fetchone()[0]
         assert got == float(v), (v, got)
+        if con.sql(f"SELECT CAST({dec} AS DOUBLE)").fetchone()[0] != float(v):
+            n_direct_wrong += 1
     con.close()
+    # the helper exists because the direct cast is broken in this band;
+    # if DuckDB ever fixes it, this trips and the helper can be retired
+    assert n_direct_wrong > 0
