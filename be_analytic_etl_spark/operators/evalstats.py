@@ -53,8 +53,12 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     DECIMAL(38,0) (exact, merge-order-free); AUC = U / (pos·neg) is the
     single IEEE division. Degenerate corpora (one class absent) emit
     NULL — mirrored by the oracle's CASE, never a divide-by-zero
-    (Spark NULL vs DuckDB ±inf divergence).
+    (Spark NULL vs DuckDB ±inf divergence). NULL scores are EXCLUDED
+    (a score that doesn't rank can't win pairs; keeping them would also
+    diverge cross-engine — Spark windows order NULLS FIRST, DuckDB
+    NULLS LAST) — the SQL twin filters identically.
     """
+    df = df.filter(F.col(score_col).isNotNull())
     hist = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.sum(F.col(label_col)).cast("long").alias("__pos"),
         (F.count(F.lit(1)) - F.sum(F.col(label_col))).cast("long").alias("__neg"),
@@ -96,11 +100,14 @@ def roc_auc_sql(score_rows: str) -> str:
     """DuckDB twin of ``roc_auc``: ``score_rows`` is a CTE body yielding
     (score, pos) rows with score already exact. Kept here so the rank-sum
     algebra can never drift from the column form."""
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
+    u2d = exact_dec_double_sql("__u2")
     return f"""
     h AS (
         SELECT score AS __s, CAST(SUM(pos) AS BIGINT) AS __pos,
                CAST(COUNT(*) - SUM(pos) AS BIGINT) AS __neg
-        FROM ({score_rows}) GROUP BY score
+        FROM ({score_rows}) WHERE score IS NOT NULL GROUP BY score
     ), rk AS (
         SELECT __pos, __neg,
                CAST(coalesce(SUM(__neg) OVER (ORDER BY __s
@@ -116,7 +123,7 @@ def roc_auc_sql(score_rows: str) -> str:
     )
     SELECT n_pos, n_neg,
            CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN CAST(__u2 AS DOUBLE)
+                THEN {u2d}
                      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
                 ELSE NULL END AS auc
     FROM a
@@ -198,7 +205,10 @@ def poisson_bootstrap_ci(
     Poisson(1) that is p ~ e^-n per group — only conceivable for
     near-empty groups).
     """
-    reserved = {"rep", "n_reps", "boot_mean", "boot_lo", "boot_hi"}
+    reserved = {
+        "rep", "n_reps", "boot_mean", "boot_lo", "boot_hi",
+        "__id", "__v", "__w", "__wv", "__wsum", "__rmean", "__rlo", "__rhi",
+    }
     clobbered = reserved & {group_col, id_col, value_col}
     if clobbered:
         raise ValueError(

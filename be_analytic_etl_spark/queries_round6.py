@@ -610,8 +610,15 @@ def _poisson_bootstrap_oracle() -> str:
         qscore_feature_ctes,
     )
 
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
     u = bootstrap_u_sql("doc_id", "rep", "pboot")
-    rmean = stable_round_sql("CAST(wv AS DOUBLE) / CAST(wsum AS DOUBLE)", 6)
+    # wv is an unbounded exact accumulator: route its decimal->double
+    # through the correctly-rounded VARCHAR cast (corr-matrix precedent)
+    # so the oracle stays bit-faithful past BIGINT-range sums.
+    rmean = stable_round_sql(
+        f"{exact_dec_double_sql('wv')} / CAST(wsum AS DOUBLE)", 6
+    )
     bmean = stable_round_sql(
         "CAST(SUM(rmean) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6
     )

@@ -333,3 +333,30 @@ def test_poisson_bootstrap_rejects_reserved_column_names(spark):
     )
     with _pytest.raises(ValueError, match="rep"):
         poisson_bootstrap_ci(df, "rep", "id", "v")
+
+
+def test_roc_auc_excludes_null_scores_identically(spark):
+    """NULL scores are excluded on both sides (Spark windows order NULLS
+    FIRST, DuckDB NULLS LAST — keeping them would diverge) and must not
+    leak into the class counts."""
+    from be_analytic_etl_spark.operators.evalstats import roc_auc
+
+    rows = [(3, 1), (None, 1), (2, 0), (None, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "score int, pos int")
+    r = roc_auc(df, "score", "pos").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (1, 2)
+    assert r["auc"] == 1.0
+
+
+def test_poisson_bootstrap_guard_covers_internal_names(spark):
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from be_analytic_etl_spark.operators.evalstats import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [("g", 1, Decimal("0.5"))], "__v string, id long, x decimal(18,6)"
+    )
+    with _pytest.raises(ValueError, match="__v"):
+        poisson_bootstrap_ci(df, "__v", "id", "x")
