@@ -71,9 +71,13 @@ _DOREMI_SMOOTH = 0.2
 
 def q_ext_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    loss = (F.lit(1.0) - T.quality_score("text", round_to=None)).cast(
-        "decimal(18,6)"
-    )
+    # stable_round BEFORE the decimal cast (corpus-report q6 precedent):
+    # the raw loss is a product of small-integer ratios — exactly the
+    # short-repr-tie class where Spark's BigDecimal cast and DuckDB's
+    # binary cast can round a scale-6 half in opposite directions.
+    loss = stable_round(
+        F.lit(1.0) - T.quality_score("text", round_to=None), 6
+    ).cast("decimal(18,6)")
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(loss).alias("__loss_dec"),
@@ -135,7 +139,9 @@ def _doremi_oracle() -> str:
     )
     return f"""
     WITH {qscore_feature_ctes("doc_id, source")}, q AS (
-        SELECT source, CAST(1.0 - ({_QSCORE_SQL}) AS DECIMAL(18,6)) AS loss
+        SELECT source,
+               CAST({stable_round_sql(f"1.0 - ({_QSCORE_SQL})", 6)}
+                   AS DECIMAL(18,6)) AS loss
         FROM m
     ), per AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -180,7 +186,17 @@ register("ext_doremi_weights", q_ext_doremi_weights, _doremi_oracle())
 def q_ext_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    # Untyped events are excluded BEFORE pairing on both sides: a NULL
+    # src_type group would be dropped by Spark's equi-join on src_type
+    # while the oracle's window SUM keeps its NULL partition — a
+    # cross-engine NULL divergence (review find, round 6). Filtering
+    # first also means a NULL-typed event doesn't break a real A->B
+    # adjacency, which is the semantics a transition matrix wants.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("event_type").isNotNull())
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tr = (
         ev.select(
@@ -213,7 +229,7 @@ register(
         SELECT event_type AS src_type,
                LEAD(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
-        FROM events
+        FROM events WHERE event_type IS NOT NULL
     ), tr AS (
         SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
         FROM seq WHERE dst_type IS NOT NULL

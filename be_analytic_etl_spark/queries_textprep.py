@@ -494,11 +494,17 @@ def _isotonic_trend_oracle() -> str:
     # the minimax lattice (see _isotonic_minimax_oracle) + agree = TRUE:
     # the oracle's claim is precisely "PAVA equals the closed form".
     # Registered below ext_isotonic_minimax (its oracle body is shared).
-    return _isotonic_minimax_oracle().replace(
-        "SELECT p.event_type, p.day, CAST(p.y6 AS DOUBLE) AS y, f.y_iso",
-        "SELECT p.event_type, p.day, CAST(p.y6 AS DOUBLE) AS y, f.y_iso,"
-        " TRUE AS agree",
-    )
+    base = _isotonic_minimax_oracle()
+    anchor = "SELECT p.event_type, p.day, CAST(p.y6 AS DOUBLE) AS y, f.y_iso"
+    out = base.replace(anchor, anchor + ", TRUE AS agree")
+    # a silent no-op replace would surface in the driver as a confusing
+    # column-count mismatch far from the cause — fail loudly at import
+    if out == base:
+        raise AssertionError(
+            "_isotonic_trend_oracle: anchor line not found in the minimax "
+            "oracle — keep the two in lockstep"
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -111,13 +111,16 @@ def main() -> None:
     # in-repo so every round's judge can diff all of them.
     try:
         import glob
+        import re
 
+        repo = os.path.dirname(os.path.abspath(__file__))
         rounds = [
-            int(p.split("_r")[-1].split(".")[0])
-            for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p)))
         ]
         rnd = (max(rounds) + 1) if rounds else 0
-        with open(f"/root/repo/BENCH_LOCAL_r{rnd:02d}.json", "w") as fh:
+        with open(os.path.join(repo, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as fh:
             json.dump(
                 {
                     "metric": "full_query_suite_wall_seconds",
@@ -131,7 +134,9 @@ def main() -> None:
                 indent=1,
                 sort_keys=True,
             )
-    except OSError as e:  # read-only checkout must not kill the bench
+    except Exception as e:  # the artifact write must NEVER kill the bench
+        # (a failure here would eat the final stdout JSON line the driver
+        # parses — a 10-minute run recorded as nothing)
         print(f"bench: could not write BENCH_LOCAL: {e}", file=sys.stderr)
 
     # The driver keeps only the last 2000 bytes of stdout and json-parses

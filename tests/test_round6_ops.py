@@ -360,3 +360,31 @@ def test_poisson_bootstrap_guard_covers_internal_names(spark):
     )
     with _pytest.raises(ValueError, match="__v"):
         poisson_bootstrap_ci(df, "__v", "id", "x")
+
+
+def test_markov_excludes_null_typed_events_on_both_sides(spark):
+    """NULL event_type groups would be dropped by Spark's equi-join on
+    src_type but kept by the oracle's window SUM — both sides must
+    exclude untyped events before pairing (review find, round 6)."""
+    import datetime
+
+    rows = [
+        ("u1", None, datetime.datetime(2024, 1, 1, 0, 0, 0), 1),
+        ("u1", "click", datetime.datetime(2024, 1, 1, 0, 0, 1), 2),
+        ("u1", "buy", datetime.datetime(2024, 1, 1, 0, 0, 2), 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp, event_id long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        from be_analytic_etl_spark.registry import QUERIES
+
+        got = {
+            (r["src_type"], r["dst_type"]): r["n_transitions"]
+            for r in QUERIES["ext_markov_transitions"](spark, d).collect()
+        }
+    # the NULL event neither sources a transition nor breaks click->buy
+    assert got == {("click", "buy"): 1}

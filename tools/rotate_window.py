@@ -42,8 +42,16 @@ def main() -> None:
     greens: dict[str, int] = {}   # name -> last round seen green
     checked: dict[str, int] = {}  # name -> last round checked
     latest = 0
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(f.split("_r")[1].split(".")[0])
+    # Resolve history from the repo root (where registry.py also lives),
+    # NOT the CWD: run from elsewhere, a CWD glob finds zero files and
+    # --apply would silently overwrite the window with a ranking that
+    # ignores all verification history.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    history = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not history:
+        raise SystemExit(f"no CORRECTNESS_r*.json found under {repo}")
+    for f in history:
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         latest = max(latest, rnd)
         for k, v in json.load(open(f)).items():
             checked[k] = rnd
