@@ -114,6 +114,23 @@ _DRIVER_WINDOW_PRIORITY = [
     "ingest_finalize",
 ]
 
+# Round-7 window plan (written ahead, r5/r6 precedent): with the
+# never-checked backlog at ZERO after this round, the r7 window is
+# almost entirely free — rotate_window ranks any new r7 queries first
+# (never-checked), the SS2 core is NOT yet stale (checked r6; forced
+# again in r8), and the remaining slots fill with the oldest greens
+# (the r1 cohort: ext_token_stats, ext_lang_id, ext_exact_dedup,
+# ext_minhash_sig, ...). That leaves room for up to ~45 additions in
+# round 7 — candidates, in priority order: calibration-bin reliability
+# + ECE for the quality classifier (evalstats sibling of roc_auc),
+# Cohen's-kappa rater agreement, space-saving heavy hitters,
+# winsorized/trimmed robust stats, streaming twins for the eval
+# family, and an exact-substring dedup variant (suffix-window rolling
+# hash). Every addition must pass the three-SF verify sweep
+# (tools/verify_driver.py at sf0.001/sf0.01/sf0.1) BEFORE the window
+# freezes — the sf0.1 leg exists because two divergence classes only
+# trigger at sf0.1 magnitudes (SCALE.md, round-6 sweep findings).
+
 
 def _reorder_for_driver_window() -> None:
     prioritized = [n for n in _DRIVER_WINDOW_PRIORITY if n in QUERIES]
