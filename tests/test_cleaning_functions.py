@@ -191,7 +191,7 @@ def test_stable_round_guard_passes_through_nan_and_huge(spark):
             assert got == want
 
 
-def test_exact_dec_double_sql_correctly_rounds_past_2_53():
+def test_exact_dec_double_sql_correctly_rounds_hugeint_band():
     """DuckDB's direct DECIMAL->DOUBLE cast double-rounds through the
     HUGEINT 64-bit halves for values just past BIGINT range (~9% of
     random 66-bit integers land an ulp off); the VARCHAR route must

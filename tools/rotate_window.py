@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -47,11 +48,16 @@ def main() -> None:
     # --apply would silently overwrite the window with a ranking that
     # ignores all verification history.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    history = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    # Same canonical-name filter as bench.py: stray glob matches like
+    # CORRECTNESS_r06_old.json must not abort (or skew) the rotation.
+    history = sorted(
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p)))
+    )
     if not history:
         raise SystemExit(f"no CORRECTNESS_r*.json found under {repo}")
-    for f in history:
-        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+    for rnd, f in history:
         latest = max(latest, rnd)
         for k, v in json.load(open(f)).items():
             checked[k] = rnd
@@ -96,8 +102,6 @@ def main() -> None:
         # Rewrite the registry's window list in place — the rotation is
         # a mechanical function of correctness history, so no hand-edit
         # should ever be involved (round-5 judge ask #7).
-        import re
-
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "be_analytic_etl_spark",
