@@ -1131,3 +1131,138 @@ def window_dedup_stats(
             "dup_ratio", F.col("n_dup_spans").cast("double") / F.col("n_spans")
         )
     )
+
+
+def exact_substring_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 12,
+) -> DataFrame:
+    """Exact-substring duplication coverage (the measurement half of Lee
+    et al., ACL 2022 §4 ExactSubstr): hash EVERY ``window``-token span
+    at stride 1, mark spans whose hash occurs more than once anywhere in
+    the corpus, and report per document how many TOKENS the union of its
+    duplicated spans covers — the mass ExactSubstr dedup would cut.
+
+    Versus ``window_dedup_stats`` (strided spans): stride > 1 only
+    catches duplicate regions that are stride-ALIGNED in both copies;
+    stride 1 is alignment-free — any repeated run of >= ``window``
+    tokens is caught wherever it sits. The price is one span row per
+    token position (~n_tokens rows/doc vs n_tokens/stride); every span
+    row is still just (id, 8-byte hash, 4-byte start) — text never
+    shuffles. Global span counts use the checkpoint -> partial-agg
+    groupBy -> join-back shape (AQE-skew-splittable; the repo's
+    ngram-novelty discipline — a window over the hash would funnel the
+    hottest boilerplate span into one task). Span-union coverage needs
+    consecutive-start gaps, computed with LAG over (doc, start) — a
+    per-DOC partition, bounded by document length, never corpus-sized.
+
+    Spans are hashed with the portable md5-head (O(window) per position;
+    a true O(1) rolling polynomial update is the production option, kept
+    off the oracle path because modular wraparound arithmetic differs
+    under ANSI overflow checking). Docs shorter than ``window`` tokens
+    are excluded. Output: (id, n_tokens, n_windows, dup_windows,
+    covered_tokens, dup_fraction) with dup_fraction = covered/n_tokens,
+    one IEEE division of exact longs.
+    """
+    from pyspark.sql import Window as W
+
+    from be_analytic_etl_spark.functions import let
+    from be_analytic_etl_spark.operators.textstats import portable_hash60, tokenize
+
+    def span_hashes(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(F.lit(0), n - window)
+        return F.transform(
+            starts,
+            lambda i: portable_hash60(
+                F.concat_ws(" ", F.slice(toks, i + 1, window))
+            ),
+        )
+
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"), tokenize(text_col).alias("__t")
+        )
+        .filter(F.size("__t") >= window)
+        .select("__id", F.size("__t").alias("n_tokens"), "__t")
+    )
+    spans = base.select(
+        "__id", F.posexplode(let(F.col("__t"), span_hashes)).alias("start", "__h")
+    ).localCheckpoint(eager=False)
+    counts = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    dup = spans.join(counts.filter(F.col("__c") >= 2), "__h")
+    lag = F.lag("start").over(W.partitionBy("__id").orderBy("start"))
+    per = (
+        dup.select("__id", "start", lag.alias("__prev"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_windows"),
+            F.sum(
+                F.when(F.col("__prev").isNull(), F.lit(window)).otherwise(
+                    F.least(F.col("start") - F.col("__prev"), F.lit(window))
+                )
+            )
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )
+    out = (
+        base.select("__id", "n_tokens")
+        .join(per, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - window + 1).cast("long").alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )
+    return out.withColumn(
+        "dup_fraction",
+        F.col("covered_tokens").cast("double") / F.col("n_tokens").cast("double"),
+    )
+
+
+def exact_substring_coverage_sql(toks_sql: str, window: int = 12) -> str:
+    """DuckDB twin of ``exact_substring_coverage`` over the documents
+    table; ``toks_sql`` is the tokenizer expression (_TOKS)."""
+    w = window
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {toks_sql} AS t FROM documents
+    ), b AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t
+        FROM tok WHERE len(t) >= {w}
+    ), g AS (
+        SELECT doc_id, i - 1 AS start,
+               CAST('0x' || substr(md5(array_to_string(
+                   list_slice(t, i, i + {w - 1}), ' ')), 1, 15) AS BIGINT) AS h
+        FROM b, unnest(range(1, len(t) - {w} + 2)) u(i)
+    ), c AS (
+        SELECT h, COUNT(*) AS cnt FROM g GROUP BY h
+    ), d AS (
+        SELECT g.doc_id, g.start,
+               LAG(g.start) OVER (PARTITION BY g.doc_id ORDER BY g.start)
+                   AS prev
+        FROM g JOIN c USING (h) WHERE c.cnt >= 2
+    ), per AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_windows,
+               CAST(SUM(CASE WHEN prev IS NULL THEN {w}
+                             ELSE LEAST(start - prev, {w}) END) AS BIGINT)
+                   AS covered_tokens
+        FROM d GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(b.n_tokens - {w} + 1 AS BIGINT) AS n_windows,
+           CAST(coalesce(per.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(coalesce(per.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(coalesce(per.covered_tokens, 0) AS DOUBLE)
+               / CAST(b.n_tokens AS DOUBLE) AS dup_fraction
+    FROM b LEFT JOIN per USING (doc_id)
+    """

@@ -260,3 +260,217 @@ def poisson_bootstrap_ci(
         .cast("double")
         .alias("boot_hi"),
     )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram bins for a [0,1] classifier score
+    (Guo et al., ICML 2017): per equal-width bin,
+    (bin, n, mean_conf, frac_pos, abs_gap).
+
+    ``score_col`` must be an exact decimal in [0,1] (the caller's q6
+    convention) so the bin assignment floor(score * n_bins) is exact
+    integer arithmetic on BOTH engines — no float binning ambiguity at
+    bin edges. The corpus-sized work is ONE partial-aggregated groupBy
+    on the bin id (<= n_bins + 1 groups); everything after is
+    control-plane. mean_conf and frac_pos are single IEEE divisions of
+    exact accumulators (emitted raw, quality_percentile precedent);
+    abs_gap is one subtraction of those two deterministic doubles.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    hist = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(score_col).alias("__conf_sum"),
+            F.sum(label_col).cast("long").alias("__pos"),
+        )
+    )
+    mean_conf = F.col("__conf_sum").cast("double") / F.col("n").cast("double")
+    frac_pos = F.col("__pos").cast("double") / F.col("n").cast("double")
+    return hist.select(
+        "bin",
+        "n",
+        mean_conf.alias("mean_conf"),
+        frac_pos.alias("frac_pos"),
+        F.abs(frac_pos - mean_conf).alias("abs_gap"),
+    )
+
+
+def calibration_bins_sql(score_rows: str, n_bins: int = 10) -> str:
+    """DuckDB twin of ``calibration_bins``: ``score_rows`` yields
+    (score, pos) with score an exact decimal. Returns a CTE chain whose
+    final SELECT emits the bin table — kept beside the column form so
+    the binning arithmetic can never drift."""
+    return f"""
+    cb_h AS (
+        SELECT LEAST(CAST(FLOOR(score * {n_bins}) AS INTEGER), {n_bins - 1})
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(score) AS __conf_sum,
+               CAST(SUM(pos) AS BIGINT) AS __pos
+        FROM ({score_rows}) WHERE score IS NOT NULL GROUP BY 1
+    )
+    SELECT bin, n,
+           CAST(__conf_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_conf,
+           CAST(__pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           ABS(CAST(__pos AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(__conf_sum AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
+    FROM cb_h
+    """
+
+
+def expected_calibration_error(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """One-row (n, n_bins_used, ece, mce) — ECE = Σ (n_b/N)·|gap_b|,
+    MCE = max_b |gap_b| (Naeini et al., AAAI 2015 formulation).
+
+    Per-bin gaps are deterministic doubles (see ``calibration_bins``);
+    each quantizes via ``stable_round`` to DECIMAL(18,6) BEFORE the
+    weighted sum so the fold over bins is exact and merge-order-free
+    (the repo's mixture_kl discipline) — ECE and MCE are then single
+    IEEE divisions / casts of exact accumulators.
+    """
+    bins = calibration_bins(df, score_col, label_col, n_bins)
+    gap6 = stable_round(F.col("abs_gap"), 6).cast("decimal(18,6)")
+    agg = bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum(F.col("n").cast("decimal(38,6)") * gap6).alias("__wgap"),
+        F.max(gap6).alias("__mce"),
+    )
+    return agg.select(
+        "n",
+        "n_bins_used",
+        (F.col("__wgap").cast("double") / F.col("n").cast("double")).alias("ece"),
+        F.col("__mce").cast("double").alias("mce"),
+    )
+
+
+def expected_calibration_error_sql(score_rows: str, n_bins: int = 10) -> str:
+    """DuckDB twin of ``expected_calibration_error``."""
+    from be_analytic_etl_spark.functions.rounding import (
+        exact_dec_double_sql,
+        stable_round_sql,
+    )
+
+    bins = calibration_bins_sql(score_rows, n_bins)
+    gap6 = (
+        f"CAST({stable_round_sql('abs_gap', 6)} AS DECIMAL(18,6))"
+    )
+    # __wgap is an unbounded exact accumulator (n_b grows with the
+    # corpus) -> exact_dec_double_sql per SCALE.md's audit convention.
+    return f"""
+    cb AS (WITH {bins}),
+    ca AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+               SUM(CAST(n AS DECIMAL(38,6)) * {gap6}) AS __wgap,
+               MAX({gap6}) AS __mce
+        FROM cb
+    )
+    SELECT n, n_bins_used,
+           {exact_dec_double_sql('__wgap')} / CAST(n AS DOUBLE) AS ece,
+           CAST(__mce AS DOUBLE) AS mce
+    FROM ca
+    """
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """One-row (n, n_labels, po, pe, kappa) — Cohen's kappa
+    (Cohen, 1960) between two categorical raters.
+
+    Corpus work = ONE partial-aggregated groupBy on the (a, b) label
+    pair (<= |labels|^2 groups); margins and the chance-agreement fold
+    run on label-count-sized frames. All accumulation is exact
+    (BIGINT / DECIMAL(38,0)); po and pe are single IEEE divisions —
+    pe's numerator Σ row_k·col_k is an unbounded exact product sum
+    (second moment in n), so its decimal->double cast routes through
+    the correctly-rounded path on the oracle side per SCALE.md.
+    Degenerate corpora (pe = 1: both raters constant) emit NULL kappa
+    — mirrored CASE on both sides, never 0/0.
+    """
+    cells = (
+        df.groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    rows = cells.groupBy("__a").agg(F.sum("__c").cast("long").alias("__ra"))
+    cols = cells.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cb"))
+    pe_num = (
+        rows.join(cols, rows["__a"] == cols["__b"])
+        .agg(
+            F.sum(
+                F.col("__ra").cast("decimal(38,0)")
+                * F.col("__cb").cast("decimal(38,0)")
+            ).alias("__pe_num")
+        )
+    )
+    base = cells.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("__diag"),
+    )
+    labels = (
+        rows.select(F.col("__a").alias("__l"))
+        .unionByName(cols.select(F.col("__b").alias("__l")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_labels"))
+    )
+    j = base.crossJoin(F.broadcast(pe_num)).crossJoin(F.broadcast(labels))
+    nd = F.col("n").cast("double")
+    po = F.col("__diag").cast("double") / nd
+    pe = F.col("__pe_num").cast("double") / (nd * nd)
+    return j.select(
+        "n",
+        "n_labels",
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(rated_rows: str) -> str:
+    """DuckDB twin of ``cohens_kappa``: ``rated_rows`` yields (a, b)."""
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
+    pe_num_d = exact_dec_double_sql("__pe_num")
+    return f"""
+    ck_cells AS (
+        SELECT a AS __a, b AS __b, CAST(COUNT(*) AS BIGINT) AS __c
+        FROM ({rated_rows}) GROUP BY 1, 2
+    ), ck_rows AS (
+        SELECT __a, CAST(SUM(__c) AS BIGINT) AS __ra FROM ck_cells GROUP BY 1
+    ), ck_cols AS (
+        SELECT __b, CAST(SUM(__c) AS BIGINT) AS __cb FROM ck_cells GROUP BY 1
+    ), ck_pe AS (
+        SELECT SUM(CAST(__ra AS DECIMAL(38,0)) * CAST(__cb AS DECIMAL(38,0)))
+                   AS __pe_num
+        FROM ck_rows JOIN ck_cols ON __a = __b
+    ), ck_base AS (
+        SELECT CAST(SUM(__c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN __a = __b THEN __c ELSE 0 END) AS BIGINT)
+                   AS __diag
+        FROM ck_cells
+    ), ck_labels AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_labels FROM (
+            SELECT __a AS __l FROM ck_rows
+            UNION SELECT __b FROM ck_cols
+        )
+    )
+    SELECT n, n_labels,
+           CAST(__diag AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           {pe_num_d} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+           CASE WHEN {pe_num_d} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                THEN (CAST(__diag AS DOUBLE) / CAST(n AS DOUBLE)
+                      - {pe_num_d} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     / (1.0 - {pe_num_d} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                ELSE NULL END AS kappa
+    FROM ck_base, ck_pe, ck_labels
+    """

@@ -307,3 +307,91 @@ def hll_union_sql_twin(
            n_registers_used
     FROM agg
     """
+
+
+def misra_gries_candidates(
+    df: DataFrame, item_col: str, k: int = 64
+) -> DataFrame:
+    """Per-partition Misra–Gries heavy-hitter candidates (Misra & Gries
+    1982; merge rule from Agarwal et al., "Mergeable Summaries", PODS
+    2012): one-column DataFrame of at most ``k`` candidate items per
+    input partition.
+
+    Within a partition the summary is built by merging each Arrow
+    batch's exact value_counts into the running sketch, then applying
+    the MG reduction (subtract the (k+1)-th largest count, keep
+    positives) — the mergeable-summaries operation, so the result is a
+    valid MG summary of the whole partition no matter the batch
+    boundaries. Guarantee used downstream: any item with GLOBAL
+    frequency > n/k has, by pigeonhole, LOCAL frequency > n_p/k in at
+    least one partition, and an MG summary with k counters always
+    retains such an item — the union of per-partition candidates is a
+    superset of every global heavy hitter. State is O(k) per partition;
+    output is <= k * n_partitions rows (sketch-sized, broadcastable).
+
+    This is the Arrow-batched Python path (mapInPandas) because the
+    bounded-state scan is genuinely imperative — but it touches only
+    the single item column, and the expensive exact counting stays in
+    the JVM (``heavy_hitters_exact``).
+    """
+    import pandas as pd
+
+    schema = f"{item_col} string"
+
+    def mg(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf[item_col].dropna().value_counts()
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > k:
+                # MG merge-reduce: subtract the (k+1)-th largest count.
+                kth = sorted(counts.values(), reverse=True)[k]
+                counts = {i: c - kth for i, c in counts.items() if c > kth}
+        yield pd.DataFrame({item_col: list(counts.keys())})
+
+    return df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        mg, schema
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame, item_col: str, k: int = 64
+) -> DataFrame:
+    """Exact heavy hitters: every item with frequency > n/k, with its
+    EXACT count — (item, cnt, n, freq).
+
+    Two-phase plan (the classic sketch-then-verify shape): phase 1
+    collects Misra–Gries candidates per partition (O(k) state, no
+    shuffle of the vocabulary); phase 2 broadcast-semi-joins the
+    candidate set onto the corpus and exactly counts ONLY candidates —
+    the groupBy shuffles at most k·partitions distinct keys instead of
+    the whole vocabulary, and the n/k threshold test cnt·k > n is
+    integer-exact. The output is therefore deterministic (exact counts,
+    exact threshold) no matter how the input was partitioned — the MG
+    phase only ever changes which NON-hitters get pre-filtered.
+
+    freq = cnt/n is the single IEEE division (emitted raw).
+    """
+    items = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    cands = misra_gries_candidates(items, "item", k).distinct()
+    total = items.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    counted = (
+        items.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select(
+            "item",
+            "cnt",
+            "n",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias(
+                "freq"
+            ),
+        )
+    )

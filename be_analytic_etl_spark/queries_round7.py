@@ -1,0 +1,778 @@
+"""Round-7 extension queries.
+
+Evaluation-statistics siblings and the remaining sketch/dedup gaps the
+round-6 verdict named:
+
+- ``ext_reliability_bins`` / ``ext_calibration_ece``: reliability
+  diagram + expected/maximum calibration error for the quality
+  classifier (Guo et al., ICML 2017; Naeini et al., AAAI 2015) — the
+  natural companions to ``ext_roc_auc``: AUC says the score RANKS
+  well, ECE says its VALUE can be read as a probability.
+- ``ext_cohens_kappa``: chance-corrected agreement (Cohen, 1960)
+  between the stored ``lang`` label and the marker-based ``lang_id``
+  prediction — the honest version of the raw ``langid_agreement``
+  rate, which a majority-class rater can fake.
+- ``ext_heavy_hitters``: exact heavy hitters over the token stream via
+  per-partition Misra–Gries candidates + exact recount
+  (Misra & Gries 1982; merge rule per Agarwal et al., PODS 2012) —
+  completes the sketches family (HLL, count-min, quantiles, now
+  frequent items).
+- ``ext_robust_stats``: trimmed + winsorized means per order priority
+  from a bounded value histogram — rank statistics without a per-group
+  corpus sort.
+- ``ext_substring_dedup``: alignment-free exact-substring duplication
+  coverage (Lee et al., ACL 2022 ExactSubstr), stride-1 spans —
+  closes the gap between chunk dedup (disjoint) and the strided
+  ``ext_window_dedup`` (alignment-dependent).
+- ``ext_welch_ttest`` / ``ext_ks_test``: is source A's quality
+  distribution actually different from source B's — parametric
+  (Welch 1947) and distribution-free (Kolmogorov–Smirnov) forms.
+- ``ext_chi2_independence`` / ``ext_mutual_information``: source x
+  language association — the contingency diagnostics behind "is this
+  source just the French crawl again".
+- ``ext_spearman_corr``: rank correlation between document length in
+  tokens and in chars — monotone-association without Pearson's
+  normality assumption, computed from average ranks over bounded value
+  histograms (never a corpus-wide row sort).
+
+Float discipline (SCALE.md, all five divergence classes checked): every
+corpus-sized accumulation is BIGINT/DECIMAL exact; libm terms (log2)
+quantize via ``stable_round`` to DECIMAL(18,6) BEFORE any sum
+(mixture_kl precedent); unbounded exact accumulators cast to double
+through ``exact_dec_double_sql`` on the oracle side (HUGEINT-band
+convention); multi-op IEEE tails are written with identical op order on
+both sides and quantized at the source where they end in an emission.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from be_analytic_etl_spark.functions.rounding import (
+    exact_dec_double_sql,
+    stable_round,
+    stable_round_sql,
+)
+from be_analytic_etl_spark.operators import textstats as T
+from be_analytic_etl_spark.queries_extensions import _t, _TOKS
+from be_analytic_etl_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Shared: the quality score as a probability-like [0,1] confidence and
+# the "substantial document" label — the SAME pairing ext_roc_auc grades,
+# so AUC/ECE/MCE read off one classifier.
+_CAL_LEN_THRESHOLD = 256
+_CAL_BINS = 10
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        stable_round(T.quality_score("text", round_to=None), 6)
+        .cast("decimal(18,6)")
+        .alias("score"),
+        (T.char_count("text") >= _CAL_LEN_THRESHOLD).cast("int").alias("pos"),
+    )
+
+
+def _scored_sql() -> str:
+    from be_analytic_etl_spark.queries_analytics import (
+        _QSCORE_SQL,
+        qscore_feature_ctes,
+    )
+
+    return (
+        f"WITH {qscore_feature_ctes('doc_id')}, sc AS ("
+        f" SELECT CAST({stable_round_sql(_QSCORE_SQL, 6)} AS DECIMAL(18,6)) AS score,"
+        f" CASE WHEN n_chars >= {_CAL_LEN_THRESHOLD} THEN 1 ELSE 0 END AS pos"
+        f" FROM m)"
+    )
+
+
+def q_ext_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.evalstats import calibration_bins
+
+    return calibration_bins(_scored(spark, sf_dir), "score", "pos", _CAL_BINS)
+
+
+def _reliability_bins_oracle() -> str:
+    from be_analytic_etl_spark.operators.evalstats import calibration_bins_sql
+
+    body = calibration_bins_sql("SELECT score, pos FROM sc", _CAL_BINS)
+    return f"{_scored_sql()}, {body}"
+
+
+register("ext_reliability_bins", q_ext_reliability_bins, _reliability_bins_oracle())
+
+
+def q_ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.evalstats import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(
+        _scored(spark, sf_dir), "score", "pos", _CAL_BINS
+    )
+
+
+def _calibration_ece_oracle() -> str:
+    from be_analytic_etl_spark.operators.evalstats import (
+        expected_calibration_error_sql,
+    )
+
+    body = expected_calibration_error_sql("SELECT score, pos FROM sc", _CAL_BINS)
+    return f"{_scored_sql()}, {body}"
+
+
+register("ext_calibration_ece", q_ext_calibration_ece, _calibration_ece_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between the stored language label and the marker-token
+# lang_id prediction. Corpus work = one groupBy on the (true, pred) pair;
+# the chance-correction fold runs on |labels|-sized frames. The existing
+# ext_corpus_report emits the RAW agreement rate; kappa subtracts the
+# agreement a label-marginal-matching random rater would get — the
+# difference between "87% agree" and "agrees better than chance".
+def q_ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.evalstats import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.col("lang").alias("a"), T.lang_id("text").alias("b")
+    )
+    return cohens_kappa(rated, "a", "b")
+
+
+def _cohens_kappa_oracle() -> str:
+    from be_analytic_etl_spark.operators.evalstats import cohens_kappa_sql
+
+    langs = sorted(T.LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        markers = ",".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{markers}], lower(x)))) AS s_{lang}"
+        )
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    chain = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for lang in langs:
+        chain += f"WHEN s_{lang} = {mx} THEN '{lang}' "
+    chain += "ELSE 'und' END"
+    rated = f"""
+        SELECT lang AS a, {chain} AS b FROM (
+            SELECT lang, {", ".join(score_cols)} FROM (
+                SELECT lang, {_TOKS} AS toks FROM documents
+            )
+        )
+    """
+    return f"WITH {cohens_kappa_sql(rated)}"
+
+
+register("ext_cohens_kappa", q_ext_cohens_kappa, _cohens_kappa_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters over the token stream (operators/sketches.py):
+# Misra–Gries candidates per partition (O(k) state, sketch-sized
+# output), then an exact recount restricted to candidates. At 100 TB the
+# groupBy shuffles <= k * partitions candidate keys, never the
+# vocabulary; the threshold test cnt * k > n is integer-exact, so the
+# result is partitioning-independent — which is exactly what the DuckDB
+# oracle (a plain GROUP BY ... HAVING) checks.
+_HH_K = 64
+
+
+def q_ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.sketches import heavy_hitters_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokenize(F.col("text"))).alias("item"))
+    return heavy_hitters_exact(toks, "item", _HH_K)
+
+
+register(
+    "ext_heavy_hitters",
+    q_ext_heavy_hitters,
+    f"""
+    WITH t AS (
+        SELECT u.item FROM (SELECT {_TOKS} AS toks FROM documents),
+             unnest(toks) u(item)
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
+    ), c AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY item
+    )
+    SELECT c.item, c.cnt, n.n,
+           CAST(c.cnt AS DOUBLE) / CAST(n.n AS DOUBLE) AS freq
+    FROM c, n WHERE c.cnt * {_HH_K} > n.n
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Robust location stats per order priority (operators/robust.py): the
+# corpus collapses to a (priority, whole-unit price) histogram in ONE
+# partial-aggregated pass; trim ranks, boundary values, and both sums
+# are exact integer/decimal arithmetic over that bounded frame.
+def q_ext_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.robust import robust_means
+
+    orders = _t(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    return robust_means(vals, "grp", "v", trim=0.1)
+
+
+def _robust_stats_oracle() -> str:
+    from be_analytic_etl_spark.operators.robust import robust_means_sql
+
+    rows = (
+        "SELECT o_orderpriority AS grp,"
+        " CAST(FLOOR(o_totalprice) AS BIGINT) AS v FROM orders"
+    )
+    return "WITH " + robust_means_sql(rows, trim=0.1).strip()
+
+
+register("ext_robust_stats", q_ext_robust_stats, _robust_stats_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Alignment-free exact-substring duplication coverage (operators/dedup
+# .exact_substring_coverage): stride-1 12-token spans, global span
+# counts via checkpoint -> groupBy -> join-back, per-doc covered-token
+# union via LAG over (doc, start). See the operator docstring for the
+# 100 TB shape argument.
+_SUB_W = 12
+
+
+def q_ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.dedup import exact_substring_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_coverage(docs, "text", "doc_id", window=_SUB_W)
+
+
+def _substring_dedup_oracle() -> str:
+    from be_analytic_etl_spark.operators.dedup import (
+        exact_substring_coverage_sql,
+    )
+
+    return exact_substring_coverage_sql(_TOKS, window=_SUB_W)
+
+
+register("ext_substring_dedup", q_ext_substring_dedup, _substring_dedup_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t statistic for every source pair on mean
+# quality (Welch, Biometrika 1947). Corpus work = ONE partial-agg
+# groupBy(source) accumulating n / Σq6 / Σq6² exactly; the pair frame is
+# |sources|² control-plane rows. Means and sums-of-squares convert to
+# double once (exact-rounded on both engines — the oracle routes the
+# second moment through exact_dec_double_sql); the t / df tail is a
+# FIXED IEEE op sequence written identically on both sides, quantized at
+# the source via stable_round.
+def q_ext_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q6 = (
+        stable_round(T.quality_score("text", round_to=None), 6)
+        .cast("decimal(18,6)")
+        .alias("q6")
+    )
+    per = (
+        docs.select("source", q6)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q6").alias("s1"),
+            F.sum(F.col("q6") * F.col("q6")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    a = per.select(
+        F.col("source").alias("src_a"),
+        F.col("n").alias("na"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = per.select(
+        F.col("source").alias("src_b"),
+        F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    j = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+
+    def stats(n, s1, s2):
+        nd = F.col(n).cast("double")
+        m = F.col(s1).cast("double") / nd
+        v = (F.col(s2).cast("double") - nd * m * m) / (nd - F.lit(1.0))
+        return nd, m, v
+
+    nda, ma, va = stats("na", "s1a", "s2a")
+    ndb, mb, vb = stats("nb", "s1b", "s2b")
+    sea = va / nda
+    seb = vb / ndb
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        sea * sea / (nda - F.lit(1.0)) + seb * seb / (ndb - F.lit(1.0))
+    )
+    return j.select(
+        "src_a",
+        "src_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        stable_round(ma - mb, 6).alias("mean_diff"),
+        stable_round(t, 6).alias("t_stat"),
+        stable_round(dfw, 6).alias("df_welch"),
+    )
+
+
+def _welch_oracle() -> str:
+    from be_analytic_etl_spark.queries_analytics import (
+        _QSCORE_SQL,
+        qscore_feature_ctes,
+    )
+
+    s2d = exact_dec_double_sql("s2")
+
+    def stats(side: str) -> tuple[str, str, str]:
+        nd = f"CAST(n{side} AS DOUBLE)"
+        m = f"(CAST(s1{side} AS DOUBLE) / {nd})"
+        v = f"(({s2d.replace('s2', f's2{side}')} - {nd} * {m} * {m}) / ({nd} - 1.0))"
+        return nd, m, v
+
+    nda, ma, va = stats("a")
+    ndb, mb, vb = stats("b")
+    sea = f"({va} / {nda})"
+    seb = f"({vb} / {ndb})"
+    se2 = f"({sea} + {seb})"
+    t = f"(({ma} - {mb}) / sqrt({se2}))"
+    dfw = (
+        f"(({se2} * {se2}) / ({sea} * {sea} / ({nda} - 1.0)"
+        f" + {seb} * {seb} / ({ndb} - 1.0)))"
+    )
+    return f"""
+    WITH {qscore_feature_ctes('source')}, sq AS (
+        SELECT source,
+               CAST({stable_round_sql(_QSCORE_SQL, 6)} AS DECIMAL(18,6)) AS q6
+        FROM m
+    ), per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(q6) AS s1, SUM(q6 * q6) AS s2
+        FROM sq GROUP BY source HAVING COUNT(*) >= 2
+    ), pr AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
+               b.n AS nb, b.s1 AS s1b, b.s2 AS s2b
+        FROM per a JOIN per b ON a.source < b.source
+    )
+    SELECT src_a, src_b,
+           na AS n_a, nb AS n_b,
+           {stable_round_sql(f'({ma} - {mb})', 6)} AS mean_diff,
+           {stable_round_sql(t, 6)} AS t_stat,
+           {stable_round_sql(dfw, 6)} AS df_welch
+    FROM pr
+    """
+
+
+register("ext_welch_ttest", q_ext_welch_ttest, _welch_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov D between the two largest sources'
+# quality distributions. The corpus collapses to a per-(score) histogram
+# with one count column per side (<= 10^6+1 rows at 6dp quantization —
+# the roc_auc bound); the CDF sweep is a window over that bounded frame.
+# Each CDF value is one IEEE division of exact counts; D = max of their
+# absolute differences — comparisons of deterministic doubles, emitted
+# raw.
+def q_ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q6 = (
+        stable_round(T.quality_score("text", round_to=None), 6)
+        .cast("decimal(18,6)")
+        .alias("score")
+    )
+    scored = docs.select("source", q6)
+    top2 = (
+        scored.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .select(
+            "source",
+            "__n",
+            F.row_number()
+            .over(Window.orderBy(F.col("__n").desc(), F.col("source")))
+            .alias("__r"),
+        )
+        .filter(F.col("__r") <= 2)
+    )
+    tagged = scored.join(F.broadcast(top2), "source").select(
+        F.when(F.col("__r") == 1, 1).otherwise(0).alias("__ia"),
+        F.when(F.col("__r") == 2, 1).otherwise(0).alias("__ib"),
+        "score",
+        F.when(F.col("__r") == 1, F.col("source")).alias("__sa"),
+        F.when(F.col("__r") == 2, F.col("source")).alias("__sb"),
+    )
+    hist = tagged.groupBy("score").agg(
+        F.sum("__ia").cast("long").alias("__ca"),
+        F.sum("__ib").cast("long").alias("__cb"),
+        F.max("__sa").alias("__na_name"),
+        F.max("__sb").alias("__nb_name"),
+    )
+    cum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sw = hist.select(
+        F.sum("__ca").over(cum).cast("long").alias("__cuma"),
+        F.sum("__cb").over(cum).cast("long").alias("__cumb"),
+        F.sum("__ca").over(tot).cast("long").alias("__na"),
+        F.sum("__cb").over(tot).cast("long").alias("__nb"),
+        F.max("__na_name").over(tot).alias("src_a"),
+        F.max("__nb_name").over(tot).alias("src_b"),
+    )
+    d = F.abs(
+        F.col("__cuma").cast("double") / F.col("__na").cast("double")
+        - F.col("__cumb").cast("double") / F.col("__nb").cast("double")
+    )
+    return sw.groupBy("src_a", "src_b").agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max(d).alias("d_stat"),
+    )
+
+
+def _ks_oracle() -> str:
+    from be_analytic_etl_spark.queries_analytics import (
+        _QSCORE_SQL,
+        qscore_feature_ctes,
+    )
+
+    return f"""
+    WITH {qscore_feature_ctes('source')}, sq AS (
+        SELECT source,
+               CAST({stable_round_sql(_QSCORE_SQL, 6)} AS DECIMAL(18,6)) AS score
+        FROM m
+    ), top2 AS (
+        SELECT source, __n,
+               ROW_NUMBER() OVER (ORDER BY __n DESC, source) AS __r
+        FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS __n
+              FROM sq GROUP BY source)
+        QUALIFY __r <= 2
+    ), h AS (
+        SELECT score,
+               CAST(SUM(CASE WHEN __r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS __ca,
+               CAST(SUM(CASE WHEN __r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS __cb,
+               MAX(CASE WHEN __r = 1 THEN sq.source END) AS __na_name,
+               MAX(CASE WHEN __r = 2 THEN sq.source END) AS __nb_name
+        FROM sq JOIN top2 ON sq.source = top2.source
+        GROUP BY score
+    ), sw AS (
+        SELECT CAST(SUM(__ca) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS __cuma,
+               CAST(SUM(__cb) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS __cumb,
+               CAST(SUM(__ca) OVER () AS BIGINT) AS __na,
+               CAST(SUM(__cb) OVER () AS BIGINT) AS __nb,
+               MAX(__na_name) OVER () AS src_a,
+               MAX(__nb_name) OVER () AS src_b
+        FROM h
+    )
+    SELECT src_a, src_b,
+           MAX(__na) AS n_a, MAX(__nb) AS n_b,
+           MAX(ABS(CAST(__cuma AS DOUBLE) / CAST(__na AS DOUBLE)
+                   - CAST(__cumb AS DOUBLE) / CAST(__nb AS DOUBLE))) AS d_stat
+    FROM sw GROUP BY src_a, src_b
+    """
+
+
+register("ext_ks_test", q_ext_ks_test, _ks_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence + mutual information for source x lang. One
+# groupBy on the (source, lang) cell; margins join on |labels|-sized
+# frames. Each cell's libm-tainted contribution (log2 for MI; the
+# squared-deviation-over-expectation for chi2 is libm-free but still a
+# multi-op IEEE tail) quantizes to DECIMAL(18,6) via stable_round BEFORE
+# the sum, so the fold is exact and merge-order-free (mixture_kl
+# precedent). Margin products are second-moment accumulators ->
+# exact_dec_double_sql on the oracle side.
+def _contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy(
+            F.col("source").alias("__s"), F.col("lang").alias("__l")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+        .localCheckpoint(eager=False)
+    )
+    rows = cells.groupBy("__s").agg(F.sum("__o").cast("long").alias("__rm"))
+    cols = cells.groupBy("__l").agg(F.sum("__o").cast("long").alias("__cm"))
+    tot = cells.agg(F.sum("__o").cast("long").alias("__n"))
+    return (
+        cells.join(F.broadcast(rows), "__s")
+        .join(F.broadcast(cols), "__l")
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+def q_ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _contingency(spark, sf_dir)
+    nd = F.col("__n").cast("double")
+    e = (F.col("__rm").cast("decimal(38,0)") * F.col("__cm")).cast("double") / nd
+    od = F.col("__o").cast("double")
+    contrib = stable_round((od - e) * (od - e) / e, 6).cast("decimal(18,6)")
+    agg = j.agg(
+        F.max("__n").alias("n"),
+        F.count_distinct(F.col("__s")).cast("long").alias("n_sources"),
+        F.count_distinct(F.col("__l")).cast("long").alias("n_langs"),
+        F.sum(contrib).alias("__chi2"),
+    )
+    return agg.select(
+        "n",
+        "n_sources",
+        "n_langs",
+        ((F.col("n_sources") - 1) * (F.col("n_langs") - 1)).alias("dof"),
+        F.col("__chi2").cast("double").alias("chi2"),
+    )
+
+
+_CONTINGENCY_SQL = """
+    cells AS (
+        SELECT source AS __s, lang AS __l, CAST(COUNT(*) AS BIGINT) AS __o
+        FROM documents GROUP BY 1, 2
+    ), rm AS (
+        SELECT __s, CAST(SUM(__o) AS BIGINT) AS __rm FROM cells GROUP BY 1
+    ), cm AS (
+        SELECT __l, CAST(SUM(__o) AS BIGINT) AS __cm FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(__o) AS BIGINT) AS __n FROM cells
+    ), j AS (
+        SELECT cells.*, rm.__rm, cm.__cm, tot.__n
+        FROM cells JOIN rm USING (__s) JOIN cm USING (__l), tot
+    )
+"""
+
+
+def _chi2_oracle() -> str:
+    e = (
+        f"({exact_dec_double_sql('CAST(__rm AS DECIMAL(38,0)) * __cm')}"
+        f" / CAST(__n AS DOUBLE))"
+    )
+    od = "CAST(__o AS DOUBLE)"
+    contrib = stable_round_sql(f"(({od} - {e}) * ({od} - {e}) / {e})", 6)
+    return f"""
+    WITH {_CONTINGENCY_SQL}
+    SELECT MAX(__n) AS n,
+           CAST(COUNT(DISTINCT __s) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT __l) AS BIGINT) AS n_langs,
+           (CAST(COUNT(DISTINCT __s) AS BIGINT) - 1)
+               * (CAST(COUNT(DISTINCT __l) AS BIGINT) - 1) AS dof,
+           CAST(SUM(CAST({contrib} AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+    FROM j
+    """
+
+
+register("ext_chi2_independence", q_ext_chi2_independence, _chi2_oracle())
+
+
+def q_ext_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _contingency(spark, sf_dir)
+    nd = F.col("__n").cast("double")
+    od = F.col("__o").cast("double")
+    prod = (F.col("__rm").cast("decimal(38,0)") * F.col("__cm")).cast("double")
+    mi_term = stable_round(
+        (od / nd) * F.log2(od * nd / prod), 6
+    ).cast("decimal(18,6)")
+    # marginal entropies: each margin row counted once via the
+    # lang/source with the MINIMUM partner key (dedup without a second
+    # scan of the corpus — the cells frame is checkpointed and tiny).
+    hs_term = stable_round(
+        (F.col("__rm").cast("double") / nd)
+        * F.log2(nd / F.col("__rm").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    hl_term = stable_round(
+        (F.col("__cm").cast("double") / nd)
+        * F.log2(nd / F.col("__cm").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    first_l = Window.partitionBy("__s").orderBy("__l")
+    first_s = Window.partitionBy("__l").orderBy("__s")
+    marked = j.select(
+        "__n",
+        mi_term.alias("__mi"),
+        F.when(F.row_number().over(first_l) == 1, hs_term).alias("__hs"),
+        F.when(F.row_number().over(first_s) == 1, hl_term).alias("__hl"),
+    )
+    agg = marked.agg(
+        F.max("__n").alias("n"),
+        F.sum("__mi").alias("__mib"),
+        F.sum("__hs").alias("__hsb"),
+        F.sum("__hl").alias("__hlb"),
+    )
+    return agg.select(
+        "n",
+        F.col("__mib").cast("double").alias("mi_bits"),
+        F.col("__hsb").cast("double").alias("h_source_bits"),
+        F.col("__hlb").cast("double").alias("h_lang_bits"),
+    )
+
+
+def _mi_oracle() -> str:
+    prod = exact_dec_double_sql("CAST(__rm AS DECIMAL(38,0)) * __cm")
+    nd = "CAST(__n AS DOUBLE)"
+    od = "CAST(__o AS DOUBLE)"
+    mi_term = stable_round_sql(
+        f"(({od} / {nd}) * log2({od} * {nd} / {prod}))", 6
+    )
+    hs_term = stable_round_sql(
+        f"((CAST(__rm AS DOUBLE) / {nd}) * log2({nd} / CAST(__rm AS DOUBLE)))", 6
+    )
+    hl_term = stable_round_sql(
+        f"((CAST(__cm AS DOUBLE) / {nd}) * log2({nd} / CAST(__cm AS DOUBLE)))", 6
+    )
+    return f"""
+    WITH {_CONTINGENCY_SQL}, marked AS (
+        SELECT __n,
+               CAST({mi_term} AS DECIMAL(18,6)) AS __mi,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY __s ORDER BY __l) = 1
+                    THEN CAST({hs_term} AS DECIMAL(18,6)) END AS __hs,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY __l ORDER BY __s) = 1
+                    THEN CAST({hl_term} AS DECIMAL(18,6)) END AS __hl
+        FROM j
+    )
+    SELECT MAX(__n) AS n,
+           CAST(SUM(__mi) AS DOUBLE) AS mi_bits,
+           CAST(SUM(__hs) AS DOUBLE) AS h_source_bits,
+           CAST(SUM(__hl) AS DOUBLE) AS h_lang_bits
+    FROM marked
+    """
+
+
+register("ext_mutual_information", q_ext_mutual_information, _mi_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between document token length and char
+# length. Average ranks come from the two value HISTOGRAMS (bounded by
+# distinct document lengths — domain-capped, not corpus-sized), doubled
+# to stay integer-exact for ties ((2·rank) = 2·cum_before + cnt + 1);
+# rows join their ranks back via broadcast of the bounded histograms;
+# all five rank moments accumulate as DECIMAL(38,0); the Pearson-on-
+# ranks tail is a fixed IEEE sequence over exact-rounded casts,
+# quantized at the source.
+def q_ext_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        T.token_count("text").cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+
+    def rank2(frame: DataFrame, col: str) -> DataFrame:
+        h = frame.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return h.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("__c").over(w), F.lit(0))
+                + F.col("__c")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias(f"r_{col}"),
+        )
+    rx = rank2(base, "x")
+    ry = rank2(base, "y")
+    ranked = base.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r_x").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(F.col("r_y").cast("decimal(38,0)")).alias("__sy"),
+        F.sum(
+            F.col("r_x").cast("decimal(38,0)") * F.col("r_x")
+        ).alias("__sxx"),
+        F.sum(
+            F.col("r_y").cast("decimal(38,0)") * F.col("r_y")
+        ).alias("__syy"),
+        F.sum(
+            F.col("r_x").cast("decimal(38,0)") * F.col("r_y")
+        ).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = nd * F.col("__sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (nd * F.col("__sxx").cast("double") - sx * sx)
+        * (nd * F.col("__syy").cast("double") - sy * sy)
+    )
+    return agg.select(
+        "n",
+        F.when(den > 0.0, stable_round(num / den, 6)).alias("spearman_rho"),
+    )
+
+
+def _spearman_oracle() -> str:
+    sxd = exact_dec_double_sql("__sx")
+    syd = exact_dec_double_sql("__sy")
+    sxxd = exact_dec_double_sql("__sxx")
+    syyd = exact_dec_double_sql("__syy")
+    sxyd = exact_dec_double_sql("__sxy")
+    nd = "CAST(n AS DOUBLE)"
+    num = f"({nd} * {sxyd} - {sxd} * {syd})"
+    den = (
+        f"sqrt(({nd} * {sxxd} - {sxd} * {sxd})"
+        f" * ({nd} * {syyd} - {syd} * {syd}))"
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(len({_TOKS}) AS BIGINT) AS x,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents
+    ), hx AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY x
+    ), rx AS (
+        SELECT x,
+               CAST(2 * coalesce(SUM(c) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + c + 1 AS BIGINT) AS r_x
+        FROM hx
+    ), hy AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY y
+    ), ry AS (
+        SELECT y,
+               CAST(2 * coalesce(SUM(c) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + c + 1 AS BIGINT) AS r_y
+        FROM hy
+    ), rk AS (
+        SELECT r_x, r_y FROM base JOIN rx USING (x) JOIN ry USING (y)
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(r_x AS DECIMAL(38,0))) AS __sx,
+               SUM(CAST(r_y AS DECIMAL(38,0))) AS __sy,
+               SUM(CAST(r_x AS DECIMAL(38,0)) * r_x) AS __sxx,
+               SUM(CAST(r_y AS DECIMAL(38,0)) * r_y) AS __syy,
+               SUM(CAST(r_x AS DECIMAL(38,0)) * r_y) AS __sxy
+        FROM rk
+    )
+    SELECT n,
+           CASE WHEN {den} > 0.0
+                THEN {stable_round_sql(f'({num} / {den})', 6)}
+                ELSE NULL END AS spearman_rho
+    FROM a
+    """
+
+
+register("ext_spearman_corr", q_ext_spearman_corr, _spearman_oracle())
