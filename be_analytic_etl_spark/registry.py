@@ -50,87 +50,85 @@ from be_analytic_etl_spark import queries_round7  # noqa: E402,F401
 # queries against the DuckDB oracle; everything after the window is only
 # locally gated (tests/test_registry_oracle.py). This block is GENERATED:
 # run `python tools/rotate_window.py --apply` after a round's
-# CORRECTNESS_r{N}.json lands — never hand-edit. Round-6 rotation
-# (from CORRECTNESS_r01-r05; round 5 closed 158/158 ever-checked green):
-# all 44 never-driver-checked queries — the 36-query backlog plus the
-# eight round-6 additions (ext_doremi_weights / ext_markov_transitions
-# / ext_span_corruption / ext_ngram_novelty / ext_mixture_kl /
-# ext_k_anonymity / ext_roc_auc / ext_poisson_bootstrap — registered
-# in-window so they are checked the round they land) — plus the six
-# SS2 reference-core queries (stale since r3/r4; the tool force-enters
-# them whenever they would go two rounds unverified): exactly 50.
-# After this round every query in the 202-query registry has a driver
-# row. Every window member was pre-proven this round against
-# tools/verify_driver.py at sf0.001 AND sf0.01 AND sf0.1 (strict 17g).
+# CORRECTNESS_r{N}.json lands — never hand-edit. Round-7 rotation
+# (from CORRECTNESS_r01-r06; round 6 reached 202/202 ever-checked
+# green, zero reds): the 11 round-7 additions (never-checked — eval
+# stats ext_reliability_bins/ext_calibration_ece/ext_cohens_kappa/
+# ext_welch_ttest/ext_ks_test/ext_chi2_independence/
+# ext_mutual_information/ext_spearman_corr, sketch ext_heavy_hitters,
+# rank-stats ext_robust_stats, dedup ext_substring_dedup), then the 13
+# r1-stale greens the round-6 verdict routed here (ext_token_stats ...
+# ext_first_per_key — 5 rounds without a driver row), then the oldest
+# (r3) greens to fill. The SS2 core is NOT stale (checked r6; the tool
+# force-enters it in r8). Every window member was pre-proven this
+# round against tools/verify_driver.py at sf0.001 AND sf0.01 AND
+# sf0.1 (strict 17g).
 _DRIVER_WINDOW_PRIORITY = [
-    "ext_pack_sequences",
-    "ext_bm25_topk",
-    "ext_rrf_fusion",
-    "ext_token_budget_sample",
-    "ext_dsir_sample",
-    "ext_hll_union",
-    "ext_quality_percentile",
-    "ext_zorder_skipping",
-    "ext_hard_negatives",
-    "ext_topk_per_group",
-    "ext_distinct_ngrams",
-    "ext_pmi_collocations",
-    "ext_matryoshka_recall",
-    "ext_knn_label_agreement",
-    "ext_source_gini",
-    "ext_dup_inflation",
-    "ext_windowed_hll",
-    "ext_pack_efficiency",
-    "ext_frequent_spans",
-    "ext_label_balance",
-    "ext_retention",
-    "ext_dau_wau",
-    "ext_multimodal_resize",
-    "rest_tsv_source",
-    "ext_isotonic_trend",
-    "ext_udtf_sentences",
-    "ext_isotonic_minimax",
-    "ext_snapshot_diff",
-    "ext_curriculum_sample",
-    "ext_incremental_agg",
-    "ext_decontaminate",
-    "ext_rollup_refresh",
-    "ext_dataset_manifest",
-    "ext_manifest_drift",
-    "pipe_syntax_revenue",
-    "sql_table_function",
-    "ext_doremi_weights",
-    "ext_markov_transitions",
-    "ext_span_corruption",
-    "ext_ngram_novelty",
-    "ext_mixture_kl",
-    "ext_k_anonymity",
-    "ext_roc_auc",
-    "ext_poisson_bootstrap",
-    "flagship_mom_pivot",
-    "groupby_avg",
-    "lag_mom_variation",
-    "conditional_pivot",
-    "ingest_e2e",
-    "ingest_finalize",
+    "ext_reliability_bins",
+    "ext_calibration_ece",
+    "ext_cohens_kappa",
+    "ext_heavy_hitters",
+    "ext_robust_stats",
+    "ext_substring_dedup",
+    "ext_welch_ttest",
+    "ext_ks_test",
+    "ext_chi2_independence",
+    "ext_mutual_information",
+    "ext_spearman_corr",
+    "ext_token_stats",
+    "ext_bpe_fingerprint",
+    "ext_lang_id",
+    "ext_exact_dedup",
+    "ext_minhash_sig",
+    "ext_minhash_lsh_neardup",
+    "ext_ngram_jaccard",
+    "ext_cosine_topk",
+    "ext_cosine_neardup",
+    "ext_ivf_ann",
+    "ext_strip_zeros",
+    "ext_multimodal_meta",
+    "ext_first_per_key",
+    "having_countdistinct",
+    "unpivot_measures",
+    "union_distinct",
+    "dense_id",
+    "dense_id_scale",
+    "csv_roundtrip",
+    "jdbc_roundtrip",
+    "topk_revenue",
+    "semi_anti_customers",
+    "br_number_parse",
+    "classify_extract",
+    "pattern_row_filter",
+    "date_roundtrip",
+    "scalar_math",
+    "pricing_summary",
+    "star_join_broadcast",
+    "fact_join_revenue",
+    "region_revenue",
+    "rollup_revenue",
+    "topn_per_group",
+    "sliding_window",
+    "events_enrich",
+    "tumbling_window",
+    "late_shipment_priority",
+    "nation_trade_flow",
+    "large_orders",
 ]
 
-# Round-7 window plan (written ahead, r5/r6 precedent): with the
-# never-checked backlog at ZERO after this round, the r7 window is
-# almost entirely free — rotate_window ranks any new r7 queries first
-# (never-checked), the SS2 core is NOT yet stale (checked r6; forced
-# again in r8), and the remaining slots fill with the oldest greens
-# (the r1 cohort: ext_token_stats, ext_lang_id, ext_exact_dedup,
-# ext_minhash_sig, ...). That leaves room for up to ~45 additions in
-# round 7 — candidates, in priority order: calibration-bin reliability
-# + ECE for the quality classifier (evalstats sibling of roc_auc),
-# Cohen's-kappa rater agreement, space-saving heavy hitters,
-# winsorized/trimmed robust stats, streaming twins for the eval
-# family, and an exact-substring dedup variant (suffix-window rolling
-# hash). Every addition must pass the three-SF verify sweep
-# (tools/verify_driver.py at sf0.001/sf0.01/sf0.1) BEFORE the window
-# freezes — the sf0.1 leg exists because two divergence classes only
-# trigger at sf0.1 magnitudes (SCALE.md, round-6 sweep findings).
+# Round-8 window plan (written ahead, r5–r7 precedent): the rotation
+# is again mechanical — any new r8 queries rank first (never-checked),
+# the six SS2-core queries force-enter (last checked r6, two rounds
+# old by r8), and the remaining ~slots fill with the oldest greens
+# (the rest of the r3 cohort, then r4). Budget new-query count =
+# 50 − (reds + never-checked backlog + 6 core). Candidates for r8:
+# streaming twins registered behind batch equivalents where
+# SQL-expressible, Hill tail-index / extreme-value length diagnostics,
+# a t-digest-style mergeable quantile sketch with a portable oracle,
+# and any gap the r7 verdict names. Every addition must pass the
+# three-SF verify sweep (tools/verify_driver.py at
+# sf0.001/sf0.01/sf0.1, strict 17g) BEFORE the window freezes — two
+# divergence classes only trigger at sf0.1 magnitudes (SCALE.md).
 
 
 def _reorder_for_driver_window() -> None:

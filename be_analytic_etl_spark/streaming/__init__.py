@@ -4,6 +4,7 @@ from be_analytic_etl_spark.streaming.jobs import (
     stream_dedup_first,
     stream_dedup_within_watermark,
     stream_enrich,
+    stream_eval_histogram,
     stream_sessionize,
     stream_sliding_agg,
     stream_tumbling_agg,
@@ -14,6 +15,7 @@ from be_analytic_etl_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "stream_eval_histogram",
     "stream_running_totals",
     "stream_topk_per_user",
     "read_events_stream",

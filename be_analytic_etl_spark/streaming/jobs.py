@@ -392,3 +392,35 @@ def stream_upsert_parquet(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def stream_eval_histogram(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Streaming twin of the evalstats reliability substrate
+    (``operators/evalstats.calibration_bins`` / ``roc_auc``): maintain
+    the bounded per-bin (n, conf_sum, pos) histogram incrementally as
+    events arrive.
+
+    Both batch estimators reduce the corpus to a bounded histogram and
+    run the statistic on that control-plane frame — which is exactly
+    the state a stream can keep: one unwatermarked global groupBy on
+    the bin id, O(n_bins) state forever, emitted in complete mode.
+    ECE / AUC reads are then a constant-size fold over the sink — the
+    stream never holds a row of the corpus.
+
+    The "score" here is the event value folded to [0, 1) by its
+    fractional part (values are exact-cents doubles, so the fold is
+    deterministic) and the label is the conversion-ish event type —
+    the same (score, label) shape the batch query feeds.
+    """
+    score = F.col("value") - F.floor(F.col("value"))
+    b = F.least(F.floor(score * n_bins).cast("int"), F.lit(n_bins - 1))
+    pos = F.col("event_type").isin("purchase", "signup").cast("int")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(score.cast("decimal(18,6)")).alias("conf_sum"),
+            F.sum(pos).cast("long").alias("n_pos"),
+        )
+    )

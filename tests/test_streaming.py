@@ -237,3 +237,42 @@ def test_stream_hll_registers_match_batch(spark, events_batch, events_stream_dir
         for r in hll_estimate(want_regs, ["event_type"], p=6).collect()
     }
     assert got_est == want_est  # bit-identical, not approximate
+
+
+def test_stream_eval_histogram_matches_batch(spark, events_batch, events_stream_dir):
+    """The streaming reliability histogram (complete mode, O(n_bins)
+    state) must equal the batch bin table once the bounded stream
+    drains — the property that makes the evalstats family streamable."""
+    from be_analytic_etl_spark.streaming import stream_eval_histogram
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_eval_histogram(stream)
+        .writeStream.format("memory")
+        .queryName("t_eval_hist")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        r["bin"]: (r["n"], r["conf_sum"], r["n_pos"])
+        for r in spark.table("t_eval_hist").collect()
+    }
+
+    score = F.col("value") - F.floor(F.col("value"))
+    b = F.least(F.floor(score * 10).cast("int"), F.lit(9))
+    pos = F.col("event_type").isin("purchase", "signup").cast("int")
+    want = {
+        r["bin"]: (r["n"], r["conf_sum"], r["n_pos"])
+        for r in events_batch.filter(F.col("value").isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(score.cast("decimal(18,6)")).alias("conf_sum"),
+            F.sum(pos).cast("long").alias("n_pos"),
+        )
+        .collect()
+    }
+    assert got == want
