@@ -113,17 +113,26 @@ def connected_components(
     else:
         universe = endpoint_ids.distinct()
 
-    if driver_solve_edges and sym.count() <= driver_solve_edges:
-        # nodes (not universe): universe's plan references sym, which is
-        # unpersisted on return — a caller action on the result would
-        # silently re-run the whole upstream pair generation (LSH chain).
-        # The union-find already holds every endpoint id locally, so the
-        # returned plan references only `nodes` and a local relation.
-        labels = _driver_union_find(sym, nodes, id_col)
-        sym.unpersist()
-        if stats is not None:
-            stats["rounds"] = 0
-        return labels
+    if driver_solve_edges:
+        # ONE probing job instead of count-then-collect: limit(N+1)
+        # returns ALL rows when the edge list fits (len <= N decides the
+        # gate) and terminates early when it doesn't — the distributed
+        # path then proceeds against the persisted sym unchanged. Saves
+        # a full materialization per CC call (every pipeline/dedup-group
+        # query pays it).
+        probe = sym.limit(driver_solve_edges + 1).collect()
+        if len(probe) <= driver_solve_edges:
+            # nodes (not universe): universe's plan references sym, which
+            # is unpersisted on return — a caller action on the result
+            # would silently re-run the whole upstream pair generation
+            # (LSH chain). The union-find already holds every endpoint id
+            # locally, so the returned plan references only `nodes` and a
+            # local relation.
+            labels = _driver_union_find(probe, sym, nodes, id_col)
+            sym.unpersist()
+            if stats is not None:
+                stats["rounds"] = 0
+            return labels
 
     labels = universe.select(id_col, F.col(id_col).alias("group_id"))
     labels = labels.localCheckpoint(eager=True)
@@ -187,11 +196,13 @@ def connected_components(
 
 
 def _driver_union_find(
-    sym: DataFrame, nodes: DataFrame | None, id_col: str
+    edge_rows: list, sym: DataFrame, nodes: DataFrame | None, id_col: str
 ) -> DataFrame:
     """Solve CC for a sub-threshold edge list with a driver-side
     union-find (path-halving + min-root union), then ship the labels back
-    as a small DataFrame joined to the node universe.
+    as a small DataFrame joined to the node universe. ``edge_rows`` is
+    the ALREADY-COLLECTED symmetric edge list (the caller's gate probe —
+    no second materialization); ``sym`` contributes only schema/session.
 
     Only (node, node) pairs ever reach the driver, never payload columns,
     and the caller bounds the row count — this is the terminal step for a
@@ -218,9 +229,11 @@ def _driver_union_find(
         return root
 
     seen: set = set()
-    for s, d in sym.filter(F.col("s") < F.col("d")).collect():
+    for s, d in edge_rows:
         seen.add(s)
         seen.add(d)
+        if s >= d:  # symmetric list: each pair arrives in both orientations
+            continue
         rs, rd = find(s), find(d)
         if rs != rd:
             lo, hi = (rs, rd) if rs < rd else (rd, rs)
