@@ -34,6 +34,9 @@ round-6 verdict named:
   tokens and in chars — monotone-association without Pearson's
   normality assumption, computed from average ranks over bounded value
   histograms (never a corpus-wide row sort).
+- ``ext_hill_tail``: Hill tail-index estimator over the top-k order
+  statistics, read off the same bounded value histogram — heavy-tail
+  diagnostics without a corpus sort.
 
 Float discipline (SCALE.md, all five divergence classes checked): every
 corpus-sized accumulation is BIGINT/DECIMAL exact; libm terms (log2)
@@ -776,3 +779,98 @@ def _spearman_oracle() -> str:
 
 
 register("ext_spearman_corr", q_ext_spearman_corr, _spearman_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (Hill, Ann. Stat. 1975) for the order-value
+# distribution: alpha^-1 = (1/k) Σ_{i=1..k} ln(X_(i) / T) over the k
+# largest values, T = the (k+1)-th largest. The textbook form sorts the
+# corpus; here the corpus collapses to a whole-unit value histogram
+# (bounded by the value DOMAIN — the robust_stats discipline), the
+# top-k membership comes from a descending cumulative-count sweep over
+# that bounded frame, and the threshold T broadcasts back as a one-row
+# scalar. ln is libm -> each distinct value's term quantizes via
+# stable_round BEFORE the count-weighted exact sum (mixture_kl
+# precedent); the emitted estimates are single IEEE divisions.
+_HILL_K = 100
+
+
+def q_ext_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    h = (
+        orders.select(F.floor("o_totalprice").cast("long").alias("v"))
+        .filter(F.col("v") >= 1)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wd = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select("v", "c", F.sum("c").over(wd).cast("long").alias("cum"))
+    cum = cum.localCheckpoint(eager=False)
+    thr = cum.filter(F.col("cum") >= _HILL_K + 1).agg(
+        F.max("v").alias("threshold")
+    )
+    tot = cum.agg(F.sum("c").cast("long").alias("n"))
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.lit(_HILL_K)) - (F.col("cum") - F.col("c")),
+    )
+    term = stable_round(
+        F.log(F.col("v").cast("double") / F.col("threshold").cast("double")), 6
+    ).cast("decimal(18,6)")
+    j = cum.crossJoin(F.broadcast(thr)).crossJoin(F.broadcast(tot))
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.max("threshold").alias("threshold"),
+        F.sum(kept * term).alias("__hsum"),
+    )
+    inv = F.col("__hsum").cast("double") / F.lit(float(_HILL_K))
+    return agg.select(
+        "n",
+        F.lit(_HILL_K).cast("long").alias("k"),
+        "threshold",
+        inv.alias("hill_alpha_inv"),
+        (F.lit(float(_HILL_K)) / F.col("__hsum").cast("double")).alias(
+            "hill_alpha"
+        ),
+    )
+
+
+def _hill_oracle() -> str:
+    term = stable_round_sql(
+        "ln(CAST(v AS DOUBLE) / CAST(threshold AS DOUBLE))", 6
+    )
+    return f"""
+    WITH h AS (
+        SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE FLOOR(o_totalprice) >= 1 GROUP BY 1
+    ), cm AS (
+        SELECT v, c,
+               CAST(SUM(c) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM h
+    ), thr AS (
+        SELECT MAX(v) AS threshold FROM cm WHERE cum >= {_HILL_K + 1}
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cm
+    ), j AS (
+        SELECT cm.*, thr.threshold, tot.n FROM cm, thr, tot
+    )
+    SELECT MAX(n) AS n,
+           CAST({_HILL_K} AS BIGINT) AS k,
+           MAX(threshold) AS threshold,
+           CAST(SUM(GREATEST(0, LEAST(cum, {_HILL_K}) - (cum - c))
+                    * CAST({term} AS DECIMAL(18,6))) AS DOUBLE)
+               / {float(_HILL_K)!r} AS hill_alpha_inv,
+           {float(_HILL_K)!r}
+               / CAST(SUM(GREATEST(0, LEAST(cum, {_HILL_K}) - (cum - c))
+                          * CAST({term} AS DECIMAL(18,6))) AS DOUBLE)
+               AS hill_alpha
+    FROM j
+    """
+
+
+register("ext_hill_tail", q_ext_hill_tail, _hill_oracle())
