@@ -10,12 +10,14 @@ from be_analytic_etl_spark.streaming.jobs import (
     stream_tumbling_agg,
 )
 from be_analytic_etl_spark.streaming.stateful import (
+    stream_heavy_hitter_candidates,
     stream_running_totals,
     stream_topk_per_user,
 )
 
 __all__ = [
     "stream_eval_histogram",
+    "stream_heavy_hitter_candidates",
     "stream_running_totals",
     "stream_topk_per_user",
     "read_events_stream",

@@ -250,3 +250,82 @@ def stream_topk_per_user(events: DataFrame, k: int = 3, api: str = "auto") -> Da
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_SCHEMA = "shard int, item string, count_lb long, shard_n long"
+
+
+def _mg_fold(counts: dict, vc, k: int) -> dict:
+    """Merge a batch's exact value_counts into an MG summary of size <= k
+    (add counts; subtract the (k+1)-th largest; keep positives — the
+    mergeable-summaries reduce, same rule as the batch
+    ``sketches.misra_gries_candidates``)."""
+    for item, c in vc.items():
+        counts[item] = counts.get(item, 0) + int(c)
+    if len(counts) > k:
+        kth = sorted(counts.values(), reverse=True)[k]
+        counts = {i: c - kth for i, c in counts.items() if c > kth}
+    return counts
+
+
+def stream_heavy_hitter_candidates(
+    items: DataFrame, k: int = 16, n_shards: int = 8
+) -> DataFrame:
+    """Live heavy-hitter candidate tracking over an item stream — the
+    streaming twin of ``sketches.heavy_hitters_exact``'s phase 1.
+
+    Items shard by their portable hash (``pmod(hash, n_shards)``), so a
+    given item's rows all land in ONE shard: an MG summary with k
+    counters per shard retains every item whose GLOBAL count exceeds
+    n/k (count > n/k >= n_shard/k, and per-shard MG never evicts an
+    item with count > n_shard/k). Global state is exactly
+    n_shards x k counters — constant, like the batch phase's
+    per-partition state. Update mode re-emits a shard's (tiny)
+    candidate table whenever it changes; ``count_lb`` is the MG lower
+    bound (undercounts by at most n_shard/k). The exact-recount phase
+    stays batch (or a second keyed stream over the candidate set).
+    """
+    import pandas as pd
+
+    from be_analytic_etl_spark.operators.textstats import portable_hash60
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        counts: dict = {}
+        n = 0
+        if state.exists:
+            its, cs, n = state.get
+            counts = dict(zip(list(its), [int(c) for c in cs]))
+            n = int(n)
+        n_new = 0
+        for pdf in pdfs:
+            if len(pdf):
+                n_new += int(len(pdf))
+                counts = _mg_fold(counts, pdf["item"].value_counts(), k)
+        if n_new == 0:
+            return
+        n += n_new
+        state.update((list(counts.keys()), list(counts.values()), n))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counts),
+                "item": list(counts.keys()),
+                "count_lb": list(counts.values()),
+                "shard_n": [n] * len(counts),
+            }
+        )
+
+    sharded = items.select(
+        F.pmod(portable_hash60(F.col("item").cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col("item").cast("string").alias("item"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fold,
+        outputStructType=HH_SCHEMA,
+        stateStructType="items array<string>, counts array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -297,3 +297,58 @@ def test_stream_upsert_batch_wins_exact_tie(spark, tmp_path):
     run_once()
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0]["value"] == 2.0
+
+
+def test_stream_heavy_hitter_candidates_superset_of_batch(
+    spark, events_batch, events_multibatch_dir
+):
+    """Per-shard MG candidates after the stream drains must be a
+    SUPERSET of the exact global heavy hitters (count*k > n) — the same
+    guarantee the batch sketch phase gives — with MG lower bounds that
+    never exceed the true counts."""
+    from be_analytic_etl_spark.streaming.stateful import (
+        stream_heavy_hitter_candidates,
+    )
+
+    k, n_shards = 16, 4
+    item = F.when(F.col("value") < F.lit(100.0), F.col("event_type")).otherwise(
+        F.concat(F.lit("u"), (F.col("user_id") % 500).cast("string"))
+    )
+
+    stream = read_events_stream(spark, events_multibatch_dir).select(
+        item.alias("item")
+    )
+    got = _run(
+        spark,
+        stream_heavy_hitter_candidates(stream, k=k, n_shards=n_shards),
+        "t_hh",
+    ).cache()
+
+    # final state per shard = rows at that shard's max shard_n
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("shard", "item").orderBy(
+                    F.col("shard_n").desc(), F.col("count_lb").desc()
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("item", "count_lb")
+    )
+    cands = {r["item"]: r["count_lb"] for r in final.collect()}
+
+    counts = {
+        r["item"]: r["cnt"]
+        for r in events_batch.select(item.alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(counts.values())
+    hitters = {i for i, c in counts.items() if c * k > n}
+    assert hitters, "fixture must produce at least one heavy hitter"
+    assert hitters <= set(cands)
+    for i, lb in cands.items():
+        assert lb <= counts[i]
