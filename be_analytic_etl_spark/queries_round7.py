@@ -37,6 +37,9 @@ round-6 verdict named:
 - ``ext_hill_tail``: Hill tail-index estimator over the top-k order
   statistics, read off the same bounded value histogram — heavy-tail
   diagnostics without a corpus sort.
+- ``ext_gpd_tail``: GPD peaks-over-threshold method-of-moments fit
+  (xi, beta) from exact excess moments over the same histogram — the
+  extreme-value companion that also covers non-power-law tails.
 
 Float discipline (SCALE.md, all five divergence classes checked): every
 corpus-sized accumulation is BIGINT/DECIMAL exact; libm terms (log2)
@@ -874,3 +877,120 @@ def _hill_oracle() -> str:
 
 
 register("ext_hill_tail", q_ext_hill_tail, _hill_oracle())
+
+
+# ---------------------------------------------------------------------------
+# GPD peaks-over-threshold moments (Pickands 1975; method-of-moments fit
+# per Hosking & Wallis 1987): excesses Y = X - u over the (k+1)-th
+# largest value u follow a Generalized Pareto in the tail; MOM gives
+# xi = (1 - m²/s²)/2 and beta = m(m²/s² + 1)/2 from the excess mean and
+# variance. The Hill estimator (ext_hill_tail) assumes a pure power
+# tail; the GPD fit also covers the light/bounded-tail regimes. Same
+# 100 TB shape as hill/robust: the corpus collapses to the bounded
+# whole-unit value histogram, excesses and both moments are exact
+# integer/decimal arithmetic over that frame (ΣY, ΣY² as DECIMAL(38,0)
+# — ΣY² is a second moment, so the oracle casts through the
+# correctly-rounded VARCHAR route), and the xi/beta tail is a fixed
+# IEEE sequence quantized at the source.
+_POT_K = 500
+
+
+def q_ext_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    h = (
+        orders.select(F.floor("o_totalprice").cast("long").alias("v"))
+        .filter(F.col("v") >= 0)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wd = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select(
+        "v", "c", F.sum("c").over(wd).cast("long").alias("cum")
+    ).localCheckpoint(eager=False)
+    thr = cum.filter(F.col("cum") >= _POT_K + 1).agg(
+        F.max("v").alias("threshold")
+    )
+    tot = cum.agg(F.sum("c").cast("long").alias("n"))
+    j = cum.crossJoin(F.broadcast(thr)).crossJoin(F.broadcast(tot))
+    exc = (F.col("v") - F.col("threshold")).cast("decimal(38,0)")
+    over = F.col("v") > F.col("threshold")
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.max("threshold").alias("threshold"),
+        F.sum(F.when(over, F.col("c")).otherwise(0)).cast("long").alias("n_exceed"),
+        F.sum(F.when(over, exc * F.col("c")).otherwise(F.lit(0))).alias("__s1"),
+        F.sum(F.when(over, exc * exc * F.col("c")).otherwise(F.lit(0))).alias(
+            "__s2"
+        ),
+    )
+    ne = F.col("n_exceed").cast("double")
+    m = F.col("__s1").cast("double") / ne
+    s2 = (F.col("__s2").cast("double") - ne * m * m) / (ne - F.lit(1.0))
+    r = m * m / s2
+    xi = (F.lit(1.0) - r) / F.lit(2.0)
+    beta = m * (r + F.lit(1.0)) / F.lit(2.0)
+    ok = (F.col("n_exceed") > 1) & (F.col("__s2") > 0)
+    return agg.select(
+        "n",
+        "n_exceed",
+        "threshold",
+        F.when(ok, stable_round(m, 6)).alias("mean_excess"),
+        F.when(ok & (s2 > 0.0), stable_round(xi, 6)).alias("gpd_xi"),
+        F.when(ok & (s2 > 0.0), stable_round(beta, 6)).alias("gpd_beta"),
+    )
+
+
+def _gpd_oracle() -> str:
+    s1d = exact_dec_double_sql("__s1")
+    s2d = exact_dec_double_sql("__s2")
+    ne = "CAST(n_exceed AS DOUBLE)"
+    m = f"({s1d} / {ne})"
+    s2 = f"(({s2d} - {ne} * {m} * {m}) / ({ne} - 1.0))"
+    r = f"({m} * {m} / {s2})"
+    xi = f"((1.0 - {r}) / 2.0)"
+    beta = f"({m} * ({r} + 1.0) / 2.0)"
+    return f"""
+    WITH h AS (
+        SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE FLOOR(o_totalprice) >= 0 GROUP BY 1
+    ), cm AS (
+        SELECT v, c,
+               CAST(SUM(c) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM h
+    ), thr AS (
+        SELECT MAX(v) AS threshold FROM cm WHERE cum >= {_POT_K + 1}
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cm
+    ), a AS (
+        SELECT MAX(n) AS n,
+               MAX(threshold) AS threshold,
+               CAST(SUM(CASE WHEN v > threshold THEN c ELSE 0 END) AS BIGINT)
+                   AS n_exceed,
+               -- per-row products stay BIGINT (excess <= value domain,
+               -- fits easily at oracle SFs); SUM(BIGINT) accumulates as
+               -- HUGEINT, exact, then casts via the VARCHAR route
+               SUM(CASE WHEN v > threshold
+                        THEN (v - threshold) * c
+                        ELSE 0 END) AS __s1,
+               SUM(CASE WHEN v > threshold
+                        THEN (v - threshold) * (v - threshold) * c
+                        ELSE 0 END) AS __s2
+        FROM cm, thr, tot
+    )
+    SELECT n, n_exceed, threshold,
+           CASE WHEN n_exceed > 1 AND __s2 > 0
+                THEN {stable_round_sql(m, 6)} END AS mean_excess,
+           CASE WHEN n_exceed > 1 AND __s2 > 0 AND {s2} > 0.0
+                THEN {stable_round_sql(xi, 6)} END AS gpd_xi,
+           CASE WHEN n_exceed > 1 AND __s2 > 0 AND {s2} > 0.0
+                THEN {stable_round_sql(beta, 6)} END AS gpd_beta
+    FROM a
+    """
+
+
+register("ext_gpd_tail", q_ext_gpd_tail, _gpd_oracle())

@@ -52,12 +52,12 @@ from be_analytic_etl_spark import queries_round7  # noqa: E402,F401
 # run `python tools/rotate_window.py --apply` after a round's
 # CORRECTNESS_r{N}.json lands — never hand-edit. Round-7 rotation
 # (from CORRECTNESS_r01-r06; round 6 reached 202/202 ever-checked
-# green, zero reds): the 12 round-7 additions (never-checked — eval
+# green, zero reds): the 13 round-7 additions (never-checked — eval
 # stats ext_reliability_bins/ext_calibration_ece/ext_cohens_kappa/
 # ext_welch_ttest/ext_ks_test/ext_chi2_independence/
-# ext_mutual_information/ext_spearman_corr/ext_hill_tail, sketch
-# ext_heavy_hitters, rank-stats ext_robust_stats, dedup
-# ext_substring_dedup), then the 13
+# ext_mutual_information/ext_spearman_corr, tail diagnostics
+# ext_hill_tail/ext_gpd_tail, sketch ext_heavy_hitters, rank-stats
+# ext_robust_stats, dedup ext_substring_dedup), then the 13
 # r1-stale greens the round-6 verdict routed here (ext_token_stats ...
 # ext_first_per_key — 5 rounds without a driver row), then the oldest
 # (r3) greens to fill. The SS2 core is NOT stale (checked r6; the tool
@@ -77,6 +77,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_mutual_information",
     "ext_spearman_corr",
     "ext_hill_tail",
+    "ext_gpd_tail",
     "ext_token_stats",
     "ext_bpe_fingerprint",
     "ext_lang_id",
@@ -114,7 +115,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_enrich",
     "tumbling_window",
     "late_shipment_priority",
-    "nation_trade_flow",
 ]
 
 # Round-8 window plan (written ahead, r5–r7 precedent): the rotation
@@ -124,10 +124,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # (the rest of the r3 cohort, then r4). Budget new-query count =
 # 50 − (reds + never-checked backlog + 6 core). Candidates for r8:
 # streaming twins registered behind batch equivalents where
-# SQL-expressible, extreme-value length diagnostics beyond Hill
-# (peaks-over-threshold GPD moments), a t-digest-style mergeable
-# quantile sketch with a portable oracle,
-# and any gap the r7 verdict names. Every addition must pass the
+# SQL-expressible, a t-digest-style mergeable quantile sketch with a
+# portable oracle, and any gap the r7 verdict names. Every addition must pass the
 # three-SF verify sweep (tools/verify_driver.py at
 # sf0.001/sf0.01/sf0.1, strict 17g) BEFORE the window freezes — two
 # divergence classes only trigger at sf0.1 magnitudes (SCALE.md).
