@@ -40,6 +40,10 @@ round-6 verdict named:
 - ``ext_gpd_tail``: GPD peaks-over-threshold method-of-moments fit
   (xi, beta) from exact excess moments over the same histogram — the
   extreme-value companion that also covers non-power-law tails.
+- ``ext_jensen_shannon``: per-source JSD (bits) vs the corpus token
+  blend — the symmetric, bounded drift gauge beside ``ext_mixture_kl``;
+  tokens a source lacks fold into one exact covered-mass term instead
+  of enumerating the complement vocabulary.
 
 Float discipline (SCALE.md, all five divergence classes checked): every
 corpus-sized accumulation is BIGINT/DECIMAL exact; libm terms (log2)
@@ -994,3 +998,106 @@ def _gpd_oracle() -> str:
 
 
 register("ext_gpd_tail", q_ext_gpd_tail, _gpd_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Per-source Jensen–Shannon divergence (bits) of the token unigram
+# distribution vs the corpus blend (Lin, IEEE-IT 1991) — the symmetric,
+# [0,1]-bounded companion to ``ext_mixture_kl``: KL says how surprised
+# the blend is by the source; JSD is the metric-like drift gauge
+# production mixers alarm on. Same shape as mixture_kl: one
+# checkpointed (source, token) agg, per-token partial sums; tokens the
+# SOURCE LACKS never enumerate — with p=0 the mixture m = q/2 makes
+# their whole contribution 0.5·Σ_absent q·log2(q/(q/2)) = 0.5·(1 −
+# Σ_present q), one exact-count division (the covered corpus mass),
+# so the join stays on present tokens only.
+#
+# Float discipline: p, q, m are single IEEE divisions of exact counts;
+# log2 terms quantize to DECIMAL(18,6) BEFORE the sum (mixture_kl
+# precedent); the closing absent-mass term is a fixed 4-op IEEE tail
+# of exact-count divisions, identical on both sides.
+def q_ext_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(T.tokenize(F.col("text"))).alias("__w"))
+        .select("source", F.lower("__w").alias("__w"))
+        .groupBy("source", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c_st"))
+    ).localCheckpoint(eager=False)
+    src = st.groupBy("source").agg(
+        F.sum("__c_st").cast("long").alias("__n_s"),
+        F.count(F.lit(1)).cast("long").alias("__vocab_s"),
+    )
+    tok = st.groupBy("__w").agg(F.sum("__c_st").cast("long").alias("__c_t"))
+    tot = src.agg(F.sum("__n_s").cast("long").alias("__n"))
+    p = F.col("__c_st").cast("double") / F.col("__n_s").cast("double")
+    q = F.col("__c_t").cast("double") / F.col("__n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = stable_round(
+        F.lit(0.5) * p * F.log2(p / m) + F.lit(0.5) * q * F.log2(q / m), 6
+    ).cast("decimal(18,6)")
+    j = (
+        st.join(tok, "__w")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = j.groupBy("source").agg(
+        F.max("__n_s").alias("n_tokens"),
+        F.max("__vocab_s").alias("vocab_size"),
+        F.sum(term).alias("__present"),
+        F.sum("__c_t").cast("long").alias("__cov_cnt"),
+        F.max("__n").alias("__nn"),
+    )
+    absent = F.lit(0.5) * (
+        F.lit(1.0)
+        - F.col("__cov_cnt").cast("double") / F.col("__nn").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        stable_round(F.col("__present").cast("double") + absent, 6).alias(
+            "jsd_bits"
+        ),
+    )
+
+
+def _jsd_oracle() -> str:
+    p = "(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+    q = "(CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))"
+    m = f"(({p} + {q}) / 2.0)"
+    term = stable_round_sql(
+        f"0.5 * {p} * log2({p} / {m}) + 0.5 * {q} * log2({q} / {m})", 6
+    )
+    final = stable_round_sql(
+        "CAST(present AS DOUBLE)"
+        " + 0.5 * (1.0 - CAST(cov_cnt AS DOUBLE) / CAST(nn AS DOUBLE))",
+        6,
+    )
+    return f"""
+    WITH st AS (
+        SELECT source, lower(u.w) AS w, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM (SELECT source, {_TOKS} AS t FROM documents), unnest(t) u(w)
+        GROUP BY source, lower(u.w)
+    ), src AS (
+        SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+               CAST(COUNT(*) AS BIGINT) AS vocab_s
+        FROM st GROUP BY source
+    ), tok AS (
+        SELECT w, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM src
+    ), a AS (
+        SELECT st.source, MAX(n_s) AS n_tokens, MAX(vocab_s) AS vocab_size,
+               SUM(CAST({term} AS DECIMAL(18,6))) AS present,
+               CAST(SUM(c_t) AS BIGINT) AS cov_cnt,
+               MAX(n) AS nn
+        FROM st JOIN tok USING (w) JOIN src USING (source) CROSS JOIN tot
+        GROUP BY st.source
+    )
+    SELECT source, n_tokens, vocab_size, {final} AS jsd_bits
+    FROM a
+    """
+
+
+register("ext_jensen_shannon", q_ext_jensen_shannon, _jsd_oracle())

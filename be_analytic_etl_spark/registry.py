@@ -52,12 +52,13 @@ from be_analytic_etl_spark import queries_round7  # noqa: E402,F401
 # run `python tools/rotate_window.py --apply` after a round's
 # CORRECTNESS_r{N}.json lands — never hand-edit. Round-7 rotation
 # (from CORRECTNESS_r01-r06; round 6 reached 202/202 ever-checked
-# green, zero reds): the 13 round-7 additions (never-checked — eval
+# green, zero reds): the 14 round-7 additions (never-checked — eval
 # stats ext_reliability_bins/ext_calibration_ece/ext_cohens_kappa/
 # ext_welch_ttest/ext_ks_test/ext_chi2_independence/
 # ext_mutual_information/ext_spearman_corr, tail diagnostics
-# ext_hill_tail/ext_gpd_tail, sketch ext_heavy_hitters, rank-stats
-# ext_robust_stats, dedup ext_substring_dedup), then the 13
+# ext_hill_tail/ext_gpd_tail, drift ext_jensen_shannon, sketch
+# ext_heavy_hitters, rank-stats ext_robust_stats, dedup
+# ext_substring_dedup), then the 13
 # r1-stale greens the round-6 verdict routed here (ext_token_stats ...
 # ext_first_per_key — 5 rounds without a driver row), then the oldest
 # (r3) greens to fill. The SS2 core is NOT stale (checked r6; the tool
@@ -78,6 +79,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_spearman_corr",
     "ext_hill_tail",
     "ext_gpd_tail",
+    "ext_jensen_shannon",
     "ext_token_stats",
     "ext_bpe_fingerprint",
     "ext_lang_id",
@@ -114,7 +116,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "sliding_window",
     "events_enrich",
     "tumbling_window",
-    "late_shipment_priority",
 ]
 
 # Round-8 window plan (written ahead, r5–r7 precedent): the rotation
