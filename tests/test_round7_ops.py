@@ -360,3 +360,65 @@ def test_spearman_rank2_matches_average_ranks(spark, seed):
         (nn * agg["sxx"] - agg["sx"] ** 2) * (nn * agg["syy"] - agg["sy"] ** 2)
     )
     assert num2 / den2 == pytest.approx(rho_naive, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Hill / GPD: the histogram-rank algebra must equal the plain
+# sorted-sample definitions on the real table (the DuckDB oracle is an
+# independent ENGINE; this is an independent ALGORITHM).
+def test_hill_tail_matches_sorted_definition(spark):
+    import duckdb
+
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401 (registers modules)
+    from be_analytic_etl_spark.queries_round7 import _HILL_K
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["ext_hill_tail"](spark, sf).collect()[0]
+    vals = sorted(
+        (
+            int(v)
+            for (v,) in duckdb.sql(
+                f"SELECT CAST(FLOOR(o_totalprice) AS BIGINT) FROM '{sf}/orders.parquet'"
+                " WHERE FLOOR(o_totalprice) >= 1"
+            ).fetchall()
+        ),
+        reverse=True,
+    )
+    k = _HILL_K
+    thr = vals[k]  # (k+1)-th largest
+    terms = [round(math.log(x / thr), 6) for x in vals[:k]]
+    inv = sum(terms) / k
+    assert got["n"] == len(vals) and got["threshold"] == thr
+    assert got["hill_alpha_inv"] == pytest.approx(inv, abs=1e-9)
+    assert got["hill_alpha"] == pytest.approx(k / sum(terms), rel=1e-9)
+
+
+def test_gpd_tail_matches_sorted_definition(spark):
+    import duckdb
+
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401 (registers modules)
+    from be_analytic_etl_spark.queries_round7 import _POT_K
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["ext_gpd_tail"](spark, sf).collect()[0]
+    vals = sorted(
+        (
+            int(v)
+            for (v,) in duckdb.sql(
+                f"SELECT CAST(FLOOR(o_totalprice) AS BIGINT) FROM '{sf}/orders.parquet'"
+                " WHERE FLOOR(o_totalprice) >= 0"
+            ).fetchall()
+        ),
+        reverse=True,
+    )
+    thr = vals[_POT_K]
+    exc = [x - thr for x in vals if x > thr]
+    ne = len(exc)
+    m = sum(exc) / ne
+    s2 = (sum(e * e for e in exc) - ne * m * m) / (ne - 1)
+    r = m * m / s2
+    assert got["n"] == len(vals) and got["threshold"] == thr
+    assert got["n_exceed"] == ne
+    assert got["mean_excess"] == pytest.approx(round(m, 6), abs=2e-6)
+    assert got["gpd_xi"] == pytest.approx((1 - r) / 2, abs=2e-6)
+    assert got["gpd_beta"] == pytest.approx(m * (r + 1) / 2, abs=1e-4)
