@@ -306,6 +306,12 @@ def calibration_bins_sql(score_rows: str, n_bins: int = 10) -> str:
     (score, pos) with score an exact decimal. Returns a CTE chain whose
     final SELECT emits the bin table — kept beside the column form so
     the binning arithmetic can never drift."""
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
+    # __conf_sum is an unbounded exact accumulator (SUM of
+    # DECIMAL(18,6) grows with corpus rows) -> exact_dec_double_sql per
+    # SCALE.md divergence class 3, matching __wgap/__pe_num handling.
+    conf_dbl = exact_dec_double_sql("__conf_sum")
     return f"""
     cb_h AS (
         SELECT LEAST(CAST(FLOOR(score * {n_bins}) AS INTEGER), {n_bins - 1})
@@ -316,10 +322,10 @@ def calibration_bins_sql(score_rows: str, n_bins: int = 10) -> str:
         FROM ({score_rows}) WHERE score IS NOT NULL GROUP BY 1
     )
     SELECT bin, n,
-           CAST(__conf_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_conf,
+           {conf_dbl} / CAST(n AS DOUBLE) AS mean_conf,
            CAST(__pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
            ABS(CAST(__pos AS DOUBLE) / CAST(n AS DOUBLE)
-               - CAST(__conf_sum AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
+               - {conf_dbl} / CAST(n AS DOUBLE)) AS abs_gap
     FROM cb_h
     """
 

@@ -318,16 +318,22 @@ def misra_gries_candidates(
     input partition.
 
     Within a partition the summary is built by merging each Arrow
-    batch's exact value_counts into the running sketch, then applying
-    the MG reduction (subtract the (k+1)-th largest count, keep
-    positives) — the mergeable-summaries operation, so the result is a
-    valid MG summary of the whole partition no matter the batch
-    boundaries. Guarantee used downstream: any item with GLOBAL
-    frequency > n/k has, by pigeonhole, LOCAL frequency > n_p/k in at
-    least one partition, and an MG summary with k counters always
-    retains such an item — the union of per-partition candidates is a
-    superset of every global heavy hitter. State is O(k) per partition;
-    output is <= k * n_partitions rows (sketch-sized, broadcastable).
+    batch's exact value_counts into the running sketch in vocabulary
+    slices of at most ``k`` items, applying the MG reduction (subtract
+    the (k+1)-th largest count, keep positives) after each slice — each
+    slice's exact counts are themselves a trivial MG summary of that
+    sub-multiset, so every merge-reduce step is the mergeable-summaries
+    operation and the result is a valid MG summary of the whole
+    partition no matter the batch boundaries. Guarantee used
+    downstream: any item with GLOBAL frequency > n/k has, by
+    pigeonhole, LOCAL frequency > n_p/k in at least one partition, and
+    an MG summary with k counters always retains such an item — the
+    union of per-partition candidates is a superset of every global
+    heavy hitter. Transient state is O(k) per partition (<= 2k live
+    counters: <= k surviving + <= k from the slice being merged; the
+    per-batch value_counts itself is Arrow/NumPy columnar, not dict
+    state); output is <= k * n_partitions rows (sketch-sized,
+    broadcastable).
 
     This is the Arrow-batched Python path (mapInPandas) because the
     bounded-state scan is genuinely imperative — but it touches only
@@ -342,12 +348,19 @@ def misra_gries_candidates(
         counts: dict[str, int] = {}
         for pdf in batches:
             vc = pdf[item_col].dropna().value_counts()
-            for item, c in vc.items():
-                counts[item] = counts.get(item, 0) + int(c)
-            if len(counts) > k:
-                # MG merge-reduce: subtract the (k+1)-th largest count.
-                kth = sorted(counts.values(), reverse=True)[k]
-                counts = {i: c - kth for i, c in counts.items() if c > kth}
+            items = vc.index.to_list()
+            cs = vc.to_list()
+            for start in range(0, len(items), k):
+                for item, c in zip(
+                    items[start : start + k], cs[start : start + k]
+                ):
+                    counts[item] = counts.get(item, 0) + int(c)
+                if len(counts) > k:
+                    # MG merge-reduce: subtract the (k+1)-th largest.
+                    kth = sorted(counts.values(), reverse=True)[k]
+                    counts = {
+                        i: c - kth for i, c in counts.items() if c > kth
+                    }
         yield pd.DataFrame({item_col: list(counts.keys())})
 
     return df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(

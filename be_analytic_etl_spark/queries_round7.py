@@ -349,12 +349,16 @@ def _welch_oracle() -> str:
         qscore_feature_ctes,
     )
 
-    s2d = exact_dec_double_sql("s2")
-
     def stats(side: str) -> tuple[str, str, str]:
+        # Both moments are unbounded exact accumulators -> route every
+        # decimal->double cast through exact_dec_double_sql (SCALE.md
+        # divergence class 3); s1 was previously a plain CAST.
         nd = f"CAST(n{side} AS DOUBLE)"
-        m = f"(CAST(s1{side} AS DOUBLE) / {nd})"
-        v = f"(({s2d.replace('s2', f's2{side}')} - {nd} * {m} * {m}) / ({nd} - 1.0))"
+        m = f"({exact_dec_double_sql(f's1{side}')} / {nd})"
+        v = (
+            f"(({exact_dec_double_sql(f's2{side}')} - {nd} * {m} * {m})"
+            f" / ({nd} - 1.0))"
+        )
         return nd, m, v
 
     nda, ma, va = stats("a")

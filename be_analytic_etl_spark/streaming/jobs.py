@@ -408,11 +408,20 @@ def stream_eval_histogram(events: DataFrame, n_bins: int = 10) -> DataFrame:
     stream never holds a row of the corpus.
 
     The "score" here is the event value folded to [0, 1) by its
-    fractional part (values are exact-cents doubles, so the fold is
-    deterministic) and the label is the conversion-ish event type —
+    fractional part and the label is the conversion-ish event type —
     the same (score, label) shape the batch query feeds.
+
+    The fold is computed in exact DECIMAL(18,2) arithmetic, NOT on the
+    raw double: cents at bin edges are not exactly representable as
+    doubles (2.30 - floor(2.30) = 0.29999999999999982, which floors
+    into bin 2 instead of the decimal convention's bin 3), so the
+    double form would disagree with the batch evalstats exact-decimal
+    binning on every x.10/x.20/... value. Casting to DECIMAL(18,2)
+    first makes the subtraction, the *n_bins scale-up, and the floor
+    all exact.
     """
-    score = F.col("value") - F.floor(F.col("value"))
+    v2 = F.col("value").cast("decimal(18,2)")
+    score = (v2 - F.floor(v2).cast("decimal(18,2)")).cast("decimal(18,6)")
     b = F.least(F.floor(score * n_bins).cast("int"), F.lit(n_bins - 1))
     pos = F.col("event_type").isin("purchase", "signup").cast("int")
     return (

@@ -256,15 +256,21 @@ HH_SCHEMA = "shard int, item string, count_lb long, shard_n long"
 
 
 def _mg_fold(counts: dict, vc, k: int) -> dict:
-    """Merge a batch's exact value_counts into an MG summary of size <= k
-    (add counts; subtract the (k+1)-th largest; keep positives — the
-    mergeable-summaries reduce, same rule as the batch
-    ``sketches.misra_gries_candidates``)."""
-    for item, c in vc.items():
-        counts[item] = counts.get(item, 0) + int(c)
-    if len(counts) > k:
-        kth = sorted(counts.values(), reverse=True)[k]
-        counts = {i: c - kth for i, c in counts.items() if c > kth}
+    """Merge a batch's exact value_counts into an MG summary of size <= k,
+    in vocabulary slices of <= k items (add a slice's counts; subtract
+    the (k+1)-th largest; keep positives — each slice's exact counts
+    are a trivial MG summary, so every step is the mergeable-summaries
+    reduce, same rule as the batch ``sketches.misra_gries_candidates``).
+    Slicing keeps the live dict at <= 2k counters regardless of the
+    batch's vocabulary size."""
+    items = vc.index.to_list()
+    cs = vc.to_list()
+    for start in range(0, len(items), k):
+        for item, c in zip(items[start : start + k], cs[start : start + k]):
+            counts[item] = counts.get(item, 0) + int(c)
+        if len(counts) > k:
+            kth = sorted(counts.values(), reverse=True)[k]
+            counts = {i: c - kth for i, c in counts.items() if c > kth}
     return counts
 
 

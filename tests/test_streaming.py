@@ -261,8 +261,13 @@ def test_stream_eval_histogram_matches_batch(spark, events_batch, events_stream_
         for r in spark.table("t_eval_hist").collect()
     }
 
-    score = F.col("value") - F.floor(F.col("value"))
-    b = F.least(F.floor(score * 10).cast("int"), F.lit(9))
+    # Independent exact formulation: integer cents modulo, NOT the
+    # operator's decimal-subtraction form — a genuine cross-check that
+    # both land on the decimal convention (2.30 -> bin 3, never bin 2).
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    frac_cents = ((cents % 100) + 100) % 100
+    b = F.least((frac_cents / 10).cast("int"), F.lit(9))
+    score = (frac_cents.cast("decimal(18,6)") / 100).cast("decimal(18,6)")
     pos = F.col("event_type").isin("purchase", "signup").cast("int")
     want = {
         r["bin"]: (r["n"], r["conf_sum"], r["n_pos"])
@@ -270,9 +275,55 @@ def test_stream_eval_histogram_matches_batch(spark, events_batch, events_stream_
         .groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(score.cast("decimal(18,6)")).alias("conf_sum"),
+            F.sum(score).alias("conf_sum"),
             F.sum(pos).cast("long").alias("n_pos"),
         )
         .collect()
     }
     assert got == want
+
+
+def test_stream_eval_histogram_exact_cent_edges(spark, tmp_path):
+    """Bin-edge cents must follow the decimal convention: 2.30 lands in
+    bin 3 (frac .30), not the float bin 2 that value-floor(value) gives
+    (0.29999999999999982). Pins the ADVICE r7 streaming-binning fix."""
+    from be_analytic_etl_spark.streaming import stream_eval_histogram
+
+    src = tmp_path / "edge_events"
+    rows = [
+        (1, "view", 2.30),
+        (2, "purchase", 0.10),
+        (3, "view", -1.80),
+        (4, "signup", 5.99),
+        (5, "view", 7.00),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, value double")
+        .parquet(str(src))
+    )
+    q = (
+        stream_eval_histogram(stream)
+        .writeStream.format("memory")
+        .queryName("t_eval_hist_edges")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        r["bin"]: (r["n"], float(r["conf_sum"]), r["n_pos"])
+        for r in spark.table("t_eval_hist_edges").collect()
+    }
+    # 2.30 -> bin 3; 0.10 -> bin 1; -1.80 -> frac .20 -> bin 2;
+    # 5.99 -> bin 9; 7.00 -> bin 0.
+    assert got == {
+        3: (1, 0.30, 0),
+        1: (1, 0.10, 1),
+        2: (1, 0.20, 0),
+        9: (1, 0.99, 1),
+        0: (1, 0.00, 0),
+    }
