@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.operators.textstats import portable_hash60
@@ -408,3 +408,273 @@ def heavy_hitters_exact(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t-digest-style quantile summary (Dunning & Ertl, "Computing extremely
+# accurate quantiles using t-digests", 2019 — the arcsine k_1 scale
+# function) over a bounded value histogram.
+
+
+def tdigest_scale_millionths(delta: int) -> list[int]:
+    """Cluster boundaries of the t-digest arcsine scale function, as
+    exact integer millionths of the cumulative-probability axis.
+
+    k_1(q) = (delta / 2pi) * asin(2q - 1) cuts [0,1] into ``delta``
+    clusters at q_j = sin^2(pi*j / (2*delta)) — fine clusters at BOTH
+    tails (where quantile error matters), coarse in the middle. The
+    j-th boundary is quantized HOST-side to millionths, so the Spark
+    plan and the SQL oracle embed IDENTICAL integer literals and no
+    libm call ever runs inside either engine. q_delta is exactly
+    1_000_000 (sin(pi/2) = 1)."""
+    out = []
+    for j in range(1, delta + 1):
+        s = math.sin(math.pi * j / (2.0 * delta)) ** 2
+        out.append(min(1_000_000, int(math.floor(s * 1_000_000 + 0.5))))
+    out[-1] = 1_000_000
+    return out
+
+
+def tdigest_clusters(df: DataFrame, value_col: str, delta: int = 32) -> DataFrame:
+    """t-digest-style clustered quantile summary of an exact-integer
+    column (the caller quantizes, e.g. ``floor`` of a currency value):
+    (cluster, weight, centroid, v_min, v_max), at most ``delta`` rows.
+
+    The textbook t-digest streams points into centroids greedily, which
+    makes the digest ORDER-DEPENDENT — useless under a driver that
+    value-hashes results. This form is the deterministic batch variant:
+    the corpus collapses to a bounded value histogram (ONE
+    partial-aggregated groupBy; rows <= the value domain, independent of
+    corpus size — the roc_auc discipline), ranks come from a cumulative
+    sum over that bounded frame, and cluster c owns exactly the ranks in
+    (r_{c-1}, r_c] where r_c = (n * q_c + 500000) div 1000000 with q_c
+    the host-quantized arcsine boundaries. Every value's rank span
+    [lo, hi] is exploded over only the clusters it overlaps (a histogram
+    row spans >1 cluster only at cluster borders, so the explode adds
+    at most ``delta`` rows). Weights and v*weight sums are
+    BIGINT/DECIMAL-exact; each centroid is one IEEE division — the whole
+    summary is bit-identical on any engine.
+
+    Merge story: the histogram itself is the mergeable substrate
+    (counts add), so shards combine by unioning histograms before the
+    rank pass — unlike greedy digests, merging cannot change the result.
+    """
+    qs = tdigest_scale_millionths(delta)
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w_ord = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "__v",
+        "__c",
+        F.sum("__c").over(w_ord).cast("long").alias("__hi"),
+        F.sum("__c").over(w_all).cast("long").alias("__n"),
+    ).withColumn("__lo", F.col("__hi") - F.col("__c") + 1)
+    qarr = "array(" + ",".join(str(q) + "L" for q in qs) + ")"
+    # r_c for c = 1..delta, with r_0 = 0 prepended (element_at is 1-based:
+    # __r[c] = r_{c-1}, __r[c+1] = r_c).
+    cum = cum.withColumn(
+        "__r",
+        F.expr(
+            f"concat(array(0L), transform({qarr},"
+            " q -> (__n * q + 500000L) DIV 1000000L))"
+        ),
+    )
+    c_lo = F.expr("size(filter(slice(__r, 2, size(__r) - 1), r -> r < __lo)) + 1")
+    c_hi = F.expr("size(filter(slice(__r, 2, size(__r) - 1), r -> r < __hi)) + 1")
+    rows = cum.select(
+        "__v",
+        "__lo",
+        "__hi",
+        "__r",
+        F.explode(F.sequence(c_lo, c_hi)).alias("cluster"),
+    )
+    weight = (
+        F.least(F.col("__hi"), F.expr("element_at(__r, cluster + 1)"))
+        - F.greatest(F.col("__lo"), F.expr("element_at(__r, cluster) + 1"))
+        + F.lit(1)
+    ).cast("long")
+    rows = rows.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "__v",
+        weight.alias("__w"),
+    ).filter(F.col("__w") > 0)
+    agg = rows.groupBy("cluster").agg(
+        F.sum("__w").cast("long").alias("weight"),
+        F.sum(F.col("__v").cast("decimal(38,0)") * F.col("__w")).alias("__vw"),
+        F.min("__v").cast("long").alias("v_min"),
+        F.max("__v").cast("long").alias("v_max"),
+    )
+    return agg.select(
+        "cluster",
+        "weight",
+        (F.col("__vw").cast("double") / F.col("weight").cast("double")).alias(
+            "centroid"
+        ),
+        "v_min",
+        "v_max",
+    )
+
+
+def tdigest_clusters_sql(value_rows: str, delta: int = 32) -> str:
+    """DuckDB twin of ``tdigest_clusters``: ``value_rows`` yields (v)
+    with v an exact integer. Kept beside the column form so the
+    boundary/rank arithmetic can never drift. __vw is an unbounded
+    exact accumulator -> exact_dec_double_sql."""
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
+    qs = tdigest_scale_millionths(delta)
+    vals = ", ".join(f"({j + 1}, {q})" for j, q in enumerate(qs))
+    vw_d = exact_dec_double_sql("__vw")
+    return f"""
+    td_h AS (
+        SELECT v AS __v, CAST(COUNT(*) AS BIGINT) AS __c
+        FROM ({value_rows}) WHERE v IS NOT NULL GROUP BY 1
+    ), td_c AS (
+        SELECT __v, __c,
+               CAST(SUM(__c) OVER (ORDER BY __v) AS BIGINT) AS __hi,
+               CAST(SUM(__c) OVER () AS BIGINT) AS __n
+        FROM td_h
+    ), td_q (c, q) AS (VALUES {vals}),
+    td_b AS (
+        SELECT td_q.c, td_q.q,
+               (td_c0.__n * td_q.q + 500000) // 1000000 AS r,
+               COALESCE(LAG((td_c0.__n * td_q.q + 500000) // 1000000)
+                        OVER (ORDER BY td_q.c), 0) AS r_prev
+        FROM td_q, (SELECT MAX(__n) AS __n FROM td_c) td_c0
+    ), td_x AS (
+        SELECT b.c AS cluster, h.__v,
+               LEAST(h.__hi, b.r)
+                 - GREATEST(h.__hi - h.__c + 1, b.r_prev + 1) + 1 AS __w
+        FROM td_c h JOIN td_b b
+          ON b.r_prev < h.__hi AND b.r >= h.__hi - h.__c + 1
+    ), td_a AS (
+        SELECT CAST(cluster AS INTEGER) AS cluster,
+               CAST(SUM(__w) AS BIGINT) AS weight,
+               SUM(CAST(__v AS DECIMAL(38,0)) * __w) AS __vw,
+               CAST(MIN(__v) AS BIGINT) AS v_min,
+               CAST(MAX(__v) AS BIGINT) AS v_max
+        FROM td_x WHERE __w > 0 GROUP BY 1
+    )
+    SELECT cluster, weight,
+           {vw_d} / CAST(weight AS DOUBLE) AS centroid,
+           v_min, v_max
+    FROM td_a
+    """
+
+
+# ---------------------------------------------------------------------------
+# k-mins distinct-count sketch (Cohen, "Size-estimation framework with
+# applications to transitive closure and reachability", JCSS 1997; the
+# k-independent-minima cousin of KMV/theta sketches).
+
+
+def kmins_distinct(
+    df: DataFrame, group_col: str, item_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group k-mins cardinality estimate, plus a merged 'ALL' row:
+    (scope, n_rows, kmins_est).
+
+    theta_i = min over items of h_i(item), with h_i the same portable
+    affine family minhash uses ((a_i * md5base + b_i) mod p) — for n
+    distinct items each theta_i/p is the minimum of n uniforms, so
+    S = sum_i theta_i ~ Gamma(k)-distributed with mean k*p/(n+1) and the
+    estimator (k-1) * p / S is the standard unbiased form. Duplicates
+    need no pre-distinct: min() absorbs them.
+
+    Scale shape: explode k slots per row, then ONE partial-aggregated
+    groupBy (group, slot) min — the map-side combine collapses each
+    task's slice to |groups| x k rows before any shuffle, so the
+    exchange carries sketch-sized payloads no matter the corpus. The
+    'ALL' scope is the k-mins MERGE (elementwise min of the per-group
+    sketches) — a |groups| x k control-plane fold that demonstrates the
+    sketch's mergeability without rescanning the corpus. S stays BIGINT
+    (<= k * p < 2^37) and the estimate is one IEEE division of exact
+    integers — bit-identical on any engine with md5.
+    """
+    from be_analytic_etl_spark.operators.dedup import portable_affine_params
+    from be_analytic_etl_spark.operators.textstats import (
+        PORTABLE_P,
+        portable_base_hash,
+    )
+
+    params = portable_affine_params(k)
+    parr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in params
+        ]
+    )
+    base = portable_base_hash(F.col(item_col).cast("string"))
+    slots = df.select(
+        F.col(group_col).alias("scope"), base.alias("__h")
+    ).select(
+        "scope",
+        F.posexplode(
+            F.transform(parr, lambda pr: (F.col("__h") * pr["a"] + pr["b"]) % PORTABLE_P)
+        ).alias("__i", "__hi"),
+    )
+    per = slots.groupBy("scope", "__i").agg(F.min("__hi").cast("long").alias("__theta"))
+    merged = per.groupBy("__i").agg(F.min("__theta").alias("__theta")).select(
+        F.lit("ALL").alias("scope"), "__i", "__theta"
+    )
+    counts = df.groupBy(F.col(group_col).alias("scope")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    counts_all = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+        F.lit("ALL").alias("scope"), "n_rows"
+    )
+    est = (
+        per.unionByName(merged)
+        .groupBy("scope")
+        .agg(F.sum("__theta").cast("long").alias("__s"))
+        .join(counts.unionByName(counts_all), "scope")
+    )
+    km = F.lit(float((k - 1) * PORTABLE_P))
+    return est.select(
+        "scope",
+        "n_rows",
+        (km / F.col("__s").cast("double")).alias("kmins_est"),
+    )
+
+
+def kmins_distinct_sql(item_rows: str, k: int = 64) -> str:
+    """DuckDB twin of ``kmins_distinct``: ``item_rows`` yields
+    (scope, item) with item a VARCHAR."""
+    from be_analytic_etl_spark.operators.dedup import portable_affine_params
+    from be_analytic_etl_spark.operators.textstats import PORTABLE_P
+
+    params = portable_affine_params(k)
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    num = repr(float((k - 1) * PORTABLE_P))
+    return f"""
+    km_p (i, a, b) AS (VALUES {vals}),
+    km_h AS (
+        SELECT scope,
+               CAST('0x' || substr(md5(item), 1, 15) AS BIGINT)
+                   % {PORTABLE_P} AS __h
+        FROM ({item_rows})
+    ), km_s AS (
+        SELECT scope, p.i AS __i,
+               CAST(MIN((__h * p.a + p.b) % {PORTABLE_P}) AS BIGINT) AS __theta
+        FROM km_h, km_p p GROUP BY 1, 2
+    ), km_u AS (
+        SELECT scope, __i, __theta FROM km_s
+        UNION ALL
+        SELECT 'ALL', __i, CAST(MIN(__theta) AS BIGINT) FROM km_s GROUP BY 2
+    ), km_n AS (
+        SELECT scope, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM ({item_rows}) GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(*) AS BIGINT) FROM ({item_rows})
+    ), km_e AS (
+        SELECT scope, CAST(SUM(__theta) AS BIGINT) AS __s
+        FROM km_u GROUP BY 1
+    )
+    SELECT km_e.scope, km_n.n_rows,
+           {num} / CAST(km_e.__s AS DOUBLE) AS kmins_est
+    FROM km_e JOIN km_n ON km_e.scope = km_n.scope
+    """

@@ -148,3 +148,107 @@ def ewma_sql_twin(
     FROM {table}
     GROUP BY {key_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (Page, "Continuous inspection schemes",
+# Biometrika 1954; the offline max-|CUSUM| single-changepoint locator).
+
+
+def cusum_changepoint(
+    df: DataFrame, ts_col: str, cents_col: str
+) -> DataFrame:
+    """Single-changepoint scan over the daily series of an exact-cents
+    column: one row (cp_day, n_days, t_at_peak, cusum_peak, mean_before,
+    mean_after, mean_shift).
+
+    CUSUM S_t = sum_{i<=t} (x_i - mean) peaks where the series' level
+    shifts; argmax_t |S_t| is the classic single-changepoint estimate.
+    The mean makes S_t inexact, so the scan maximizes the SCALED form
+    S'_t = n * cumsum_t - t * total (= n * S_t) instead — pure BIGINT
+    arithmetic over exact cents, so the argmax (ties -> earliest day)
+    is integer-exact on any engine. Only the emitted diagnostics divide:
+    cusum_peak = S'/(n*100) (the plain CUSUM in currency units) and the
+    before/after means — each a single IEEE division of exact integers.
+
+    Scale: the corpus collapses to per-day cents in ONE
+    partial-aggregated groupBy; the cumulative window and the argmax run
+    on the bounded calendar frame (<= days in the time domain,
+    independent of row count — the roc_auc bounded-frame discipline).
+    Magnitude guard: n_days * total_cents must stay < 2^63 — at
+    10^4 days x 10^14 daily cents that bound is respected with margin.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(cents_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.sum(cents_col).cast("long").alias("__c"))
+    )
+    w_ord = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        F.sum("__c").over(w_ord).cast("long").alias("__cum"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("__t"),
+        F.sum("__c").over(w_all).cast("long").alias("__tot"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__n"),
+    )
+    s = F.col("__n") * F.col("__cum") - F.col("__t") * F.col("__tot")
+    peak = (
+        cum.select("day", "__cum", "__t", "__tot", "__n", s.alias("__s"))
+        .orderBy(F.abs(F.col("__s")).desc(), F.col("day").asc())
+        .limit(1)
+    )
+    before = F.col("__cum").cast("double") / (F.col("__t") * 100).cast("double")
+    after = (F.col("__tot") - F.col("__cum")).cast("double") / (
+        (F.col("__n") - F.col("__t")) * 100
+    ).cast("double")
+    return peak.select(
+        F.col("day").alias("cp_day"),
+        F.col("__n").alias("n_days"),
+        F.col("__t").alias("t_at_peak"),
+        (
+            F.col("__s").cast("double") / (F.col("__n") * 100).cast("double")
+        ).alias("cusum_peak"),
+        before.alias("mean_before"),
+        F.when(F.col("__t") < F.col("__n"), after).alias("mean_after"),
+        F.when(F.col("__t") < F.col("__n"), after - before).alias(
+            "mean_shift"
+        ),
+    )
+
+
+def cusum_changepoint_sql(day_cents_rows: str) -> str:
+    """DuckDB twin of ``cusum_changepoint``: ``day_cents_rows`` yields
+    (day, cents) rows (pre-cast: day DATE, cents BIGINT)."""
+    return f"""
+    cu_d AS (
+        SELECT day, CAST(SUM(cents) AS BIGINT) AS __c
+        FROM ({day_cents_rows})
+        WHERE day IS NOT NULL AND cents IS NOT NULL GROUP BY 1
+    ), cu_c AS (
+        SELECT day,
+               CAST(SUM(__c) OVER (ORDER BY day) AS BIGINT) AS __cum,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS __t,
+               CAST(SUM(__c) OVER () AS BIGINT) AS __tot,
+               CAST(COUNT(*) OVER () AS BIGINT) AS __n
+        FROM cu_d
+    ), cu_p AS (
+        SELECT *, __n * __cum - __t * __tot AS __s
+        FROM cu_c
+        ORDER BY ABS(__n * __cum - __t * __tot) DESC, day ASC LIMIT 1
+    )
+    SELECT day AS cp_day, __n AS n_days, __t AS t_at_peak,
+           CAST(__s AS DOUBLE) / CAST(__n * 100 AS DOUBLE) AS cusum_peak,
+           CAST(__cum AS DOUBLE) / CAST(__t * 100 AS DOUBLE) AS mean_before,
+           CASE WHEN __t < __n
+                THEN CAST(__tot - __cum AS DOUBLE)
+                     / CAST((__n - __t) * 100 AS DOUBLE) END AS mean_after,
+           CASE WHEN __t < __n
+                THEN CAST(__tot - __cum AS DOUBLE)
+                     / CAST((__n - __t) * 100 AS DOUBLE)
+                     - CAST(__cum AS DOUBLE) / CAST(__t * 100 AS DOUBLE)
+                END AS mean_shift
+    FROM cu_p
+    """

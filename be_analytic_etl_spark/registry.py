@@ -44,6 +44,7 @@ from be_analytic_etl_spark import queries_versioning  # noqa: E402,F401
 from be_analytic_etl_spark import queries_sqlsurface  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round6  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round7  # noqa: E402,F401
+from be_analytic_etl_spark import queries_round8  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
