@@ -51,85 +51,80 @@ from be_analytic_etl_spark import queries_round8  # noqa: E402,F401
 # queries against the DuckDB oracle; everything after the window is only
 # locally gated (tests/test_registry_oracle.py). This block is GENERATED:
 # run `python tools/rotate_window.py --apply` after a round's
-# CORRECTNESS_r{N}.json lands — never hand-edit. Round-7 rotation
-# (from CORRECTNESS_r01-r06; round 6 reached 202/202 ever-checked
-# green, zero reds): the 14 round-7 additions (never-checked — eval
-# stats ext_reliability_bins/ext_calibration_ece/ext_cohens_kappa/
-# ext_welch_ttest/ext_ks_test/ext_chi2_independence/
-# ext_mutual_information/ext_spearman_corr, tail diagnostics
-# ext_hill_tail/ext_gpd_tail, drift ext_jensen_shannon, sketch
-# ext_heavy_hitters, rank-stats ext_robust_stats, dedup
-# ext_substring_dedup), then the 13
-# r1-stale greens the round-6 verdict routed here (ext_token_stats ...
-# ext_first_per_key — 5 rounds without a driver row), then the oldest
-# (r3) greens to fill. The SS2 core is NOT stale (checked r6; the tool
-# force-enters it in r8). Every window member was pre-proven this
-# round against tools/verify_driver.py at sf0.001 AND sf0.01 AND
-# sf0.1 (strict 17g).
+# CORRECTNESS_r{N}.json lands — never hand-edit. Round-8 rotation
+# (from CORRECTNESS_r01-r07; round 7 stayed 216/216 ever-checked
+# green, zero reds): the 8 round-8 additions (never-checked —
+# ext_tdigest_quantiles, ext_kmins_distinct, ext_cusum_changepoint,
+# ext_psi_drift, ext_benford_digits, ext_lift_curve, ext_ndcg,
+# ext_pii_audit), then the six SS2-core queries (last checked r6 —
+# the automated two-round force-entry), then the oldest greens (the
+# remaining r3 cohort, then r4) to fill. Every new window member was
+# pre-proven this round against tools/verify_driver.py at sf0.001 AND
+# sf0.01 AND sf0.1 (strict 17g).
 _DRIVER_WINDOW_PRIORITY = [
-    "ext_reliability_bins",
-    "ext_calibration_ece",
-    "ext_cohens_kappa",
-    "ext_heavy_hitters",
-    "ext_robust_stats",
-    "ext_substring_dedup",
-    "ext_welch_ttest",
-    "ext_ks_test",
-    "ext_chi2_independence",
-    "ext_mutual_information",
-    "ext_spearman_corr",
-    "ext_hill_tail",
-    "ext_gpd_tail",
-    "ext_jensen_shannon",
-    "ext_token_stats",
-    "ext_bpe_fingerprint",
-    "ext_lang_id",
-    "ext_exact_dedup",
-    "ext_minhash_sig",
-    "ext_minhash_lsh_neardup",
-    "ext_ngram_jaccard",
-    "ext_cosine_topk",
-    "ext_cosine_neardup",
-    "ext_ivf_ann",
-    "ext_strip_zeros",
-    "ext_multimodal_meta",
-    "ext_first_per_key",
-    "having_countdistinct",
-    "unpivot_measures",
-    "union_distinct",
-    "dense_id",
-    "dense_id_scale",
-    "csv_roundtrip",
-    "jdbc_roundtrip",
-    "topk_revenue",
-    "semi_anti_customers",
-    "br_number_parse",
-    "classify_extract",
-    "pattern_row_filter",
-    "date_roundtrip",
-    "scalar_math",
-    "pricing_summary",
-    "star_join_broadcast",
-    "fact_join_revenue",
-    "region_revenue",
-    "rollup_revenue",
-    "topn_per_group",
-    "sliding_window",
-    "events_enrich",
-    "tumbling_window",
+    "ext_tdigest_quantiles",
+    "ext_kmins_distinct",
+    "ext_cusum_changepoint",
+    "ext_psi_drift",
+    "ext_benford_digits",
+    "ext_lift_curve",
+    "ext_ndcg",
+    "ext_pii_audit",
+    "flagship_mom_pivot",
+    "groupby_avg",
+    "lag_mom_variation",
+    "conditional_pivot",
+    "ingest_e2e",
+    "ingest_finalize",
+    "late_shipment_priority",
+    "nation_trade_flow",
+    "large_orders",
+    "rolling_metrics",
+    "percentile_stats",
+    "funnel",
+    "cohort_retention",
+    "click_attribution",
+    "small_quantity_revenue",
+    "cube_revenue",
+    "set_ops",
+    "fuzzy_match",
+    "session_window_batch",
+    "jsonl_roundtrip",
+    "custdist",
+    "promo_revenue",
+    "top_supplier",
+    "disjunctive_parts",
+    "idle_rich_customers",
+    "sessionize",
+    "json_extract",
+    "ext_simhash",
+    "ext_simhash_neardup",
+    "ext_lsh_ann",
+    "ext_multimodal_features",
+    "ext_redact",
+    "ext_vocab_topk",
+    "ext_tfidf",
+    "ext_contamination",
+    "ext_hash_split",
+    "ext_dedup_groups",
+    "ext_asof_join",
+    "ext_gapfill",
+    "ext_salted_join",
+    "ext_merge_upsert",
+    "ext_scd2",
 ]
 
-# Round-8 window plan (written ahead, r5–r7 precedent): the rotation
-# is again mechanical — any new r8 queries rank first (never-checked),
-# the six SS2-core queries force-enter (last checked r6, two rounds
-# old by r8), and the remaining ~slots fill with the oldest greens
-# (the rest of the r3 cohort, then r4). Budget new-query count =
-# 50 − (reds + never-checked backlog + 6 core). Candidates for r8:
-# streaming twins registered behind batch equivalents where
-# SQL-expressible, a t-digest-style mergeable quantile sketch with a
-# portable oracle, and any gap the r7 verdict names. Every addition must pass the
-# three-SF verify sweep (tools/verify_driver.py at
-# sf0.001/sf0.01/sf0.1, strict 17g) BEFORE the window freezes — two
+# Round-9 window plan (written ahead, r5–r8 precedent): the rotation
+# stays mechanical — any new r9 queries rank first (never-checked),
+# the SS2 core re-enters when two rounds stale (checked r8 via this
+# window, so it re-enters in r10 unless a red appears), and the
+# remaining slots fill with the oldest greens (the r4 cohort next).
+# Budget new-query count = 50 − (reds + never-checked backlog +
+# forced core). Candidates for r9: anything the r8 verdict names
+# first; then remaining eval/monitoring gaps (e.g. rank-based effect
+# sizes, seasonal decomposition) and further streaming twins. Every
+# addition must pass the three-SF verify sweep (tools/verify_driver.py
+# at sf0.001/sf0.01/sf0.1, strict 17g) BEFORE the window freezes — two
 # divergence classes only trigger at sf0.1 magnitudes (SCALE.md).
 
 

@@ -5,6 +5,7 @@ from be_analytic_etl_spark.streaming.jobs import (
     stream_dedup_within_watermark,
     stream_enrich,
     stream_eval_histogram,
+    stream_kmins_sketch,
     stream_sessionize,
     stream_sliding_agg,
     stream_tumbling_agg,
@@ -17,6 +18,7 @@ from be_analytic_etl_spark.streaming.stateful import (
 
 __all__ = [
     "stream_eval_histogram",
+    "stream_kmins_sketch",
     "stream_heavy_hitter_candidates",
     "stream_running_totals",
     "stream_topk_per_user",

@@ -433,3 +433,51 @@ def stream_eval_histogram(events: DataFrame, n_bins: int = 10) -> DataFrame:
             F.sum(pos).cast("long").alias("n_pos"),
         )
     )
+
+
+def stream_kmins_sketch(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming twin of ``sketches.kmins_distinct``'s sketch phase:
+    maintain the per-(event_type, slot) k-mins minima incrementally as
+    events arrive.
+
+    The batch sketch is ONE partial-aggregated min per (group, slot) —
+    exactly the state a stream can keep: an unwatermarked global groupBy
+    on a bounded key domain (|event types| x k rows, forever), emitted
+    in complete mode. min() is the k-mins merge, so every micro-batch
+    update IS the sketch merge; the cardinality read
+    ((k-1) * p / sum(theta)) is a constant-size fold over the sink, and
+    sketches from independent streams union by the same elementwise min.
+    Hashes are the portable affine family, so the streamed state is
+    bit-identical to the batch sketch on the same data.
+    """
+    from be_analytic_etl_spark.operators.dedup import portable_affine_params
+    from be_analytic_etl_spark.operators.textstats import (
+        PORTABLE_P,
+        portable_base_hash,
+    )
+
+    params = portable_affine_params(k)
+    parr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in params
+        ]
+    )
+    base = portable_base_hash(F.col("user_id").cast("string"))
+    slots = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("scope"), base.alias("__h"))
+        .select(
+            "scope",
+            F.posexplode(
+                F.transform(
+                    parr,
+                    lambda pr: (F.col("__h") * pr["a"] + pr["b"])
+                    % PORTABLE_P,
+                )
+            ).alias("slot", "__hi"),
+        )
+    )
+    return slots.groupBy("scope", "slot").agg(
+        F.min("__hi").cast("long").alias("theta")
+    )

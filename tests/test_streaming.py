@@ -327,3 +327,49 @@ def test_stream_eval_histogram_exact_cent_edges(spark, tmp_path):
         9: (1, 0.99, 1),
         0: (1, 0.00, 0),
     }
+
+
+def test_stream_kmins_matches_batch(spark, events_batch, events_stream_dir):
+    """The streaming k-mins sketch (complete mode, |types| x k state)
+    must equal the batch per-(scope, slot) minima once the bounded
+    stream drains — min IS the sketch merge, so micro-batch boundaries
+    cannot change the state."""
+    from be_analytic_etl_spark.streaming import stream_kmins_sketch
+    from be_analytic_etl_spark.operators.dedup import portable_affine_params
+    from be_analytic_etl_spark.operators.textstats import (
+        PORTABLE_P,
+        portable_base_hash,
+    )
+
+    k = 16
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_kmins_sketch(stream, k=k)
+        .writeStream.format("memory")
+        .queryName("t_kmins")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        (r["scope"], r["slot"]): r["theta"]
+        for r in spark.table("t_kmins").collect()
+    }
+
+    params = portable_affine_params(k)
+    base = portable_base_hash(F.col("user_id").cast("string"))
+    want: dict = {}
+    rows = (
+        events_batch.filter(F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("scope"), base.alias("h"))
+        .collect()
+    )
+    for r in rows:
+        for i, (a, b) in enumerate(params):
+            key = (r["scope"], i)
+            hv = (r["h"] * a + b) % PORTABLE_P
+            if key not in want or hv < want[key]:
+                want[key] = hv
+    assert got == want
