@@ -465,14 +465,21 @@ def tdigest_clusters(df: DataFrame, value_col: str, delta: int = 32) -> DataFram
         .groupBy(F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
+    # Total n via agg + broadcast (NOT a second unpartitioned window —
+    # that would add another single-task exchange+sort pass over the
+    # histogram); the one remaining global-order window is the bounded
+    # rank pass this operator is allowed (roc_auc discipline).
     w_ord = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        "__v",
-        "__c",
-        F.sum("__c").over(w_ord).cast("long").alias("__hi"),
-        F.sum("__c").over(w_all).cast("long").alias("__n"),
-    ).withColumn("__lo", F.col("__hi") - F.col("__c") + 1)
+    tot = hist.agg(F.sum("__c").cast("long").alias("__n"))
+    cum = (
+        hist.select(
+            "__v",
+            "__c",
+            F.sum("__c").over(w_ord).cast("long").alias("__hi"),
+        )
+        .withColumn("__lo", F.col("__hi") - F.col("__c") + 1)
+        .crossJoin(F.broadcast(tot))
+    )
     qarr = "array(" + ",".join(str(q) + "L" for q in qs) + ")"
     # r_c for c = 1..delta, with r_0 = 0 prepended (element_at is 1-based:
     # __r[c] = r_{c-1}, __r[c+1] = r_c).
@@ -617,22 +624,34 @@ def kmins_distinct(
             F.transform(parr, lambda pr: (F.col("__h") * pr["a"] + pr["b"]) % PORTABLE_P)
         ).alias("__i", "__hi"),
     )
-    per = slots.groupBy("scope", "__i").agg(F.min("__hi").cast("long").alias("__theta"))
-    merged = per.groupBy("__i").agg(F.min("__theta").alias("__theta")).select(
-        F.lit("ALL").alias("scope"), "__i", "__theta"
+    # ONE corpus pass: each input row contributes to every slot, so the
+    # per-(scope, slot) row count IS the scope's row count — fold it
+    # into the same partial aggregation instead of rescanning df. The
+    # sketch frame is |scopes| x k rows; lazy-checkpoint it so the ALL
+    # merge and the per-scope fold both read the materialized sketch,
+    # never the corpus again (the mixture_kl discipline).
+    per = (
+        slots.groupBy("scope", "__i")
+        .agg(
+            F.min("__hi").cast("long").alias("__theta"),
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+        )
+        .localCheckpoint(eager=False)
     )
-    counts = df.groupBy(F.col(group_col).alias("scope")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows")
+    per_scope = per.groupBy("scope").agg(
+        F.sum("__theta").cast("long").alias("__s"),
+        F.max("__cnt").cast("long").alias("n_rows"),
     )
-    counts_all = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
-        F.lit("ALL").alias("scope"), "n_rows"
+    all_s = (
+        per.groupBy("__i")
+        .agg(F.min("__theta").alias("__t"))
+        .agg(F.sum("__t").cast("long").alias("__s"))
     )
-    est = (
-        per.unionByName(merged)
-        .groupBy("scope")
-        .agg(F.sum("__theta").cast("long").alias("__s"))
-        .join(counts.unionByName(counts_all), "scope")
+    all_n = per_scope.agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    all_row = all_s.crossJoin(F.broadcast(all_n)).select(
+        F.lit("ALL").alias("scope"), "__s", "n_rows"
     )
+    est = per_scope.select("scope", "__s", "n_rows").unionByName(all_row)
     km = F.lit(float((k - 1) * PORTABLE_P))
     return est.select(
         "scope",

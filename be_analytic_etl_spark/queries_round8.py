@@ -61,6 +61,10 @@ _TD_DELTA = 32
 def q_ext_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from be_analytic_etl_spark.operators.sketches import tdigest_clusters
 
+    # No spread: the corpus stage is floor+count (trivial per row), so
+    # a repartition exchange costs more than the single-task map saves
+    # (measured: spread 1.0s vs direct 0.6s at sf0.1); the groupBy's
+    # reduce side is 32-way parallel either way.
     orders = _t(spark, sf_dir, "orders")
     vals = orders.select(
         F.floor("o_totalprice").cast("long").alias("v")
@@ -85,8 +89,13 @@ _KM_K = 64
 
 def q_ext_kmins_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from be_analytic_etl_spark.operators.sketches import kmins_distinct
+    from be_analytic_etl_spark.sources import load_table
 
-    events = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # spread=True: the k=64 affine hashes per row are per-row compute —
+    # a single-row-group scan would serialize them onto one core.
+    events = load_table(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull()
+    )
     return kmins_distinct(events, "event_type", "user_id", k=_KM_K)
 
 
@@ -611,3 +620,397 @@ def _pii_oracle() -> str:
 
 
 register("ext_pii_audit", q_ext_pii_audit, _pii_oracle())
+
+
+# ===========================================================================
+# Round-8 batch 2: time-series diagnostics on the bounded daily frame
+# (Mann-Kendall trend, autocorrelation, day-of-week seasonality) and the
+# omnibus ANOVA companion to the pairwise Welch test. Every one of these
+# collapses the corpus in ONE partial-aggregated groupBy and runs the
+# statistic on a calendar- or |sources|-bounded control-plane frame.
+
+_DAILY_CENTS_SQL = (
+    "SELECT CAST(ts AS DATE) AS day,"
+    " CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)"
+    " AS c"
+    " FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1"
+)
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (Mann 1945; Kendall 1975) on the daily
+# revenue series: S = sum over day pairs i<j of sign(c_j - c_i), with
+# the tie-corrected variance. The pair join is over the CALENDAR-
+# bounded daily frame (D days -> D(D-1)/2 control-plane pairs,
+# independent of corpus rows), broadcast on one side — the deliberate
+# bounded-BNL shape, like the exact ANN baselines. S and the variance
+# numerator are exact BIGINTs; z is a fixed IEEE tail (sqrt is
+# IEEE-exact in both engines) quantized at the source.
+
+
+def q_ext_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    a = daily.select(F.col("day").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("c").alias("cb"))
+    sign = (
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(F.sum(sign).cast("long").alias("s_stat"))
+    )
+    # tie groups over equal daily values
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("__tie_term"),
+            F.sum("t").cast("long").alias("n_days"),
+        )
+    )
+    j = s.crossJoin(F.broadcast(ties))
+    n = F.col("n_days")
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("__tie_term")).cast("long")
+    var_d = var_num.cast("double") / F.lit(18.0)
+    zraw = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1).cast("double") / F.sqrt(var_d),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1).cast("double") / F.sqrt(var_d),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "n_days",
+        "s_stat",
+        var_num.alias("var_num"),
+        F.when(var_num > 0, stable_round(zraw, 6)).alias("z_stat"),
+    )
+
+
+def _mann_kendall_oracle() -> str:
+    var_num = (
+        "(n_days * (n_days - 1) * (2 * n_days + 5) - __tie_term)"
+    )
+    zraw = (
+        f"(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+        f" / sqrt(CAST({var_num} AS DOUBLE) / 18.0)"
+        f" WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+        f" / sqrt(CAST({var_num} AS DOUBLE) / 18.0)"
+        f" ELSE 0.0 END)"
+    )
+    return f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day
+    ), ties AS (
+        SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS __tie_term,
+               CAST(SUM(t) AS BIGINT) AS n_days
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c)
+    )
+    SELECT n_days, s_stat,
+           CAST({var_num} AS BIGINT) AS var_num,
+           CASE WHEN {var_num} > 0
+                THEN {stable_round_sql(zraw, 6)} END AS z_stat
+    FROM s, ties
+    """
+
+
+register("ext_mann_kendall", q_ext_mann_kendall, _mann_kendall_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily revenue series at lags 1..7. With
+# d_t = n * c_t - total (exact BIGINT — the mean never materializes),
+# acf_l = sum_t d_t * d_{t+l} / sum_t d_t^2: the n^2 factors cancel, so
+# numerator and denominator are exact DECIMAL(38,0) sums of BIGINT
+# products over the bounded daily frame, and the estimate is one IEEE
+# division of two exactly-determined values. Lags come from 7 LEAD
+# columns over the calendar-bounded window — no self-join.
+_ACF_MAX_LAG = 7
+
+
+def q_ext_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("day")
+    d = daily.select(
+        "day",
+        "c",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__n"),
+        F.sum("c").over(w_all).cast("long").alias("__tot"),
+    ).select(
+        "day",
+        (F.col("__n") * F.col("c") - F.col("__tot")).alias("__d"),
+    )
+    leads = d.select(
+        "day",
+        "__d",
+        *[
+            F.lead("__d", l).over(w_ord).alias(f"__d{l}")
+            for l in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    stack_expr = ", ".join(
+        f"{l}, __d{l}" for l in range(1, _ACF_MAX_LAG + 1)
+    )
+    long = leads.select(
+        "__d",
+        F.expr(
+            f"stack({_ACF_MAX_LAG}, {stack_expr}) AS (lag, __dl)"
+        ),
+    )
+    den = d.agg(
+        F.sum(F.col("__d").cast("decimal(38,0)") * F.col("__d")).alias(
+            "__den"
+        )
+    )
+    num = (
+        long.filter(F.col("__dl").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("__d").cast("decimal(38,0)") * F.col("__dl")).alias(
+                "__num"
+            ),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.when(
+                F.col("__den") > 0,
+                F.col("__num").cast("double")
+                / F.col("__den").cast("double"),
+            ).alias("acf"),
+        )
+    )
+
+
+def _acf_oracle() -> str:
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
+    num_d = exact_dec_double_sql("__num")
+    den_d = exact_dec_double_sql("__den")
+    return f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    d AS (
+        SELECT day,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) * c
+                 - (SELECT CAST(SUM(c) AS BIGINT) FROM daily) AS __d
+        FROM daily
+    ), leads AS (
+        SELECT __d, r.l AS lag,
+               LEAD(__d, CAST(r.l AS INTEGER))
+                   OVER (PARTITION BY r.l ORDER BY day) AS __dl
+        FROM d, range(1, {_ACF_MAX_LAG + 1}) r(l)
+    ), den AS (
+        SELECT SUM(CAST(__d AS DECIMAL(38,0)) * __d) AS __den FROM d
+    ), num AS (
+        SELECT CAST(lag AS INTEGER) AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(CAST(__d AS DECIMAL(38,0)) * __dl) AS __num
+        FROM leads WHERE __dl IS NOT NULL GROUP BY 1
+    )
+    SELECT lag, n_pairs,
+           CASE WHEN __den > 0 THEN {num_d} / {den_d} END AS acf
+    FROM num, den
+    """
+
+
+register("ext_acf", q_ext_acf, _acf_oracle())
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F across sources on the 6dp quality score — the omnibus
+# companion to the pairwise ext_welch_ttest. Corpus work = the same ONE
+# groupBy(source) exact-moment pass; SSB/SSW assemble from per-source
+# (n_s, s1_s, s2_s) on a |sources|-row frame. Per-source terms
+# s1_s^2/n_s quantize to DECIMAL(18,6) before the cross-source sums
+# (bounded-term folds); F is a fixed IEEE tail quantized at the source.
+
+
+def q_ext_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q6 = (
+        stable_round(T.quality_score("text", round_to=None), 6)
+        .cast("decimal(18,6)")
+        .alias("q6")
+    )
+    per = (
+        docs.select("source", q6)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_s"),
+            F.sum("q6").alias("s1"),
+            F.sum(F.col("q6") * F.col("q6")).alias("s2"),
+        )
+    )
+    term = stable_round(
+        (F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / F.col("n_s").cast("double"),
+        6,
+    ).cast("decimal(18,6)")
+    agg = per.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s1").alias("__s1"),
+        F.sum("s2").alias("__s2"),
+        F.sum(term).alias("__gterm"),
+    )
+    nd = F.col("n").cast("double")
+    grand = (
+        F.col("__s1").cast("double") * F.col("__s1").cast("double")
+    ) / nd
+    ssb = F.col("__gterm").cast("double") - grand
+    ssw = F.col("__s2").cast("double") - F.col("__gterm").cast("double")
+    dof1 = (F.col("k") - 1).cast("long")
+    dof2 = (F.col("n") - F.col("k")).cast("long")
+    fstat = (ssb / dof1.cast("double")) / (ssw / dof2.cast("double"))
+    ok = (dof1 > 0) & (dof2 > 0) & (ssw > 0)
+    return agg.select(
+        "n",
+        "k",
+        dof1.alias("dof1"),
+        dof2.alias("dof2"),
+        stable_round(ssb, 6).alias("ss_between"),
+        stable_round(ssw, 6).alias("ss_within"),
+        F.when(ok, stable_round(fstat, 6)).alias("f_stat"),
+    )
+
+
+def _anova_oracle() -> str:
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+    from be_analytic_etl_spark.queries_analytics import (
+        _QSCORE_SQL,
+        qscore_feature_ctes,
+    )
+
+    s1d = exact_dec_double_sql("s1")
+    g1d = exact_dec_double_sql("__s1")
+    g2d = exact_dec_double_sql("__s2")
+    term = stable_round_sql(
+        f"({s1d} * {s1d} / CAST(n_s AS DOUBLE))", 6
+    )
+    grand = f"({g1d} * {g1d} / CAST(n AS DOUBLE))"
+    ssb = f"(CAST(__gterm AS DOUBLE) - {grand})"
+    ssw = f"({g2d} - CAST(__gterm AS DOUBLE))"
+    fstat = (
+        f"(({ssb} / CAST(k - 1 AS DOUBLE))"
+        f" / ({ssw} / CAST(n - k AS DOUBLE)))"
+    )
+    return f"""
+    WITH {qscore_feature_ctes('source')}, sq AS (
+        SELECT source,
+               CAST({stable_round_sql(_QSCORE_SQL, 6)} AS DECIMAL(18,6)) AS q6
+        FROM m
+    ), per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+               SUM(q6) AS s1, SUM(q6 * q6) AS s2
+        FROM sq GROUP BY source
+    ), a AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(s1) AS __s1, SUM(s2) AS __s2,
+               SUM(CAST({term} AS DECIMAL(18,6))) AS __gterm
+        FROM per
+    )
+    SELECT n, k,
+           CAST(k - 1 AS BIGINT) AS dof1,
+           CAST(n - k AS BIGINT) AS dof2,
+           {stable_round_sql(ssb, 6)} AS ss_between,
+           {stable_round_sql(ssw, 6)} AS ss_within,
+           CASE WHEN k > 1 AND n > k AND {ssw} > 0
+                THEN {stable_round_sql(fstat, 6)} END AS f_stat
+    FROM a
+    """
+
+
+register("ext_anova_f", q_ext_anova_f, _anova_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile of event revenue: per ISO weekday,
+# the exact daily-mean revenue and its index vs the overall daily mean.
+# All counts/sums exact; the index is one IEEE division of exact BIGINT
+# products ((tot_dow * n_days) / (n_days_dow * tot) — magnitudes
+# bounded by total-cents x calendar-days, < 2^63 with wide margin).
+
+
+def q_ext_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    w_all = Window.partitionBy()
+    per = (
+        daily.select(F.expr("weekday(day)").cast("int").alias("dow"), "c")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("c").cast("long").alias("total_cents"),
+        )
+    )
+    per = per.select(
+        "dow",
+        "n_days",
+        "total_cents",
+        F.sum("n_days").over(w_all).cast("long").alias("__nd"),
+        F.sum("total_cents").over(w_all).cast("long").alias("__tc"),
+    )
+    mean_daily = F.col("total_cents").cast("double") / (
+        F.col("n_days") * 100
+    ).cast("double")
+    idx = (F.col("total_cents") * F.col("__nd")).cast("double") / (
+        F.col("n_days") * F.col("__tc")
+    ).cast("double")
+    return per.select(
+        "dow",
+        "n_days",
+        "total_cents",
+        mean_daily.alias("mean_daily_value"),
+        F.when(F.col("__tc") > 0, idx).alias("dow_index"),
+    )
+
+
+def _dow_oracle() -> str:
+    return f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    per AS (
+        SELECT CAST(isodow(day) - 1 AS INTEGER) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS total_cents
+        FROM daily GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(n_days) AS BIGINT) AS __nd,
+               CAST(SUM(total_cents) AS BIGINT) AS __tc
+        FROM per
+    )
+    SELECT dow, n_days, total_cents,
+           CAST(total_cents AS DOUBLE) / CAST(n_days * 100 AS DOUBLE)
+               AS mean_daily_value,
+           CASE WHEN __tc > 0
+                THEN CAST(total_cents * __nd AS DOUBLE)
+                     / CAST(n_days * __tc AS DOUBLE) END AS dow_index
+    FROM per, t
+    """
+
+
+register("ext_dow_seasonality", q_ext_dow_seasonality, _dow_oracle())

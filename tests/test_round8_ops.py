@@ -259,3 +259,91 @@ def test_pii_audit_ground_truth(spark):
     for src, n_salted in want.items():
         assert got[src]["n_emails"] >= n_salted
         assert got[src]["pii_docs"] >= n_salted
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: Mann-Kendall / ACF / ANOVA / DOW seasonality.
+def test_mann_kendall_detects_trend(spark, tmp_path):
+    """A strictly increasing series has S = n(n-1)/2 and a large
+    positive z; a constant series has S = 0 and var_num = 0."""
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401
+    from be_analytic_etl_spark.queries_round8 import q_ext_mann_kendall
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    d = tmp_path / "mk"
+    d.mkdir()
+    rows = {
+        "event_id": list(range(1, 21)),
+        "ts": [datetime(2024, 3, i + 1, 12) for i in range(20)],
+        "user_id": [1] * 20,
+        "event_type": ["view"] * 20,
+        "value": [float(i + 1) for i in range(20)],  # strictly increasing
+        "props": ["{}"] * 20,
+    }
+    pq.write_table(pa.table(rows), str(d / "events.parquet"))
+    out = q_ext_mann_kendall(spark, str(d)).collect()[0]
+    n = 20
+    assert out["n_days"] == n
+    assert out["s_stat"] == n * (n - 1) // 2
+    assert out["var_num"] == n * (n - 1) * (2 * n + 5)
+    assert out["z_stat"] > 3.0
+
+
+def test_acf_periodic_series(spark, tmp_path):
+    """A period-2 alternating series has strongly negative acf at lag 1
+    and strongly positive at lag 2."""
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401
+    from be_analytic_etl_spark.queries_round8 import q_ext_acf
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    d = tmp_path / "acf"
+    d.mkdir()
+    n = 28
+    rows = {
+        "event_id": list(range(1, n + 1)),
+        "ts": [datetime(2024, 4, 1 + i, 6) for i in range(n)],
+        "user_id": [1] * n,
+        "event_type": ["view"] * n,
+        "value": [100.0 if i % 2 == 0 else 10.0 for i in range(n)],
+        "props": ["{}"] * n,
+    }
+    pq.write_table(pa.table(rows), str(d / "events.parquet"))
+    got = {r["lag"]: r["acf"] for r in q_ext_acf(spark, str(d)).collect()}
+    # perfect alternation: acf(1) = -(n-1)/n, acf(2) = (n-2)/n
+    assert got[1] == pytest.approx(-(n - 1) / n)
+    assert got[2] == pytest.approx((n - 2) / n)
+
+
+def test_anova_f_between_vs_within(spark):
+    """ANOVA identity on the real data path: SS_between + SS_within must
+    equal the total sum of squares (up to the 6dp quantization), and F
+    is nonnegative."""
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401
+    from be_analytic_etl_spark.queries_round8 import q_ext_anova_f
+
+    out = q_ext_anova_f(spark, "/root/testdata/sf0.001").collect()[0]
+    assert out["k"] > 1 and out["n"] > out["k"]
+    assert out["ss_between"] >= -1e-6
+    assert out["ss_within"] >= -1e-6
+    if out["f_stat"] is not None:
+        assert out["f_stat"] >= 0.0
+
+
+def test_dow_index_averages_to_one(spark):
+    """The weighted mean of dow_index over days is exactly 1 (it is a
+    ratio of shares), and dows cover only 0..6."""
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401
+    from be_analytic_etl_spark.queries_round8 import q_ext_dow_seasonality
+
+    rows = q_ext_dow_seasonality(spark, "/root/testdata/sf0.001").collect()
+    assert all(0 <= r["dow"] <= 6 for r in rows)
+    tot_days = sum(r["n_days"] for r in rows)
+    weighted = sum(r["dow_index"] * r["n_days"] for r in rows) / tot_days
+    # sum_d (tot_d * ND / (nd_d * TC)) * nd_d / ND = sum tot_d / TC = 1
+    assert weighted == pytest.approx(1.0)
