@@ -640,10 +640,16 @@ _DAILY_CENTS_SQL = (
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    # Lazy-checkpoint the bounded daily frame: Mann-Kendall reads it
+    # three times (both pair sides + ties) and ACF twice (num + den);
+    # without this each branch would rescan the corpus (mixture_kl
+    # discipline — one corpus pass, fan out from the materialized
+    # control-plane frame).
     return (
         events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
         .groupBy(F.to_date("ts").alias("day"))
         .agg(F.sum(cents).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
 
 

@@ -506,3 +506,40 @@ def test_ngram_novelty_first_doc_is_groupby_join_not_window(spark):
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kmins_single_corpus_scan(spark):
+    """The k-mins sketch must read the events table exactly ONCE: row
+    counts fold into the same slot aggregation and the ALL merge reads
+    the lazy-checkpointed sketch frame, never the corpus again."""
+    plan = plan_of(QUERIES["ext_kmins_distinct"](spark, SF_DIR))
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tdigest_single_rank_window(spark):
+    """The t-digest rank pass is allowed exactly ONE unpartitioned
+    window over the bounded histogram — the total row count must come
+    from an agg + broadcast, not a second single-task window pass."""
+    plan = plan_of(QUERIES["ext_tdigest_quantiles"](spark, SF_DIR))
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_mann_kendall_pair_join_is_bounded_broadcast(spark):
+    """The MK pair fold is a deliberate bounded BNL over the CALENDAR-
+    bounded daily frame (broadcast side = days, corpus-independent);
+    the corpus itself must be scanned once into the checkpointed daily
+    frame, never nested-looped."""
+    plan = plan_of(QUERIES["ext_mann_kendall"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 1, plan
+
+
+def test_acf_no_self_join(spark):
+    """ACF lags must come from LEAD columns over the bounded daily
+    window — no daily-frame self-join, one corpus scan."""
+    plan = plan_of(QUERIES["ext_acf"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 1, plan
