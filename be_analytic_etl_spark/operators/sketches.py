@@ -459,12 +459,19 @@ def tdigest_clusters(df: DataFrame, value_col: str, delta: int = 32) -> DataFram
     (counts add), so shards combine by unioning histograms before the
     rank pass — unlike greedy digests, merging cannot change the result.
     """
-    qs = tdigest_scale_millionths(delta)
     hist = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
+    return tdigest_clusters_from_hist(hist, delta)
+
+
+def tdigest_clusters_from_hist(hist: DataFrame, delta: int = 32) -> DataFrame:
+    """``tdigest_clusters`` from a pre-built (__v, __c) value histogram —
+    the entry point for callers that fan several reads out of ONE
+    (possibly checkpointed) histogram pass (``tdigest_quantile_read``)."""
+    qs = tdigest_scale_millionths(delta)
     # Total n via agg + broadcast (NOT a second unpartitioned window —
     # that would add another single-task exchange+sort pass over the
     # histogram); the one remaining global-order window is the bounded
@@ -696,4 +703,133 @@ def kmins_distinct_sql(item_rows: str, k: int = 64) -> str:
     SELECT km_e.scope, km_n.n_rows,
            {num} / CAST(km_e.__s AS DOUBLE) AS kmins_est
     FROM km_e JOIN km_n ON km_e.scope = km_n.scope
+    """
+
+
+def tdigest_quantile_read(
+    df: DataFrame,
+    value_col: str,
+    q_millionths: list[int],
+    delta: int = 32,
+) -> DataFrame:
+    """Quantile READ off the t-digest, self-evaluated against the exact
+    order statistic: per requested quantile q (in integer millionths),
+    (q, rank, est_centroid, exact_value, abs_err).
+
+    The estimate is the centroid of the cluster owning rank
+    r_q = max(1, (n*q + 5e5) div 1e6) — the digest's answer; the exact
+    value is the order statistic read off the SAME value histogram
+    (first __v whose cumulative count reaches r_q), so the emitted
+    abs_err IS the digest's measured error at that q. One corpus pass:
+    the histogram is lazy-checkpointed and both the cluster build and
+    the exact lookup fan out from it. The rank joins are inequality
+    joins against BROADCAST frames of |qs| and delta rows — bounded
+    nested loops, corpus-independent.
+    """
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    clus = tdigest_clusters_from_hist(hist, delta)
+    w_c = Window.orderBy("cluster").rowsBetween(Window.unboundedPreceding, 0)
+    cspan = clus.select(
+        "cluster",
+        "weight",
+        "centroid",
+        F.sum("weight").over(w_c).cast("long").alias("__chi"),
+    ).withColumn("__clo", F.col("__chi") - F.col("weight") + 1)
+    tot = hist.agg(F.sum("__c").cast("long").alias("__n"))
+    qarr = F.array(*[F.lit(q).cast("long") for q in q_millionths])
+    ranks = tot.select(
+        "__n", F.explode(qarr).alias("q_millionths")
+    ).select(
+        "q_millionths",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(__n * q_millionths + 500000L) DIV 1000000L"),
+        ).alias("rank"),
+    )
+    w_h = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    hc = hist.select(
+        "__v", "__c", F.sum("__c").over(w_h).cast("long").alias("__hhi")
+    ).withColumn("__hlo", F.col("__hhi") - F.col("__c") + 1)
+    est = ranks.join(
+        F.broadcast(cspan),
+        (F.col("rank") >= F.col("__clo")) & (F.col("rank") <= F.col("__chi")),
+    ).select("q_millionths", "rank", F.col("centroid").alias("est_centroid"))
+    exact = hc.join(
+        F.broadcast(ranks),
+        (F.col("rank") >= F.col("__hlo")) & (F.col("rank") <= F.col("__hhi")),
+    ).select("q_millionths", F.col("__v").cast("long").alias("exact_value"))
+    from be_analytic_etl_spark.functions.rounding import stable_round
+
+    out = est.join(exact, "q_millionths")
+    return out.select(
+        (F.col("q_millionths").cast("double") / 1000000.0).alias("q"),
+        "rank",
+        "est_centroid",
+        "exact_value",
+        stable_round(
+            F.abs(
+                F.col("est_centroid") - F.col("exact_value").cast("double")
+            ),
+            6,
+        ).alias("abs_err"),
+    )
+
+
+def tdigest_quantile_read_sql(
+    value_rows: str, q_millionths: list[int], delta: int = 32
+) -> str:
+    """DuckDB twin of ``tdigest_quantile_read``."""
+    from be_analytic_etl_spark.functions.rounding import stable_round_sql
+
+    clus = tdigest_clusters_sql(value_rows, delta)
+    qvals = ", ".join(f"({q})" for q in q_millionths)
+    err = stable_round_sql(
+        "ABS(est_centroid - CAST(exact_value AS DOUBLE))", 6
+    )
+    return f"""
+    tq_clus AS (WITH {clus}),
+    tq_h AS (
+        SELECT v AS __v, CAST(COUNT(*) AS BIGINT) AS __c
+        FROM ({value_rows}) WHERE v IS NOT NULL GROUP BY 1
+    ),
+    tq_tot AS (SELECT CAST(SUM(__c) AS BIGINT) AS __n FROM tq_h),
+    tq_q (qm) AS (VALUES {qvals}),
+    tq_r AS (
+        SELECT qm,
+               GREATEST(1, (__n * qm + 500000) // 1000000) AS rank
+        FROM tq_q, tq_tot
+    ),
+    tq_cs AS (
+        SELECT centroid,
+               CAST(SUM(weight) OVER (ORDER BY cluster) AS BIGINT) AS __chi,
+               CAST(SUM(weight) OVER (ORDER BY cluster) - weight + 1
+                    AS BIGINT) AS __clo
+        FROM tq_clus
+    ),
+    tq_hc AS (
+        SELECT __v,
+               CAST(SUM(__c) OVER (ORDER BY __v) AS BIGINT) AS __hhi,
+               CAST(SUM(__c) OVER (ORDER BY __v) - __c + 1 AS BIGINT)
+                   AS __hlo
+        FROM tq_h
+    ),
+    tq_est AS (
+        SELECT r.qm, r.rank, cs.centroid AS est_centroid
+        FROM tq_r r JOIN tq_cs cs
+          ON r.rank >= cs.__clo AND r.rank <= cs.__chi
+    ),
+    tq_ex AS (
+        SELECT r.qm, CAST(h.__v AS BIGINT) AS exact_value
+        FROM tq_r r JOIN tq_hc h
+          ON r.rank >= h.__hlo AND r.rank <= h.__hhi
+    )
+    SELECT CAST(e.qm AS DOUBLE) / 1000000.0 AS q,
+           e.rank, e.est_centroid, x.exact_value,
+           {err} AS abs_err
+    FROM tq_est e JOIN tq_ex x ON e.qm = x.qm
     """

