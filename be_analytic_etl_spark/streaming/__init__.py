@@ -2,6 +2,7 @@ from be_analytic_etl_spark.streaming.jobs import (
     read_events_stream,
     stream_attribution_join,
     stream_dedup_first,
+    stream_daily_cents,
     stream_dedup_within_watermark,
     stream_enrich,
     stream_eval_histogram,
@@ -30,4 +31,5 @@ __all__ = [
     "stream_enrich",
     "stream_dedup_first",
     "stream_dedup_within_watermark",
+    "stream_daily_cents",
 ]

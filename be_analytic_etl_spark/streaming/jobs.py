@@ -481,3 +481,25 @@ def stream_kmins_sketch(events: DataFrame, k: int = 64) -> DataFrame:
     return slots.groupBy("scope", "slot").agg(
         F.min("__hi").cast("long").alias("theta")
     )
+
+
+def stream_daily_cents(events: DataFrame) -> DataFrame:
+    """Streaming twin of the round-8 daily-cents substrate (the bounded
+    frame behind CUSUM / Mann-Kendall / ACF / day-of-week seasonality):
+    maintain per-day exact-cent totals incrementally.
+
+    The batch diagnostics all collapse the corpus to (day, cents) in one
+    partial-aggregated groupBy — which is exactly the state a stream can
+    keep: an unwatermarked global groupBy on the CALENDAR-bounded day
+    key, complete mode, exact BIGINT cents (the DECIMAL(18,2) fold, so
+    bin-edge cents stay exact — same discipline as
+    ``stream_eval_histogram``). Every statistic in the family is then a
+    constant-size fold over the sink, identical to its batch form
+    because the substrate is bit-identical.
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )

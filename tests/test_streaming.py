@@ -373,3 +373,38 @@ def test_stream_kmins_matches_batch(spark, events_batch, events_stream_dir):
             if key not in want or hv < want[key]:
                 want[key] = hv
     assert got == want
+
+
+def test_stream_daily_cents_matches_batch(spark, events_batch, events_stream_dir):
+    """The streaming daily-cents substrate (complete mode, calendar-
+    bounded state) must equal the batch daily frame exactly once the
+    bounded stream drains — the property that makes the whole round-8
+    daily-diagnostics family (CUSUM/MK/ACF/DOW) streamable."""
+    from be_analytic_etl_spark.streaming import stream_daily_cents
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_daily_cents(stream)
+        .writeStream.format("memory")
+        .queryName("t_daily_cents")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        str(r["day"]): r["cents"]
+        for r in spark.table("t_daily_cents").collect()
+    }
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    want = {
+        str(r["day"]): r["cents"]
+        for r in events_batch.filter(
+            F.col("ts").isNotNull() & F.col("value").isNotNull()
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .collect()
+    }
+    assert got == want
