@@ -92,8 +92,15 @@ def _classifier_gate(df: DataFrame, opts: dict) -> DataFrame:
 @stage("exact_dedup")
 def _exact_dedup(df: DataFrame, opts: dict) -> DataFrame:
     """Keep the min-id copy of byte-identical texts (md5-key shuffle)."""
+    from pyspark import StorageLevel
+
     text = opts.get("text_col", "text")
     id_col = opts.get("id_col", "doc_id")
+    # the input feeds BOTH the keep-id derivation and the probe side of
+    # the join; persist so the upstream stages (gates, normalizes) run
+    # once — same discipline as the near_dedup stage (release via
+    # session.cached_scope in long-lived sessions)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     keep = D.exact_dedup_keep_min(df, text_col=text, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
     )
