@@ -183,8 +183,16 @@ def temperature_weights(
     )
     total_tok = F.sum("n_tokens").over(Window.partitionBy())
     p = (F.col("n_tokens").cast("double") / total_tok.cast("double")).alias("p")
+    # pow() output is an irrational double: quantize via stable_round
+    # BEFORE the decimal accumulation (a raw double->decimal cast rounds
+    # under each engine's own rule — the F.round divergence class).
+    # Scale 12 keeps the stable_round guard (2^53/10^n) far above the
+    # p^alpha <= 1 domain; scale 18 would disable the rounding entirely.
     stage = per.select(domain_col, "n_docs", "n_tokens", p).withColumn(
-        "__w", F.pow(F.col("p"), F.lit(alpha)).cast("decimal(28,18)")
+        "__w",
+        stable_round(F.pow(F.col("p"), F.lit(alpha)), 12).cast(
+            "decimal(28,12)"
+        ),
     )
     total_w = F.sum("__w").over(Window.partitionBy())
     return stage.select(

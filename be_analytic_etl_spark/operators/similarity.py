@@ -478,10 +478,15 @@ def embedding_stats(
     flags an un-normalized or degenerate encoder run.
 
     Determinism: per-row norm is a fixed left fold (row-local); the
-    cross-row SUM goes through exact DECIMAL so partial-aggregate merge
-    order cannot perturb the mean. One shuffle on ``group_cols`` with
-    map-side partial aggregation; output is |groups| rows.
+    cross-row SUM quantizes each norm via ``stable_round(., 9)`` BEFORE
+    the exact DECIMAL accumulation — norms are irrational doubles, so a
+    raw double->decimal cast would round under each engine's own rule
+    (the F.round divergence class; caught live on ext_class_separation's
+    distance sums at sf0.01) — and the exact sum makes partial-aggregate
+    merge order irrelevant. One shuffle on ``group_cols`` with map-side
+    partial aggregation; output is |groups| rows.
     """
+    from be_analytic_etl_spark.functions.rounding import stable_round
     group_cols = group_cols or []
     v = _vec(vec_col)
     norm = l2_norm(v)
@@ -491,7 +496,8 @@ def embedding_stats(
     return base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         (
-            F.sum(F.col("__norm").cast("decimal(28,12)")).cast("double")
+            F.sum(stable_round(F.col("__norm"), 9).cast("decimal(28,9)"))
+            .cast("double")
             / F.count(F.lit(1))
         ).alias("mean_norm"),
         F.min("__norm").alias("min_norm"),

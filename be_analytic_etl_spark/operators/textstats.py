@@ -567,7 +567,11 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats))
         .select(
             "__id",
-            term_score.cast("decimal(18,6)").alias("__ts"),
+            # term_score is an irrational double (log + divisions):
+            # quantize via stable_round before the decimal accumulation
+            # (raw double->decimal casts round under each engine's own
+            # rule — the F.round divergence class).
+            stable_round(term_score, 6).cast("decimal(18,6)").alias("__ts"),
         )
     )
     agg = scored.groupBy("__id").agg(
@@ -709,7 +713,8 @@ def dsir_llr_weights(
             (F.coalesce("__cc", F.lit(0)) + F.lit(float(alpha)))
             / (F.col("__nc") + F.lit(denom_extra))
         )
-    ).cast("decimal(18,6)")
+    )
+    ratio = stable_round(ratio, 6).cast("decimal(18,6)")
     ltable = (
         spark.range(n_buckets)
         .select(F.col("id").alias("b"))

@@ -2384,13 +2384,20 @@ def q_ext_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embstats_oracle() -> str:
+    from be_analytic_etl_spark.functions.rounding import stable_round_sql
+
     norm = f"sqrt({_dot_sql('embedding', 'embedding')})"
+    # norms are irrational doubles: quantize via stable_round BEFORE the
+    # decimal accumulation (raw double->decimal casts round under each
+    # engine's own rule — divergence class caught at sf0.01 on the
+    # class-separation distance sums).
     return f"""
     WITH base AS (
         SELECT label, {norm} AS nrm, len(embedding) AS dim FROM embeddings
     )
     SELECT label, COUNT(*) AS n,
-           CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+           CAST(SUM(CAST({stable_round_sql('nrm', 9)} AS DECIMAL(28,9)))
+                AS DOUBLE) / COUNT(*)
                AS mean_norm,
            MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
            CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,

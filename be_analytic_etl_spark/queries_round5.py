@@ -702,12 +702,7 @@ def _bm25_oracle(k: int = _BM25_K) -> str:
         SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
     ), ts AS (
         SELECT tf.doc_id,
-               CAST(
-                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-                   * CAST(tf.tf AS DOUBLE) * 2.2
-                   / (CAST(tf.tf AS DOUBLE)
-                      + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
-                               / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+               CAST((CASE WHEN ((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))) IS NULL OR isnan((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))) OR abs((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))) >= 9007199254.740992 THEN ((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))) ELSE floor(((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))) * 1000000.0 + 0.5) / 1000000.0 END)
                    AS DECIMAL(18,6)) AS ts
         FROM tf
         JOIN dl ON tf.doc_id = dl.doc_id
@@ -1115,10 +1110,7 @@ def _dsir_oracle() -> str:
                (SELECT COUNT(*) FROM bb) AS nc
     ), l AS (
         SELECT r.range AS b,
-               CAST(ln((COALESCE(tc.ct, 0) + {_DSIR_ALPHA})
-                        / (tot.nt + {extra}))
-                    - ln((COALESCE(cc.cnt, 0) + {_DSIR_ALPHA})
-                         / (tot.nc + {extra})) AS DECIMAL(18,6)) AS lr
+               CAST((CASE WHEN ((ln((COALESCE(tc.ct, 0) + {_DSIR_ALPHA}) / (tot.nt + {extra})) - ln((COALESCE(cc.cnt, 0) + {_DSIR_ALPHA}) / (tot.nc + {extra})))) IS NULL OR isnan((ln((COALESCE(tc.ct, 0) + {_DSIR_ALPHA}) / (tot.nt + {extra})) - ln((COALESCE(cc.cnt, 0) + {_DSIR_ALPHA}) / (tot.nc + {extra})))) OR abs((ln((COALESCE(tc.ct, 0) + {_DSIR_ALPHA}) / (tot.nt + {extra})) - ln((COALESCE(cc.cnt, 0) + {_DSIR_ALPHA}) / (tot.nc + {extra})))) >= 9007199254.740992 THEN ((ln((COALESCE(tc.ct, 0) + {_DSIR_ALPHA}) / (tot.nt + {extra})) - ln((COALESCE(cc.cnt, 0) + {_DSIR_ALPHA}) / (tot.nc + {extra})))) ELSE floor(((ln((COALESCE(tc.ct, 0) + {_DSIR_ALPHA}) / (tot.nt + {extra})) - ln((COALESCE(cc.cnt, 0) + {_DSIR_ALPHA}) / (tot.nc + {extra})))) * 1000000.0 + 0.5) / 1000000.0 END) AS DECIMAL(18,6)) AS lr
         FROM range(0, {b}) r
         LEFT JOIN tc ON r.range = tc.b
         LEFT JOIN cc ON r.range = cc.b
@@ -1506,12 +1498,13 @@ def q_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total tokens reduce from the unigram counts (no extra corpus
     # scan, no driver action — the DSIR totals discipline)
     tot = uni.agg(F.sum("c_w").alias("__n"))
-    pmi = (
+    pmi = stable_round(
         F.log(
             F.col("__n").cast("double")
             * F.col("c_ab").cast("double")
             / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
-        )
+        ),
+        6,
     ).cast("decimal(18,6)")
     # NO broadcast hint on uni: the whitespace vocabulary is unbounded
     # (it grows with the corpus), so these are plain hash joins keyed on
@@ -1551,9 +1544,7 @@ register(
         SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM tok
     ), scored AS (
         SELECT bc.w1, bc.w2, bc.c_ab,
-               CAST(ln(CAST(tot.n AS DOUBLE) * CAST(bc.c_ab AS DOUBLE)
-                       / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE)))
-                    AS DECIMAL(18,6)) AS pmi_dec
+               CAST((CASE WHEN ((ln(CAST(tot.n AS DOUBLE) * CAST(bc.c_ab AS DOUBLE) / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))))) IS NULL OR isnan((ln(CAST(tot.n AS DOUBLE) * CAST(bc.c_ab AS DOUBLE) / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))))) OR abs((ln(CAST(tot.n AS DOUBLE) * CAST(bc.c_ab AS DOUBLE) / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))))) >= 9007199254.740992 THEN ((ln(CAST(tot.n AS DOUBLE) * CAST(bc.c_ab AS DOUBLE) / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))))) ELSE floor(((ln(CAST(tot.n AS DOUBLE) * CAST(bc.c_ab AS DOUBLE) / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))))) * 1000000.0 + 0.5) / 1000000.0 END) AS DECIMAL(18,6)) AS pmi_dec
         FROM bc
         JOIN uni a ON bc.w1 = a.w
         JOIN uni b ON bc.w2 = b.w
@@ -2049,7 +2040,7 @@ def q_ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("__n"), F.count(F.lit(1)).alias("__k")
     )
     p = F.col("c").cast("double") / F.col("__n").cast("double")
-    term = (-p * F.log2(p)).cast("decimal(18,6)")
+    term = stable_round(-p * F.log2(p), 6).cast("decimal(18,6)")
     h = per.crossJoin(F.broadcast(tot)).agg(
         F.max("__k").cast("long").alias("n_labels"),
         F.max("__n").cast("long").alias("n_vecs"),
@@ -2085,9 +2076,7 @@ def _label_balance_oracle() -> str:
     ), tot AS (
         SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k FROM per
     ), terms AS (
-        SELECT CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                    * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                    AS DECIMAL(18,6)) AS t,
+        SELECT CAST((CASE WHEN ((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) IS NULL OR isnan((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) OR abs((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) >= 9007199254.740992 THEN ((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) ELSE floor(((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 END) AS DECIMAL(18,6)) AS t,
                k, n
         FROM per CROSS JOIN tot
     ), agg AS (

@@ -1280,3 +1280,180 @@ def _fertility_oracle() -> str:
 
 
 register("ext_token_fertility", q_ext_token_fertility, _fertility_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Class separation of the embedding space (Davies & Bouldin, IEEE TPAMI
+# 1979): per label, the intra-class scatter s_i (mean distance to the
+# label centroid) and the DB term max_{j != i} (s_i + s_j) / d_ij —
+# the embedding-quality eval that says whether the stored labels are
+# geometrically separable, beside the rank-based ext_knn_label_agreement.
+#
+# Scale shape: centroids come from ONE posexplode partial-agg
+# (|labels| x dim shuffle payload); member distances are a map-side
+# zip_with fold against the BROADCAST centroid table; everything after
+# is |labels|^2 control-plane. Float discipline: per-dim values and
+# member distances quantize via stable_round(., 9) BEFORE their exact
+# DECIMAL(28,9) sums (a raw double->decimal cast is each engine's own
+# rounding — the F.round divergence class — and mis-hashed at sf0.01),
+# distances are the engine-proven sequential zip_with fold, and emitted
+# ratios quantize at the source.
+
+
+def q_ext_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from be_analytic_etl_spark.operators.similarity import _vec
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = _vec("embedding")
+    ex = emb.select("label", F.posexplode(ve).alias("pos", "x"))
+    centd = ex.groupBy("label", "pos").agg(
+        F.sum(stable_round(F.col("x"), 9).cast("decimal(28,9)")).alias(
+            "__sx"
+        ),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    cent = centd.select(
+        "label",
+        "pos",
+        (F.col("__sx").cast("double") / F.col("__n").cast("double")).alias(
+            "c"
+        ),
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    j = emb.select("label", ve.alias("__e")).join(F.broadcast(carr), "label")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__e"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    si = (
+        j.select("label", F.sqrt(d2).alias("__dist"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(stable_round(F.col("__dist"), 9).cast("decimal(28,9)")).alias(
+                "__sd"
+            ),
+        )
+        .select(
+            "label",
+            "n",
+            (F.col("__sd").cast("double") / F.col("n").cast("double")).alias(
+                "s_intra"
+            ),
+        )
+    )
+    a = carr.select(F.col("label").alias("la"), F.col("cvec").alias("ca"))
+    b = carr.select(F.col("label").alias("lb"), F.col("cvec").alias("cb"))
+    dij = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("ca"), F.col("cb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pr = (
+        a.join(F.broadcast(b), F.col("la") != F.col("lb"))
+        .select("la", "lb", dij.alias("__dij"))
+        .filter(F.col("__dij") > 0)
+    )
+    sia = si.select(
+        F.col("label").alias("la"),
+        F.col("n").alias("n"),
+        F.col("s_intra").alias("__si"),
+    )
+    sib = si.select(F.col("label").alias("lb"), F.col("s_intra").alias("__sj"))
+    rt = pr.join(F.broadcast(sia), "la").join(F.broadcast(sib), "lb")
+    ratio = (F.col("__si") + F.col("__sj")) / F.col("__dij")
+    w = Window.partitionBy("la").orderBy(ratio.desc(), F.col("lb").asc())
+    top = rt.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return top.select(
+        F.col("la").alias("label"),
+        "n",
+        F.col("__si").alias("s_intra"),
+        F.col("lb").alias("worst_other"),
+        stable_round(ratio, 6).alias("db_term"),
+    )
+
+
+def _class_separation_oracle() -> str:
+    from be_analytic_etl_spark.functions.rounding import exact_dec_double_sql
+
+    def sqd(va: str, vb: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({va}) + 1),"
+            f" i -> (CAST({va}[i] AS DOUBLE) - CAST({vb}[i] AS DOUBLE))"
+            f" * (CAST({va}[i] AS DOUBLE) - CAST({vb}[i] AS DOUBLE))),"
+            f" (acc, x) -> acc + x)"
+        )
+
+    sxd = exact_dec_double_sql("sx")
+    sdd = exact_dec_double_sql("__sd")
+    ratio = "((__si + __sj) / __dij)"
+    return f"""
+    WITH ex AS (
+        SELECT label,
+               CAST(u.u['pos'] - 1 AS INTEGER) AS pos,
+               CAST(u.u['x'] AS DOUBLE) AS x
+        FROM (
+            SELECT label,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {{'pos': i, 'x': embedding[i]}})) AS u
+            FROM embeddings
+        ) u
+    ), centd AS (
+        SELECT label, pos,
+               SUM(CAST({stable_round_sql("x", 9)} AS DECIMAL(28,9))) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2
+    ), cent AS (
+        SELECT label, pos, {sxd} / CAST(n AS DOUBLE) AS c FROM centd
+    ), carr AS (
+        SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1
+    ), member AS (
+        SELECT e.label, sqrt({sqd("e.embedding", "carr.cvec")}) AS dist
+        FROM embeddings e JOIN carr USING (label)
+    ), si AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST({stable_round_sql("dist", 9)} AS DECIMAL(28,9)))
+                   AS __sd
+        FROM member GROUP BY label
+    ), sif AS (
+        SELECT label, n, {sdd} / CAST(n AS DOUBLE) AS s_intra FROM si
+    ), pr AS (
+        SELECT a.label AS la, b.label AS lb,
+               sqrt({sqd("a.cvec", "b.cvec")}) AS __dij
+        FROM carr a JOIN carr b ON a.label <> b.label
+    ), rt AS (
+        SELECT pr.la, pr.lb, sa.n, sa.s_intra AS __si, sb.s_intra AS __sj,
+               pr.__dij
+        FROM pr
+        JOIN sif sa ON sa.label = pr.la
+        JOIN sif sb ON sb.label = pr.lb
+        WHERE pr.__dij > 0
+    ), rk AS (
+        SELECT la, lb, n, __si, __sj, __dij,
+               ROW_NUMBER() OVER (
+                   PARTITION BY la ORDER BY {ratio} DESC, lb ASC) AS rn
+        FROM rt
+    )
+    SELECT la AS label, n, __si AS s_intra, lb AS worst_other,
+           {stable_round_sql(ratio, 6)} AS db_term
+    FROM rk WHERE rn = 1
+    """
+
+
+register(
+    "ext_class_separation", q_ext_class_separation, _class_separation_oracle()
+)

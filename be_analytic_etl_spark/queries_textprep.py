@@ -209,7 +209,7 @@ register(
                CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p
         FROM per
     ), w AS (
-        SELECT *, CAST(pow(p, {_ALPHA}) AS DECIMAL(28,18)) AS w_dec FROM p
+        SELECT *, CAST((CASE WHEN (pow(p, {_ALPHA})) IS NULL OR isnan(pow(p, {_ALPHA})) OR abs(pow(p, {_ALPHA})) >= 9007.199254740992 THEN (pow(p, {_ALPHA})) ELSE floor((pow(p, {_ALPHA})) * 1000000000000.0 + 0.5) / 1000000000000.0 END) AS DECIMAL(28,12)) AS w_dec FROM p
     )
     -- pow() is libm (engine ulp differences): pow-derived outputs are
     -- emitted floor-formula-rounded on both sides (ROUND primitives
