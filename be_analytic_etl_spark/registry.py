@@ -53,16 +53,17 @@ from be_analytic_etl_spark import queries_round8  # noqa: E402,F401
 # run `python tools/rotate_window.py --apply` after a round's
 # CORRECTNESS_r{N}.json lands — never hand-edit. Round-8 rotation
 # (from CORRECTNESS_r01-r07; round 7 stayed 216/216 ever-checked
-# green, zero reds): the 16 round-8 additions (never-checked —
+# green, zero reds): the 17 round-8 additions (never-checked —
 # sketches ext_tdigest_quantiles/ext_tdigest_read/ext_kmins_distinct,
 # time-series ext_cusum_changepoint/ext_mann_kendall/ext_acf/
 # ext_dow_seasonality, drift/eval ext_psi_drift/ext_benford_digits/
-# ext_lift_curve/ext_ndcg/ext_anova_f, text ext_zipf_fit/
-# ext_burstiness/ext_token_fertility, privacy ext_pii_audit), then the
-# six SS2-core queries (last checked r6 — the automated two-round
-# force-entry), then the oldest greens (the remaining r3 cohort) to
-# fill. Every new window member was pre-proven this round against
-# tools/verify_driver.py at sf0.001 AND sf0.01 AND sf0.1 (strict 17g).
+# ext_lift_curve/ext_ndcg/ext_anova_f/ext_class_separation, text
+# ext_zipf_fit/ext_burstiness/ext_token_fertility, privacy
+# ext_pii_audit), then the six SS2-core queries (last checked r6 — the
+# automated two-round force-entry), then the oldest greens (the
+# remaining r3 cohort) to fill. Every new window member was pre-proven
+# this round against tools/verify_driver.py at sf0.001 AND sf0.01 AND
+# sf0.1 (strict 17g); the full re-frozen window was swept at sf0.1.
 _DRIVER_WINDOW_PRIORITY = [
     "ext_tdigest_quantiles",
     "ext_kmins_distinct",
@@ -80,6 +81,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_zipf_fit",
     "ext_burstiness",
     "ext_token_fertility",
+    "ext_class_separation",
     "flagship_mom_pivot",
     "groupby_avg",
     "lag_mom_variation",
@@ -113,7 +115,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_multimodal_features",
     "ext_redact",
     "ext_vocab_topk",
-    "ext_tfidf",
 ]
 
 # Round-9 window plan (written ahead, r5–r8 precedent): the rotation
