@@ -1156,10 +1156,6 @@ _BURST_K = 50
 
 
 def q_ext_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from be_analytic_etl_spark.functions.rounding import (
-        exact_dec_double_sql,  # noqa: F401 (oracle twin uses it)
-    )
-
     docs = _t(spark, sf_dir, "documents")
     n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
     tok = docs.select("doc_id", F.explode(T.tokenize("text")).alias("token"))
