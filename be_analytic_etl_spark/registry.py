@@ -127,8 +127,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # first; then remaining eval/monitoring gaps (e.g. rank-based effect
 # sizes, seasonal decomposition) and further streaming twins. Every
 # addition must pass the three-SF verify sweep (tools/verify_driver.py
-# at sf0.001/sf0.01/sf0.1, strict 17g) BEFORE the window freezes — two
-# divergence classes only trigger at sf0.1 magnitudes (SCALE.md).
+# at sf0.001/sf0.01/sf0.1, strict 17g) BEFORE the window freezes —
+# three divergence classes only trigger at sf0.01+ data magnitudes
+# (SCALE.md; class 6 — raw double->decimal casts of irrational values —
+# was caught at sf0.01 this round).
 
 
 def _reorder_for_driver_window() -> None:
