@@ -587,10 +587,20 @@ def tdigest_clusters_sql(value_rows: str, delta: int = 32) -> str:
 
 
 def kmins_distinct(
-    df: DataFrame, group_col: str, item_col: str, k: int = 64
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+    merged_label: str = "ALL",
 ) -> DataFrame:
-    """Per-group k-mins cardinality estimate, plus a merged 'ALL' row:
-    (scope, n_rows, kmins_est).
+    """Per-group k-mins cardinality estimate, plus a merged
+    ``merged_label`` row: (scope, n_rows, kmins_est).
+
+    ``merged_label`` must lie OUTSIDE the group-value domain; a real
+    group named like the sentinel would silently fold into the merge
+    row, so the plan carries an ``assert_true`` guard (evaluated on the
+    |scopes|-row control-plane frame — null-safe, zero corpus cost)
+    that fails the job on collision instead.
 
     theta_i = min over items of h_i(item), with h_i the same portable
     affine family minhash uses ((a_i * md5base + b_i) mod p) — for n
@@ -649,6 +659,22 @@ def kmins_distinct(
         F.sum("__theta").cast("long").alias("__s"),
         F.max("__cnt").cast("long").alias("n_rows"),
     )
+    # Sentinel-collision guard: a genuine group valued `merged_label`
+    # would alias the merge row. assert_true on the tiny per-scope
+    # frame (null-safe; coalesce keeps the filter a tautology Catalyst
+    # cannot prune) turns that silent wrong answer into a job failure.
+    per_scope = per_scope.filter(
+        F.coalesce(
+            F.assert_true(
+                ~F.col("scope").eqNullSafe(F.lit(merged_label)),
+                F.lit(
+                    f"kmins_distinct: group value collides with "
+                    f"merged_label {merged_label!r}"
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+    )
     all_s = (
         per.groupBy("__i")
         .agg(F.min("__theta").alias("__t"))
@@ -656,7 +682,7 @@ def kmins_distinct(
     )
     all_n = per_scope.agg(F.sum("n_rows").cast("long").alias("n_rows"))
     all_row = all_s.crossJoin(F.broadcast(all_n)).select(
-        F.lit("ALL").alias("scope"), "__s", "n_rows"
+        F.lit(merged_label).alias("scope"), "__s", "n_rows"
     )
     est = per_scope.select("scope", "__s", "n_rows").unionByName(all_row)
     km = F.lit(float((k - 1) * PORTABLE_P))

@@ -142,6 +142,67 @@ def lint_plan(df: DataFrame, *, max_exchanges: int | None = None) -> list[Findin
     return findings
 
 
+_CAST_DEC = re.compile(r'cast\("decimal|AS DECIMAL\(\d', re.I)
+# Non-exact-double producers: one libm/sqrt output inside a decimal
+# cast's neighborhood means the cast is rounding an irrational value
+# under the engine's own rule (divergence class 6, SCALE.md).
+_RISK = re.compile(
+    r"\bsqrt\b|\bln\(|\blog\b|\blog2\b|\blog10\b|\bexp\(|\bpow\b"
+    r"|F\.pow|\bF\.exp\b|\bcbrt\b|\batan2?\b|\basin\b|\bacos\b",
+    re.I,
+)
+# stable_round_sql's expansion fingerprint (some oracles interpolate the
+# helper, whose output text carries the guard + floor formula instead
+# of the helper's name).
+_EXPANDED = ("isnan(", "floor(", "0.5)")
+
+
+def lint_decimal_casts(
+    package_root: str, *, window: int = 4
+) -> list[Finding]:
+    """Source-level lint for divergence class 6 (SCALE.md): every
+    ``cast("decimal`` / ``AS DECIMAL(`` site whose ±``window``-line
+    neighborhood contains a non-exact-double producer (sqrt / ln / log /
+    exp / pow / ...) must also contain ``stable_round`` (the helper
+    name, its ``_sql`` twin, or the expanded guard+floor fingerprint)
+    or an explicit ``decimal-exempt:`` marker comment. Exact operands
+    (integer counts, 2dp cents cast with scale margin, already-decimal
+    values) carry no risk token and are not flagged.
+
+    Six cross-engine float-divergence classes were each found LIVE at a
+    new scale factor; this makes the raw-irrational-cast class (the
+    sixth — five latent sites fixed in one audit) impossible to commit
+    unnoticed. Regression fixtures: tests/test_decimal_cast_lint.py.
+    """
+    import glob as _glob
+    import os as _os
+
+    findings: list[Finding] = []
+    for path in sorted(
+        _glob.glob(_os.path.join(package_root, "**", "*.py"), recursive=True)
+    ):
+        lines = open(path).read().splitlines()
+        for i, ln in enumerate(lines):
+            if not _CAST_DEC.search(ln):
+                continue
+            neigh = "\n".join(lines[max(0, i - window) : i + window + 1])
+            if "stable_round" in neigh or "decimal-exempt:" in neigh:
+                continue
+            if all(tok in neigh for tok in _EXPANDED):
+                continue
+            if _RISK.search(neigh):
+                findings.append(
+                    Finding(
+                        "error",
+                        "raw-irrational-decimal-cast",
+                        f"{_os.path.relpath(path, package_root)}:{i + 1}: "
+                        f"decimal cast near a libm/sqrt producer without "
+                        f"stable_round (class 6): {ln.strip()[:80]}",
+                    )
+                )
+    return findings
+
+
 def assert_clean(df: DataFrame, *, max_exchanges: int | None = None) -> list[Finding]:
     """Raise if the plan has any error-severity finding; returns all
     findings otherwise (the CI-gate form of ``lint_plan``)."""

@@ -2384,20 +2384,25 @@ def q_ext_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embstats_oracle() -> str:
-    from be_analytic_etl_spark.functions.rounding import stable_round_sql
+    from be_analytic_etl_spark.functions.rounding import (
+        exact_dec_double_sql,
+        stable_round_sql,
+    )
 
     norm = f"sqrt({_dot_sql('embedding', 'embedding')})"
     # norms are irrational doubles: quantize via stable_round BEFORE the
     # decimal accumulation (raw double->decimal casts round under each
     # engine's own rule — divergence class caught at sf0.01 on the
-    # class-separation distance sums).
+    # class-separation distance sums). The SUM is an unbounded exact
+    # accumulator -> VARCHAR-route the double cast (divergence class 5:
+    # DuckDB HUGEINT->DOUBLE double-rounds past BIGINT range).
+    norm_sum = f"SUM(CAST({stable_round_sql('nrm', 9)} AS DECIMAL(28,9)))"
     return f"""
     WITH base AS (
         SELECT label, {norm} AS nrm, len(embedding) AS dim FROM embeddings
     )
     SELECT label, COUNT(*) AS n,
-           CAST(SUM(CAST({stable_round_sql('nrm', 9)} AS DECIMAL(28,9)))
-                AS DOUBLE) / COUNT(*)
+           {exact_dec_double_sql(norm_sum)} / COUNT(*)
                AS mean_norm,
            MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
            CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,

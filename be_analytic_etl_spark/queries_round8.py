@@ -165,8 +165,11 @@ def _psi_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("source", q6).select("source", b.alias("bin"))
 
 
-def q_ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    binned = _psi_scored(spark, sf_dir)
+def psi_from_binned(binned: DataFrame) -> DataFrame:
+    """PSI fold over a pre-binned (source, bin) frame — the grid /
+    left-join / fillna / smoothed-term logic, separated from the
+    quality-score binning so it is behaviorally testable on synthetic
+    frames (tests/test_round8_ops.py)."""
     sb = binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("__c_sb")
     )
@@ -203,6 +206,10 @@ def q_ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "n_docs", F.col("__psi").cast("double").alias("psi"))
     )
+
+
+def q_ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return psi_from_binned(_psi_scored(spark, sf_dir))
 
 
 def _psi_oracle() -> str:

@@ -159,22 +159,50 @@ def test_cusum_constant_series_degenerate(spark):
 
 
 # ---------------------------------------------------------------------------
-# PSI: a source distributed like the corpus scores ~0; a concentrated
-# source scores much higher.
+# PSI: run the registered fold (grid / left-join / fillna / smoothed
+# terms) on a synthetic binned frame — a source distributed like the
+# corpus must score ~0 and a concentrated source must rank far higher.
 def test_psi_orders_sources_by_drift(spark):
     from be_analytic_etl_spark.registry import QUERIES  # noqa: F401 (registers modules)
-    from be_analytic_etl_spark.queries_round8 import _PSI_BINS  # noqa: F401
+    from be_analytic_etl_spark.queries_round8 import _PSI_BINS, psi_from_binned
 
-    # Build the PSI fold directly on a synthetic binned frame via the
-    # registered query path is heavier; here check the math shape on
-    # counts: identical distribution -> Laplace-smoothed terms ~0.
-    n_s, n = 100, 1000
-    psi_same = 0.0
-    for b in range(10):
-        p = (10 + 1) / (n_s + 10)
-        q = (100 + 1) / (n + 10)
-        psi_same += (p - q) * math.log(p / q)
-    assert abs(psi_same) < 1e-3
+    rows = []
+    # "flat": 200 docs in every bin — dominates the pool, so it sits
+    # close to the pooled reference distribution.
+    for b in range(_PSI_BINS):
+        rows += [("flat", b)] * 200
+    # "spiky": all 100 docs in bin 0 — maximal drift, and bins 1..9 are
+    # EMPTY for it, so the left-join fillna path is exercised.
+    rows += [("spiky", 0)] * 100
+    binned = spark.createDataFrame(rows, "source string, bin int")
+    out = {r["source"]: r for r in psi_from_binned(binned).collect()}
+    assert out["flat"]["n_docs"] == 2000 and out["spiky"]["n_docs"] == 100
+    assert out["spiky"]["psi"] > out["flat"]["psi"]
+    # the in-distribution source drifts only by spiky's bin-0 pool mass
+    # and must sit far below the concentrated source.
+    assert out["spiky"]["psi"] > 10 * abs(out["flat"]["psi"])
+    assert out["spiky"]["psi"] > 1.0
+    assert abs(out["flat"]["psi"]) < 0.1
+
+
+# k-mins sentinel guard: a genuine group named like the merged row's
+# label must fail the job loudly, never silently fold into the merge.
+def test_kmins_merged_label_collision_raises(spark):
+    from be_analytic_etl_spark.operators.sketches import kmins_distinct
+
+    df = spark.createDataFrame(
+        [("ALL", "u1"), ("b", "u2")], "grp string, item string"
+    )
+    with pytest.raises(Exception, match="merged_label"):
+        kmins_distinct(df, "grp", "item", k=8).collect()
+    # out-of-domain label -> same data passes, merge row re-labeled.
+    got = {
+        r["scope"]
+        for r in kmins_distinct(
+            df, "grp", "item", k=8, merged_label="__ALL__"
+        ).collect()
+    }
+    assert got == {"ALL", "b", "__ALL__"}
 
 
 # ---------------------------------------------------------------------------
