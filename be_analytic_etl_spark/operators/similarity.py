@@ -34,6 +34,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Exact-eval probe convention (SCALE.md): eval queries that run the
+# deliberately-exact brute-force baseline draw their probe set as
+# vec_id % PROBE_MODULUS == 0 AND vec_id < PROBE_CAP_ID. The modulus
+# alone scales the probe count with the corpus (O(N^2/100) total exact
+# work); the id cap bounds it at PROBE_CAP_ID/PROBE_MODULUS = 1000
+# probes, making the baselines O(1000 x N) — linear — at any corpus
+# size. Both constants are mirrored verbatim into every oracle via
+# PROBE_WHERE_SQL; at the tested SFs (max vec_id 1999) the cap is
+# inactive, so results are bit-identical to the uncapped convention.
+PROBE_MODULUS = 100
+PROBE_CAP_ID = 100_000
+PROBE_WHERE_SQL = f"vec_id % {PROBE_MODULUS} = 0 AND vec_id < {PROBE_CAP_ID}"
+
+
+def probe_filter(col: Column | str = "vec_id") -> Column:
+    """The deterministic, corpus-size-bounded probe-set predicate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c % PROBE_MODULUS == 0) & (c < PROBE_CAP_ID)
+
+
 def _vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))

@@ -449,7 +449,7 @@ _TOPK = 5
 
 
 def _queries_df(emb: DataFrame) -> DataFrame:
-    return emb.filter(F.col("vec_id") % 100 == 0).select(
+    return emb.filter(S.probe_filter()).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
 
@@ -465,7 +465,7 @@ register(
     f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0
+        WHERE vec_id % 100 = 0 AND vec_id < 100000
     ), scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0
@@ -572,7 +572,7 @@ def _lsh_ann_oracle() -> str:
         GROUP BY vec_id, embedding
     ), qb AS (
         SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb
-        WHERE vec_id % 100 = 0
+        WHERE vec_id % 100 = 0 AND vec_id < 100000
     ), scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                {_cos_sql("q.qv", "e.embedding")} AS cos_sim
@@ -633,7 +633,7 @@ register(
         WHERE rn = 1
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
+        WHERE vec_id % 100 = 0 AND vec_id < 100000 AND embedding IS NOT NULL
     ), probe AS (
         SELECT query_id, qv, cell FROM (
             SELECT q.query_id, q.qv, c.cell,

@@ -470,7 +470,7 @@ def _pq_ann_oracle() -> str:
         WHERE rn = 1
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0
+        WHERE vec_id % 100 = 0 AND vec_id < 100000
     ), adc AS (
         SELECT q.query_id, c.m, c.code,
                ((({_dot_sql(qsl, qsl)}) - 2.0 * ({_dot_sql(qsl, "c.cv")}))
@@ -573,7 +573,7 @@ def _ivf_pq_ann_oracle() -> str:
         WHERE rn = 1
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0
+        WHERE vec_id % 100 = 0 AND vec_id < 100000
     ), probe AS (
         SELECT query_id, cell FROM (
             SELECT q.query_id, c.cell,
@@ -1301,7 +1301,7 @@ _HN_K = 5
 
 def q_ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+    q = emb.filter(S.probe_filter()).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
@@ -1338,7 +1338,7 @@ def _hard_negatives_oracle() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0
+        WHERE vec_id % 100 = 0 AND vec_id < 100000
     ), scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0
@@ -1573,7 +1573,7 @@ _MRL_K = 10
 
 def q_ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    q_full = emb.filter(F.col("vec_id") % 100 == 0).select(
+    q_full = emb.filter(S.probe_filter()).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
@@ -1582,7 +1582,7 @@ def q_ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = F.slice(F.col("embedding"), 1, _MRL_DIMS)
     emb_t = emb.select("vec_id", tr.alias("embedding"))
-    q_t = emb_t.filter(F.col("vec_id") % 100 == 0).select(
+    q_t = emb_t.filter(S.probe_filter()).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
@@ -1633,7 +1633,7 @@ def _matryoshka_oracle() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0
+        WHERE vec_id % 100 = 0 AND vec_id < 100000
     ), {ranked("full", "fullk")}, {ranked("trunc", "trunck")}
     SELECT f.query_id,
            CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -434,7 +434,7 @@ def q_ext_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from be_analytic_etl_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+    probes = emb.filter(S.probe_filter()).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
@@ -496,7 +496,7 @@ def _ndcg_oracle() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv, label AS ql
-        FROM embeddings WHERE vec_id % 100 = 0
+        FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000
     ), scored AS (
         SELECT q.query_id, q.ql, e.vec_id AS neighbor_id, e.label AS nl,
                CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0
