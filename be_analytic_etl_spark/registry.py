@@ -24,6 +24,13 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
+    # Duplicate names are a hard error: a silent overwrite would shadow
+    # a driver-proven query with a different implementation while its
+    # green history kept reporting the OLD semantics (caught live in
+    # round 9 — three new queries collided with r5/r7 names and
+    # silently replaced them).
+    if name in QUERIES:
+        raise ValueError(f"query {name!r} is already registered")
     QUERIES[name] = fn
     if sql is not None:
         ORACLE_SQL[name] = sql
@@ -45,92 +52,94 @@ from be_analytic_etl_spark import queries_sqlsurface  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round6  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round7  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round8  # noqa: E402,F401
+from be_analytic_etl_spark import queries_round9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
 # queries against the DuckDB oracle; everything after the window is only
 # locally gated (tests/test_registry_oracle.py). This block is GENERATED:
 # run `python tools/rotate_window.py --apply` after a round's
-# CORRECTNESS_r{N}.json lands — never hand-edit. Round-8 rotation
-# (from CORRECTNESS_r01-r07; round 7 stayed 216/216 ever-checked
-# green, zero reds): the 17 round-8 additions (never-checked —
-# sketches ext_tdigest_quantiles/ext_tdigest_read/ext_kmins_distinct,
-# time-series ext_cusum_changepoint/ext_mann_kendall/ext_acf/
-# ext_dow_seasonality, drift/eval ext_psi_drift/ext_benford_digits/
-# ext_lift_curve/ext_ndcg/ext_anova_f/ext_class_separation, text
-# ext_zipf_fit/ext_burstiness/ext_token_fertility, privacy
-# ext_pii_audit), then the six SS2-core queries (last checked r6 — the
-# automated two-round force-entry), then the oldest greens (the
-# remaining r3 cohort) to fill. Every new window member was pre-proven
-# this round against tools/verify_driver.py at sf0.001 AND sf0.01 AND
-# sf0.1 (strict 17g); the full re-frozen window was swept at sf0.1.
+# CORRECTNESS_r{N}.json lands — never hand-edit. Round-9 rotation
+# (from CORRECTNESS_r01-r08; round 8 left 233/233 ever-checked green,
+# zero reds): the 11 round-9 additions (never-checked — rank effect
+# sizes ext_cliffs_delta/ext_mann_whitney/ext_kendall_tau, time-series
+# ext_seasonal_decompose/ext_theil_sen/ext_runs_test, concentration
+# ext_gini_tokens/ext_token_lorenz, classifier eval ext_brier_decomp/
+# ext_mcnemar, spread test ext_levene), then the 39-query r4 cohort —
+# the oldest greens, exactly as the written r9 plan and the r8 verdict
+# prescribed (SS2 core was checked r8 and re-enters in r10). Every new
+# window member was pre-proven this round against
+# tools/verify_driver.py at sf0.001 AND sf0.01 AND sf0.1 (strict 17g);
+# the full re-frozen window was swept at sf0.1. The rotation tool now
+# also FAILS if any registered query would exceed 5 rounds unchecked.
 _DRIVER_WINDOW_PRIORITY = [
-    "ext_tdigest_quantiles",
-    "ext_kmins_distinct",
-    "ext_cusum_changepoint",
-    "ext_psi_drift",
-    "ext_benford_digits",
-    "ext_lift_curve",
-    "ext_ndcg",
-    "ext_pii_audit",
-    "ext_mann_kendall",
-    "ext_acf",
-    "ext_anova_f",
-    "ext_dow_seasonality",
-    "ext_tdigest_read",
-    "ext_zipf_fit",
-    "ext_burstiness",
-    "ext_token_fertility",
-    "ext_class_separation",
-    "flagship_mom_pivot",
-    "groupby_avg",
-    "lag_mom_variation",
-    "conditional_pivot",
-    "ingest_e2e",
-    "ingest_finalize",
-    "late_shipment_priority",
-    "nation_trade_flow",
-    "large_orders",
-    "rolling_metrics",
-    "percentile_stats",
-    "funnel",
-    "cohort_retention",
-    "click_attribution",
-    "small_quantity_revenue",
-    "cube_revenue",
-    "set_ops",
-    "fuzzy_match",
-    "session_window_batch",
-    "jsonl_roundtrip",
-    "custdist",
-    "promo_revenue",
-    "top_supplier",
-    "disjunctive_parts",
-    "idle_rich_customers",
-    "sessionize",
-    "json_extract",
-    "ext_simhash",
-    "ext_simhash_neardup",
-    "ext_lsh_ann",
-    "ext_multimodal_features",
-    "ext_redact",
-    "ext_vocab_topk",
+    "ext_cliffs_delta",
+    "ext_mann_whitney",
+    "ext_seasonal_decompose",
+    "ext_theil_sen",
+    "ext_kendall_tau",
+    "ext_gini_tokens",
+    "ext_brier_decomp",
+    "ext_runs_test",
+    "ext_token_lorenz",
+    "ext_levene",
+    "ext_mcnemar",
+    "ext_tfidf",
+    "ext_contamination",
+    "ext_hash_split",
+    "ext_dedup_groups",
+    "ext_asof_join",
+    "ext_gapfill",
+    "ext_salted_join",
+    "ext_merge_upsert",
+    "ext_scd2",
+    "ext_range_join",
+    "ext_weighted_sample",
+    "ext_hll_distinct",
+    "ext_kmeans",
+    "ext_countmin",
+    "ext_profile",
+    "ext_zorder",
+    "ext_pipeline",
+    "ext_bloom_join",
+    "ext_pagerank",
+    "ext_repetition",
+    "ext_semantic_neardup",
+    "ext_semantic_neardup_multiprobe",
+    "ext_incremental_dedup",
+    "ext_pack_shards",
+    "ext_oov_rate",
+    "ext_leakage_safe_split",
+    "ext_cross_source_overlap",
+    "ext_histogram_quantiles",
+    "ext_lsh_recall",
+    "ext_stratified_sample",
+    "ext_triangles",
+    "ext_bigram_topk",
+    "ext_chunk_dedup",
+    "ext_url_normalize",
+    "ext_ewma",
+    "ext_dq_audit",
+    "ext_ancestors",
+    "ext_corpus_report",
+    "ext_corr_matrix",
 ]
 
-# Round-9 window plan (written ahead, r5–r8 precedent): the rotation
-# stays mechanical — any new r9 queries rank first (never-checked),
-# the SS2 core re-enters when two rounds stale (checked r8 via this
-# window, so it re-enters in r10 unless a red appears), and the
-# remaining slots fill with the oldest greens (the r4 cohort next).
-# Budget new-query count = 50 − (reds + never-checked backlog +
-# forced core). Candidates for r9: anything the r8 verdict names
-# first; then remaining eval/monitoring gaps (e.g. rank-based effect
-# sizes, seasonal decomposition) and further streaming twins. Every
+# Round-10 window plan (written ahead, r5–r9 precedent): the rotation
+# stays mechanical — any new r10 queries rank first (never-checked),
+# the SS2 core force-enters (last checked r8 — two rounds stale by
+# r10), and the remaining slots fill with the oldest greens (the
+# 50-query r5 cohort next). Budget new-query count = 50 − (reds +
+# never-checked backlog + 6 forced core); the freshness gate in
+# tools/rotate_window.py aborts the apply if the budget is blown.
+# Candidates for r10: whatever the r9 verdict names first; then any
+# remaining eval/monitoring gaps and further streaming twins. Every
 # addition must pass the three-SF verify sweep (tools/verify_driver.py
 # at sf0.001/sf0.01/sf0.1, strict 17g) BEFORE the window freezes —
 # three divergence classes only trigger at sf0.01+ data magnitudes
-# (SCALE.md; class 6 — raw double->decimal casts of irrational values —
-# was caught at sf0.01 this round).
+# (SCALE.md). Also: check new names against the live registry FIRST —
+# register() now hard-errors on duplicates (three r9 candidates
+# collided with r5/r7 names and had to be rethought).
 
 
 def _reorder_for_driver_window() -> None:

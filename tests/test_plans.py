@@ -543,3 +543,39 @@ def test_acf_no_self_join(spark):
     plan = plan_of(QUERIES["ext_acf"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 1, plan
+
+
+def test_cliffs_delta_single_corpus_scan_no_cartesian(spark):
+    """Cliff's delta reads documents ONCE into the (source, n_chars)
+    histogram; global + per-source cumulative windows and the delta
+    fold all run on that bounded frame."""
+    plan = plan_of(QUERIES["ext_cliffs_delta"](spark, SF_DIR))
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_theil_sen_pair_join_is_bounded_broadcast(spark):
+    """Theil-Sen's slope pairs are the deliberate calendar-bounded BNL
+    (the Mann-Kendall shape): one corpus scan into the checkpointed
+    daily frame, broadcast pair side, no cartesian."""
+    plan = plan_of(QUERIES["ext_theil_sen"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 1, plan
+
+
+def test_levene_corpus_collapses_before_median_windows(spark):
+    """Brown-Forsythe: ONE documents scan into the (source, score)
+    histogram; medians/deviations/F all run on the checkpointed
+    bounded frame (windows are per-source over histogram cells)."""
+    plan = plan_of(QUERIES["ext_levene"](spark, SF_DIR))
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_token_lorenz_decile_lookup_is_bounded(spark):
+    """The decile-to-block lookup is a 10 x |values| bounded non-equi
+    join over the histogram — never a corpus-sized nested loop."""
+    plan = plan_of(QUERIES["ext_token_lorenz"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
