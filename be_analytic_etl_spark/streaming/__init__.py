@@ -3,6 +3,7 @@ from be_analytic_etl_spark.streaming.jobs import (
     stream_attribution_join,
     stream_dedup_first,
     stream_daily_cents,
+    stream_unit_hist,
     stream_dedup_within_watermark,
     stream_enrich,
     stream_eval_histogram,
@@ -32,4 +33,5 @@ __all__ = [
     "stream_dedup_first",
     "stream_dedup_within_watermark",
     "stream_daily_cents",
+    "stream_unit_hist",
 ]

@@ -503,3 +503,27 @@ def stream_daily_cents(events: DataFrame) -> DataFrame:
         .groupBy(F.to_date("ts").alias("day"))
         .agg(F.sum(cents).cast("long").alias("cents"))
     )
+
+
+def stream_unit_hist(events: DataFrame) -> DataFrame:
+    """Streaming twin of the robust-stats substrate (the bounded
+    per-(event_type, whole-unit value) histogram behind the round-9
+    median / MAD / 3-MAD outlier audit and operators/robust.py's
+    trimmed/winsorized means): maintain the counts incrementally.
+
+    The batch queries all collapse the corpus to (type, floor(value),
+    count) in one partial-aggregated groupBy — exactly the state a
+    stream can keep: an unwatermarked global groupBy on a value-domain-
+    bounded key (|types| x |units| rows, fixed by the currency domain,
+    independent of event count), complete mode. COUNT is the histogram
+    merge, so micro-batch boundaries cannot change the state, and every
+    rank statistic (two-middle-rank medians, MAD, trim boundaries,
+    outlier rates) is a constant-size fold over the sink — identical to
+    its batch form because the substrate is bit-identical.
+    """
+    unit = F.floor(F.col("value")).cast("long")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("scope"), unit.alias("unit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

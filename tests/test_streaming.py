@@ -408,3 +408,62 @@ def test_stream_daily_cents_matches_batch(spark, events_batch, events_stream_dir
         .collect()
     }
     assert got == want
+
+
+def test_stream_unit_hist_matches_batch(spark, events_batch, events_stream_dir):
+    """The streaming unit-value histogram (complete mode, value-domain-
+    bounded state) must equal the batch substrate exactly once the
+    bounded stream drains — the property that makes the round-9
+    median/MAD/outlier audit (and the robust-means family) streamable:
+    every rank statistic is a fold over this sink."""
+    from be_analytic_etl_spark.streaming import stream_unit_hist
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_unit_hist(stream)
+        .writeStream.format("memory")
+        .queryName("t_unit_hist")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        (r["scope"], r["unit"]): r["n"]
+        for r in spark.table("t_unit_hist").collect()
+    }
+    want = {
+        (r["scope"], r["unit"]): r["n"]
+        for r in events_batch.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("scope"),
+            F.floor(F.col("value")).cast("long").alias("unit"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # the fold is genuinely usable: recompute one type's exact median
+    # off the sink and compare with the two-middle-rank batch pick
+    scopes = sorted({s for s, _ in got})
+    s0 = scopes[0]
+    hist = sorted((u, n) for (s, u), n in got.items() if s == s0)
+    total = sum(n for _, n in hist)
+    lo_r, hi_r = (total + 1) // 2, total // 2 + 1
+    cum, lo, hi = 0, None, None
+    for u, n in hist:
+        cum += n
+        if lo is None and cum >= lo_r:
+            lo = u
+        if hi is None and cum >= hi_r:
+            hi = u
+    vals = sorted(
+        r["v"]
+        for r in events_batch.filter(
+            F.col("value").isNotNull() & (F.col("event_type") == s0)
+        )
+        .select(F.floor(F.col("value")).cast("long").alias("v"))
+        .collect()
+    )
+    assert (lo + hi) / 2 == (vals[(len(vals) + 1) // 2 - 1] + vals[len(vals) // 2]) / 2
