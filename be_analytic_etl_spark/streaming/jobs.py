@@ -527,3 +527,53 @@ def stream_unit_hist(events: DataFrame) -> DataFrame:
         .groupBy(F.col("event_type").alias("scope"), unit.alias("unit"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based documents stream (each parquet file is a micro-batch)
+    — the text-corpus counterpart of ``read_events_stream`` for
+    streaming quality monitoring. File streams need an explicit schema;
+    the documents table has a single stable physical layout, mirrored
+    verbatim from the batch loader."""
+    return (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_quality_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Streaming twin of the PSI drift substrate (queries_round8
+    ``_psi_scored`` + the (source, bin) fold input): maintain
+    per-(source, quality-score-decile) counts incrementally.
+
+    The quality score is native map-only expressions, so it streams
+    as-is; the state is an unwatermarked global groupBy on the
+    |sources| x n_bins bounded grid, complete mode. COUNT is the
+    histogram merge, so micro-batch boundaries cannot change the state,
+    and the PSI read itself (``queries_round8.psi_from_binned`` —
+    Laplace-smoothed grid fold) runs unchanged over the sink: the
+    streamed scorecard is bit-identical to the batch drift gauge on the
+    same data.
+    """
+    from be_analytic_etl_spark.functions.rounding import stable_round
+    from be_analytic_etl_spark.operators import textstats as T
+
+    q6 = (
+        stable_round(T.quality_score("text", round_to=None), 6)
+        .cast("decimal(18,6)")
+        .alias("score")
+    )
+    b = F.least(
+        F.floor(F.col("score") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        docs.select("source", q6)
+        .select("source", b.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -467,3 +467,59 @@ def test_stream_unit_hist_matches_batch(spark, events_batch, events_stream_dir):
         .collect()
     )
     assert (lo + hi) / 2 == (vals[(len(vals) + 1) // 2 - 1] + vals[len(vals) // 2]) / 2
+
+
+@pytest.fixture(scope="module")
+def documents_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("documents_stream")
+    (d / "documents.parquet").symlink_to(f"{SF_DIR}/documents.parquet")
+    return str(d)
+
+
+def test_stream_quality_bins_feeds_batch_psi(spark, documents_stream_dir):
+    """The streamed (source, quality-decile) grid (complete mode,
+    |sources| x 10 bounded state) must equal the batch PSI substrate
+    exactly — and the registered PSI fold run over the STREAM SINK must
+    reproduce the registered batch query row-for-row: the streaming
+    drift scorecard is the batch one."""
+    from be_analytic_etl_spark.registry import QUERIES
+    from be_analytic_etl_spark.streaming import (
+        read_documents_stream,
+        stream_quality_bins,
+    )
+    from be_analytic_etl_spark.queries_round8 import psi_from_binned
+
+    stream = read_documents_stream(spark, documents_stream_dir)
+    q = (
+        stream_quality_bins(stream)
+        .writeStream.format("memory")
+        .queryName("t_quality_bins")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    sink = spark.table("t_quality_bins")
+    # expand the counted grid back to (source, bin) rows and run the
+    # registered Laplace-smoothed PSI fold over it
+    binned = (
+        sink.select(
+            "source",
+            "bin",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("__i"),
+        )
+        .select("source", "bin")
+        # the PSI fold self-joins its input; a memory-sink view produces
+        # conflicting attribute ids under self-join, so cut the lineage
+        .localCheckpoint()
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["psi"])
+        for r in psi_from_binned(binned).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["psi"])
+        for r in QUERIES["ext_psi_drift"](spark, SF_DIR).collect()
+    }
+    assert got == want
