@@ -64,6 +64,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from be_analytic_etl_spark.functions.ranks import middle_ranks
 from be_analytic_etl_spark.functions.rounding import (
     exact_dec_double_sql,
     stable_round,
@@ -460,12 +461,8 @@ def q_ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("__rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("__np"),
     )
-    # floor division, NOT `/` (double division would make the lower-
-    # middle rank x.5 at even pair counts and drop it from the median).
-    mid = ranked.filter(
-        (F.col("__rn") == F.floor((F.col("__np") + 1) / 2).cast("long"))
-        | (F.col("__rn") == F.floor(F.col("__np") / 2).cast("long") + 1)
-    )
+    r_lo, r_hi = middle_ranks(F.col("__np"))
+    mid = ranked.filter((F.col("__rn") == r_lo) | (F.col("__rn") == r_hi))
     n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     med = mid.agg(
         F.max("__np").cast("long").alias("n_pairs"),
@@ -862,20 +859,11 @@ def q_ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("__rn"),
         F.count(F.lit(1)).over(wall).cast("long").alias("__n"),
     )
+    r_lo, r_hi = middle_ranks(F.col("__n"))
     med = cum.groupBy().agg(
         (
-            F.min(
-                F.when(
-                    F.col("__rn") == F.floor((F.col("__n") + 1) / 2).cast("long"),
-                    F.col("c"),
-                )
-            )
-            + F.min(
-                F.when(
-                    F.col("__rn") == F.floor(F.col("__n") / 2).cast("long") + 1,
-                    F.col("c"),
-                )
-            )
+            F.min(F.when(F.col("__rn") == r_lo, F.col("c")))
+            + F.min(F.when(F.col("__rn") == r_hi, F.col("c")))
         )
         .cast("long")
         .alias("__med2")
@@ -1113,8 +1101,7 @@ def q_ext_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__c").over(wsrc).cast("long").alias("__cum"),
         F.sum("__c").over(wall).cast("long").alias("__nsrc"),
     )
-    r_lo = F.floor((F.col("__nsrc") + 1) / 2).cast("long")
-    r_hi = F.floor(F.col("__nsrc") / 2).cast("long") + 1
+    r_lo, r_hi = middle_ranks(F.col("__nsrc"))
     med = cum.groupBy("source").agg(
         (
             F.min(F.when(F.col("__cum") >= r_lo, F.col("__q6")))

@@ -221,3 +221,20 @@ def test_exact_dec_double_sql_correctly_rounds_hugeint_band():
     # the helper exists because the direct cast is broken in this band;
     # if DuckDB ever fixes it, this trips and the helper can be retired
     assert n_direct_wrong > 0
+
+
+def test_middle_ranks_floor_division(spark):
+    """middle_ranks must floor (Spark / is double division): at even n
+    the lower middle is rank n/2, at odd n both ranks coincide."""
+    from be_analytic_etl_spark.functions.ranks import middle_ranks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(n,) for n in range(1, 12)], "n long")
+    lo, hi = middle_ranks(F.col("n"))
+    rows = {r["n"]: (r["lo"], r["hi"]) for r in df.select("n", lo.alias("lo"), hi.alias("hi")).collect()}
+    for n, (lo_v, hi_v) in rows.items():
+        assert lo_v == (n + 1) // 2 and hi_v == n // 2 + 1
+        if n % 2 == 1:
+            assert lo_v == hi_v
+        else:
+            assert hi_v == lo_v + 1
