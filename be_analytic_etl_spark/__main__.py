@@ -8,6 +8,7 @@ for the Spark engine:
     python -m be_analytic_etl_spark run groupby_avg --sf-dir /root/testdata/sf0.01 --show 10
     python -m be_analytic_etl_spark explain ext_minhash_lsh_neardup
     python -m be_analytic_etl_spark lint ext_pipeline --strict
+    python -m be_analytic_etl_spark lint-sources
     python -m be_analytic_etl_spark sql "SELECT COUNT(*) FROM lineitem"
     python -m be_analytic_etl_spark pipeline --spec spec.json --show 5
 
@@ -33,6 +34,12 @@ def _build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("list", help="list registered queries")
+
+    sub.add_parser(
+        "lint-sources",
+        help="scan package sources for divergence-class-6 decimal casts "
+        "(raw libm/sqrt outputs cast to DECIMAL without stable_round)",
+    )
 
     for name in ("run", "explain", "lint"):
         s = sub.add_parser(name)
@@ -71,6 +78,17 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{oracle}")
         print(f"TOTAL\t{len(QUERIES)}", file=sys.stderr)
         return 0
+
+    if args.cmd == "lint-sources":
+        import os
+
+        from be_analytic_etl_spark.plans.lint import lint_decimal_casts
+
+        findings = lint_decimal_casts(os.path.dirname(os.path.abspath(__file__)))
+        for f in findings:
+            print(f)
+        print(f"TOTAL\t{len(findings)} finding(s)", file=sys.stderr)
+        return 1 if findings else 0
 
     from pyspark.sql import SparkSession
 

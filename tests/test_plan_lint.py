@@ -151,3 +151,12 @@ def test_scan_census_counts_pruned_columns(spark):
     scans = [f for f in lint_plan(df) if f.code == "scan"]
     assert len(scans) == 1
     assert "2 columns read" in scans[0].detail, scans[0].detail
+
+
+def test_cli_lint_sources_clean(capsys):
+    """The source-level class-6 lint is exposed on the CLI and the tree
+    is clean (no raw libm/sqrt decimal casts)."""
+    from be_analytic_etl_spark.__main__ import main
+
+    rc = main(["lint-sources"])
+    assert rc == 0
