@@ -123,3 +123,60 @@ def test_theil_sen_and_runs_on_tiny_calendars(spark, tmp_path, n_days):
         assert runs_out["runs"] == 1 + sum(
             1 for a, b in zip(signs, signs[1:]) if a != b
         )
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_gini_lorenz_kendall_on_random_corpus(spark, tmp_path, seed):
+    """Registered Gini / Lorenz / tau-b on randomized corpora vs naive
+    recomputation (token counts derive from the synthesized text, so
+    the brute force re-tokenizes the same way)."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    n = rng.randint(12, 60)
+    rows = [(SOURCES[i % 3], rng.randint(0, 40) * 5) for i in range(n)]
+    sf_dir = str(tmp_path / f"sf_glk{seed}")
+    _write_documents(spark, sf_dir, rows)
+
+    # text is "word " * max(1, n_chars // 5) -> token count is exactly
+    # max(1, n_chars // 5)
+    toks = sorted(max(1, nc // 5) for _, nc in rows)
+    tot = sum(toks)
+    gini_bf = 2 * sum((i + 1) * x for i, x in enumerate(toks)) / (n * tot) - (
+        n + 1
+    ) / n
+    g = QUERIES["ext_gini_tokens"](spark, sf_dir).collect()[0]
+    assert g["n_docs"] == n and g["total_tokens"] == tot
+    assert g["gini"] == pytest.approx(gini_bf)
+
+    lor = sorted(
+        QUERIES["ext_token_lorenz"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    for r in lor:
+        rank = n * r["decile"] // 10
+        want = sum(toks[:rank]) / tot
+        assert r["rank"] == rank
+        assert r["cum_token_share"] == pytest.approx(want)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_mcnemar_counts_on_random_corpus(spark, tmp_path, seed):
+    """The registered McNemar disagreement cells must satisfy the
+    marginal identities n_01, n_10 >= 0, n_01 + n_10 <= n, and the chi2
+    formula — on corpora random enough that both gates actually fire
+    both ways."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    rows = [(SOURCES[i % 2], rng.randint(5, 2000)) for i in range(40)]
+    sf_dir = str(tmp_path / f"sf_mc{seed}")
+    _write_documents(spark, sf_dir, rows)
+    out = QUERIES["ext_mcnemar"](spark, sf_dir).collect()[0]
+    assert out["n_docs"] == 40
+    assert 0 <= out["n_01"] + out["n_10"] <= 40
+    b, c = out["n_01"], out["n_10"]
+    if b + c:
+        assert out["mcnemar_chi2"] == pytest.approx((b - c) ** 2 / (b + c))
+    else:
+        assert out["mcnemar_chi2"] is None
