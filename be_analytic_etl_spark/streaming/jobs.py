@@ -577,3 +577,49 @@ def stream_quality_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def stream_pii_counts(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the PII-audit substrate (queries_round8
+    ``ext_pii_audit``): maintain per-source document / PII-document /
+    email / long-digit-run counts incrementally — streaming privacy
+    monitoring over an arriving corpus.
+
+    The regexp feature extraction is map-only and uses the SAME shared
+    ``textstats.REDACT_PATTERNS`` the batch audit and the scrubber use
+    (the three surfaces can never drift); the state is an unwatermarked
+    global groupBy on the |sources|-bounded key, complete mode. SUM and
+    COUNT are the merge, so micro-batch boundaries cannot change the
+    state, and the per-source incidence rates are one-division folds
+    over the sink — bit-identical to the batch audit on the same data
+    (including the audit's deterministic doc_id-salted PII seeds, so
+    the pin test compares substrate to substrate exactly).
+    """
+    from be_analytic_etl_spark.operators import textstats as T
+
+    email_pat, num_pat = T.REDACT_PATTERNS[0][0], T.REDACT_PATTERNS[1][0]
+    salt = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" reach u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or 555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    t = F.concat(F.coalesce(F.col("text"), F.lit("")), salt)
+    emails = F.size(F.regexp_extract_all(t, F.lit(email_pat), F.lit(0)))
+    nums = F.size(F.regexp_extract_all(t, F.lit(num_pat), F.lit(0)))
+    per_doc = docs.select(
+        "source",
+        emails.cast("long").alias("__e"),
+        nums.cast("long").alias("__m"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(((F.col("__e") + F.col("__m")) > 0).cast("int"))
+        .cast("long")
+        .alias("pii_docs"),
+        F.sum("__e").cast("long").alias("n_emails"),
+        F.sum("__m").cast("long").alias("n_numbers"),
+    )

@@ -523,3 +523,42 @@ def test_stream_quality_bins_feeds_batch_psi(spark, documents_stream_dir):
         for r in QUERIES["ext_psi_drift"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_pii_counts_matches_batch_audit(spark, documents_stream_dir):
+    """The streamed per-source PII counters (complete mode, |sources|-
+    bounded state) must reproduce the registered batch audit exactly:
+    counts equal, and the one-division incidence rate computed off the
+    sink equals the batch pii_per_doc."""
+    from be_analytic_etl_spark.registry import QUERIES
+    from be_analytic_etl_spark.streaming import (
+        read_documents_stream,
+        stream_pii_counts,
+    )
+
+    stream = read_documents_stream(spark, documents_stream_dir)
+    q = (
+        stream_pii_counts(stream)
+        .writeStream.format("memory")
+        .queryName("t_pii_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        r["source"]: (
+            r["n_docs"], r["pii_docs"], r["n_emails"], r["n_numbers"],
+            (r["n_emails"] + r["n_numbers"]) / r["n_docs"],
+        )
+        for r in spark.table("t_pii_counts").collect()
+    }
+    want = {
+        r["source"]: (
+            r["n_docs"], r["pii_docs"], r["n_emails"], r["n_numbers"],
+            r["pii_per_doc"],
+        )
+        for r in QUERIES["ext_pii_audit"](spark, SF_DIR).collect()
+    }
+    assert got == want
