@@ -133,7 +133,12 @@ _DRIVER_WINDOW_PRIORITY = [
 # never-checked backlog + 6 forced core); the freshness gate in
 # tools/rotate_window.py aborts the apply if the budget is blown.
 # Candidates for r10: whatever the r9 verdict names first; then any
-# remaining eval/monitoring gaps and further streaming twins. Every
+# remaining eval/monitoring gaps and further streaming twins. Capacity
+# note (simulated against compute_window over synthetic futures): the
+# 5-round freshness invariant supports at most 300 registered queries
+# (50 in-window + 5x50 outside at staleness 1..5); at 244 there is
+# headroom for ~56 more before growth requires retiring/merging
+# queries or widening the driver window. Every
 # addition must pass the three-SF verify sweep (tools/verify_driver.py
 # at sf0.001/sf0.01/sf0.1, strict 17g) BEFORE the window freezes —
 # three divergence classes only trigger at sf0.01+ data magnitudes
