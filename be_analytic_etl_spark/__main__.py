@@ -82,9 +82,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "lint-sources":
         import os
 
-        from be_analytic_etl_spark.plans.lint import lint_decimal_casts
+        from be_analytic_etl_spark.plans.lint import (
+            lint_decimal_casts,
+            lint_product_decimal_casts,
+        )
 
-        findings = lint_decimal_casts(os.path.dirname(os.path.abspath(__file__)))
+        pkg = os.path.dirname(os.path.abspath(__file__))
+        findings = lint_decimal_casts(pkg) + lint_product_decimal_casts(pkg)
         for f in findings:
             print(f)
         print(f"TOTAL\t{len(findings)} finding(s)", file=sys.stderr)

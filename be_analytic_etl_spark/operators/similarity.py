@@ -40,9 +40,11 @@ from pyspark.sql import functions as F
 # alone scales the probe count with the corpus (O(N^2/100) total exact
 # work); the id cap bounds it at PROBE_CAP_ID/PROBE_MODULUS = 1000
 # probes, making the baselines O(1000 x N) — linear — at any corpus
-# size. Both constants are mirrored verbatim into every oracle via
-# PROBE_WHERE_SQL; at the tested SFs (max vec_id 1999) the cap is
-# inactive, so results are bit-identical to the uncapped convention.
+# size. Every oracle interpolates PROBE_WHERE_SQL directly (single
+# source — no hand-copied literals; tests/test_probe_cap.py pins both
+# the constant values and that every probe oracle carries the cap); at
+# the tested SFs (max vec_id 1999) the cap is inactive, so results are
+# bit-identical to the uncapped convention.
 PROBE_MODULUS = 100
 PROBE_CAP_ID = 100_000
 PROBE_WHERE_SQL = f"vec_id % {PROBE_MODULUS} = 0 AND vec_id < {PROBE_CAP_ID}"

@@ -153,8 +153,16 @@ _RISK = re.compile(
 )
 # stable_round_sql's expansion fingerprint (some oracles interpolate the
 # helper, whose output text carries the guard + floor formula instead
-# of the helper's name).
-_EXPANDED = ("isnan(", "floor(", "0.5)")
+# of the helper's name). Matched on the CAST LINE ITSELF, not the
+# neighborhood: the expansion always wraps the casted expression, so it
+# shares the line; a window match would let a genuinely naked cast
+# adjacent to a protected site share its window and slip through
+# (advisor r9 false-negative finding). ±2 lines, not the cast line
+# alone: the expansion is one very long line (or a short wrapped SQL
+# literal) and the closing ``AS DECIMAL(p,s))`` lands a line or two
+# below the guard. The contiguous guard text is used rather than three
+# loose substrings for the same reason.
+_EXPANDED_GUARD = "IS NULL OR isnan("
 
 
 def lint_decimal_casts(
@@ -188,7 +196,7 @@ def lint_decimal_casts(
             neigh = "\n".join(lines[max(0, i - window) : i + window + 1])
             if "stable_round" in neigh or "decimal-exempt:" in neigh:
                 continue
-            if all(tok in neigh for tok in _EXPANDED):
+            if _EXPANDED_GUARD in "\n".join(lines[max(0, i - 2) : i + 3]):
                 continue
             if _RISK.search(neigh):
                 findings.append(
@@ -198,6 +206,92 @@ def lint_decimal_casts(
                         f"{_os.path.relpath(path, package_root)}:{i + 1}: "
                         f"decimal cast near a libm/sqrt producer without "
                         f"stable_round (class 6): {ln.strip()[:80]}",
+                    )
+                )
+    return findings
+
+
+# A parenthesized expression cast to a SCALED decimal. Scale >= 1 is the
+# hazard: Spark computes the inner product at the operands' natural
+# widths first, and a decimal(p1,s1)*decimal(p2,s2) whose result
+# precision exceeds 38 gets its SCALE silently narrowed
+# (precision-loss rounding) BEFORE the outer cast can ask for more —
+# e.g. decimal(19,6) squared lands at decimal(38,11), so a
+# .cast("decimal(38,12)") of it re-widens an already-rounded value.
+# DuckDB's DECIMAL products are exact, so the two engines diverge on
+# exactly the values whose 12th decimal digit is nonzero (advisor r9,
+# ext_brier_decomp / ext_levene). Scale-0 targets are exempt: integer
+# products either fit precision 38 exactly or keep scale 0 under
+# adjustment — no hidden rounding.
+_CAST_SCALED_DEC = re.compile(r'\)\s*\.cast\(\s*["\']decimal\(\d+,\s*[1-9]')
+
+
+def lint_product_decimal_casts(
+    package_root: str, *, join_lines: int = 12
+) -> list[Finding]:
+    """Source-level lint for the product-then-cast decimal hazard
+    (divergence class 7, SCALE.md round 10): flag every Spark-side
+    ``(<expr with *>).cast("decimal(p, s>=1)")`` site. The fix is to
+    narrow the OPERANDS before multiplying (so the product type is
+    exact), never to cast the product — e.g. ``diff.cast("decimal(8,6)")
+    * diff.cast("decimal(8,6)")`` is decimal(17,12), exact. Groups
+    containing ``stable_round`` are exempt: those are DOUBLE
+    expressions quantized to n dp first, so the decimal cast of the
+    quantized value is exact regardless of what the double math did.
+    Other deliberate sites carry a ``product-exempt:`` marker comment
+    within ±2 lines.
+    Oracle-side SQL is not linted: DuckDB decimal products are exact
+    (it errors on width overflow rather than narrowing), so the class
+    is one-sided. Regression fixtures: tests/test_decimal_cast_lint.py.
+    """
+    import glob as _glob
+    import os as _os
+
+    findings: list[Finding] = []
+    for path in sorted(
+        _glob.glob(_os.path.join(package_root, "**", "*.py"), recursive=True)
+    ):
+        lines = open(path).read().splitlines()
+        for i, ln in enumerate(lines):
+            m = _CAST_SCALED_DEC.search(ln)
+            if m is None:
+                continue
+            if "product-exempt:" in "\n".join(
+                lines[max(0, i - 2) : i + 3]
+            ):
+                continue
+            # Walk back from the ')' preceding .cast to its matching
+            # '(' — joining up to `join_lines` preceding lines for
+            # multi-line expressions — and test the group for '*'.
+            text = "\n".join(lines[max(0, i - join_lines) : i]) + (
+                "\n" if i else ""
+            ) + ln
+            close = len(text) - (len(ln) - m.start())
+            depth, j = 0, close
+            while j >= 0:
+                if text[j] == ")":
+                    depth += 1
+                elif text[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            group = text[j + 1 : close] if j >= 0 else text[:close]
+            # The group is exempt when it IS stable_round's argument
+            # list (identifier directly before the open paren) or when
+            # the quantizer is applied somewhere inside it.
+            quantized = "stable_round" in group or (
+                j >= 0 and text[:j].rstrip().endswith("stable_round")
+            )
+            if "*" in group and not quantized:
+                findings.append(
+                    Finding(
+                        "error",
+                        "product-scaled-decimal-cast",
+                        f"{_os.path.relpath(path, package_root)}:{i + 1}: "
+                        f"product cast to scaled decimal — Spark narrows "
+                        f"the product scale BEFORE the cast (class 7); "
+                        f"narrow the operands instead: {ln.strip()[:80]}",
                     )
                 )
     return findings

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.operators import dedup as D
 from be_analytic_etl_spark.operators import similarity as S
+from be_analytic_etl_spark.operators.similarity import PROBE_WHERE_SQL
 from be_analytic_etl_spark.operators import textstats as T
 from be_analytic_etl_spark.registry import register
 
@@ -465,7 +466,7 @@ register(
     f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0 AND vec_id < 100000
+        WHERE {PROBE_WHERE_SQL}
     ), scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0
@@ -572,7 +573,7 @@ def _lsh_ann_oracle() -> str:
         GROUP BY vec_id, embedding
     ), qb AS (
         SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb
-        WHERE vec_id % 100 = 0 AND vec_id < 100000
+        WHERE {PROBE_WHERE_SQL}
     ), scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                {_cos_sql("q.qv", "e.embedding")} AS cos_sim
@@ -633,7 +634,7 @@ register(
         WHERE rn = 1
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0 AND vec_id < 100000 AND embedding IS NOT NULL
+        WHERE {PROBE_WHERE_SQL} AND embedding IS NOT NULL
     ), probe AS (
         SELECT query_id, qv, cell FROM (
             SELECT q.query_id, q.qv, c.cell,

@@ -30,6 +30,7 @@ from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_
 from be_analytic_etl_spark.operators import dedup as D
 from be_analytic_etl_spark.operators import sampling as SA
 from be_analytic_etl_spark.operators import similarity as S
+from be_analytic_etl_spark.operators.similarity import PROBE_WHERE_SQL
 from be_analytic_etl_spark.operators import textstats as T
 from be_analytic_etl_spark.queries_extensions import (
     _dot_sql,
@@ -470,7 +471,7 @@ def _pq_ann_oracle() -> str:
         WHERE rn = 1
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0 AND vec_id < 100000
+        WHERE {PROBE_WHERE_SQL}
     ), adc AS (
         SELECT q.query_id, c.m, c.code,
                ((({_dot_sql(qsl, qsl)}) - 2.0 * ({_dot_sql(qsl, "c.cv")}))
@@ -573,7 +574,7 @@ def _ivf_pq_ann_oracle() -> str:
         WHERE rn = 1
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0 AND vec_id < 100000
+        WHERE {PROBE_WHERE_SQL}
     ), probe AS (
         SELECT query_id, cell FROM (
             SELECT q.query_id, c.cell,
@@ -1338,7 +1339,7 @@ def _hard_negatives_oracle() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0 AND vec_id < 100000
+        WHERE {PROBE_WHERE_SQL}
     ), scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0
@@ -1633,7 +1634,7 @@ def _matryoshka_oracle() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id % 100 = 0 AND vec_id < 100000
+        WHERE {PROBE_WHERE_SQL}
     ), {ranked("full", "fullk")}, {ranked("trunc", "trunck")}
     SELECT f.query_id,
            CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_sql
+from be_analytic_etl_spark.operators.similarity import PROBE_WHERE_SQL
 from be_analytic_etl_spark.operators import textstats as T
 from be_analytic_etl_spark.queries_extensions import _TOKS, _dot_sql, _t
 from be_analytic_etl_spark.registry import register
@@ -496,7 +497,7 @@ def _ndcg_oracle() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv, label AS ql
-        FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000
+        FROM embeddings WHERE {PROBE_WHERE_SQL}
     ), scored AS (
         SELECT q.query_id, q.ql, e.vec_id AS neighbor_id, e.label AS nl,
                CASE WHEN sqrt({_dot_sql("q.qv", "q.qv")}) = 0

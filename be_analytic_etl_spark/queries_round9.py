@@ -722,8 +722,14 @@ register("ext_gini_tokens", q_ext_gini_tokens, _gini_oracle())
 # the substantial-document label: the proper-scoring-rule leg beside
 # ext_roc_auc (ranking) and ext_calibration_ece (calibration); reuses
 # round 7's (score, pos) pairing so all three grade ONE classifier.
-# The Brier sum ((p - y)^2 over exact decimals) accumulates exactly;
-# the per-bin reliability/resolution terms are single IEEE expressions
+# The Brier sum accumulates exactly because (p - y) is narrowed to
+# DECIMAL(8,6) BEFORE squaring: |score - pos| <= 1, so the narrow cast
+# is lossless, and the product type is decimal(17,12) — exact. (At the
+# natural decimal(19,6) operand width the product would overflow
+# precision 38 and Spark silently narrows the result scale to 11
+# before any outer cast — a cross-engine divergence DuckDB's exact
+# DECIMAL products don't share; found by the round-9 advisor.) The
+# per-bin reliability/resolution terms are single IEEE expressions
 # of exact sums quantized to DECIMAL(18,6) BEFORE the <= K-bin fold
 # (bounded-term discipline); uncertainty is one division pair.
 _BRIER_BINS = 10
@@ -733,7 +739,9 @@ def q_ext_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from be_analytic_etl_spark.queries_round7 import _scored
 
     sc = _scored(spark, sf_dir)
-    diff = F.col("score") - F.col("pos")
+    # |score - pos| <= 1 (score in [0,1], pos in {0,1}), so decimal(8,6)
+    # is a lossless narrowing with 100x headroom; see block comment.
+    diff = (F.col("score") - F.col("pos")).cast("decimal(8,6)")
     binc = F.least(
         F.floor(F.col("score") * _BRIER_BINS).cast("int"),
         F.lit(_BRIER_BINS - 1),
@@ -742,7 +750,7 @@ def q_ext_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("__nk"),
         F.sum(F.col("score").cast("decimal(28,6)")).alias("__sp"),
         F.sum("pos").cast("long").alias("__sy"),
-        F.sum((diff * diff).cast("decimal(38,12)")).alias("__sq"),
+        F.sum(diff * diff).alias("__sq"),
     ).localCheckpoint(eager=False)  # <=10-row bin frame, read by tot AND the fold
     tot = per.agg(
         F.sum("__nk").cast("long").alias("n_docs"),
@@ -809,8 +817,8 @@ def _brier_oracle() -> str:
                CAST(COUNT(*) AS BIGINT) AS __nk,
                SUM(CAST(score AS DECIMAL(28,6))) AS __sp,
                CAST(SUM(pos) AS BIGINT) AS __sy,
-               SUM(CAST((score - pos) * (score - pos) AS DECIMAL(38,12)))
-                   AS __sq
+               SUM(CAST(score - pos AS DECIMAL(8,6))
+                   * CAST(score - pos AS DECIMAL(8,6))) AS __sq
         FROM sc GROUP BY 1
     ), t AS (
         SELECT CAST(SUM(__nk) AS BIGINT) AS n_docs,
@@ -1116,8 +1124,15 @@ def q_ext_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = dev.groupBy("source").agg(
         F.sum("__c").cast("long").alias("n_s"),
         F.sum(F.col("__d").cast("decimal(28,6)") * F.col("__c")).alias("__s1"),
+        # __d = |2*__q6 - __med2| <= 2 (scores in [0,1]), so decimal(8,6)
+        # narrows losslessly; the square is then decimal(17,12) exact and
+        # the count product decimal(38,12) exact (17+20+1 = 38 — fits).
+        # Squaring at __d's natural width would overflow precision 38 and
+        # Spark would silently narrow the product scale (advisor r9).
         F.sum(
-            (F.col("__d") * F.col("__d")).cast("decimal(38,12)") * F.col("__c")
+            F.col("__d").cast("decimal(8,6)")
+            * F.col("__d").cast("decimal(8,6)")
+            * F.col("__c")
         ).alias("__s2"),
     )
     term = stable_round(
@@ -1185,7 +1200,8 @@ def _levene_oracle() -> str:
     ), per AS (
         SELECT source, CAST(SUM(__c) AS BIGINT) AS n_s,
                SUM(CAST(__d AS DECIMAL(28,6)) * __c) AS __s1,
-               SUM(CAST(__d * __d AS DECIMAL(38,12)) * __c) AS __s2
+               SUM(CAST(__d AS DECIMAL(8,6)) * CAST(__d AS DECIMAL(8,6))
+                   * __c) AS __s2
         FROM dev GROUP BY source
     ), a AS (
         SELECT CAST(SUM(n_s) AS BIGINT) AS n,

@@ -75,3 +75,53 @@ def test_round8_fixed_sites_still_protected():
     flagged = {f.detail.split(":")[0] for f in findings}
     for rel in fixed_files:
         assert rel not in flagged
+
+
+# ---------------------------------------------------------------------------
+# Divergence class 7 (round 10): a product cast to a SCALED decimal —
+# Spark narrows the product's scale under precision-overflow adjustment
+# BEFORE the outer cast, while DuckDB's DECIMAL products stay exact
+# (advisor r9: ext_brier_decomp's (diff*diff).cast("decimal(38,12)")
+# evaluated at decimal(38,11)). The fix idiom is operand narrowing.
+
+from be_analytic_etl_spark.plans.lint import lint_product_decimal_casts
+
+
+def test_no_product_scaled_decimal_casts():
+    findings = lint_product_decimal_casts(PKG)
+    assert findings == [], "\n".join(str(f) for f in findings)
+
+
+def test_product_lint_flags_the_r9_advisor_shapes(tmp_path):
+    # single-line: the exact pre-fix ext_brier_decomp accumulator
+    (tmp_path / "bad1.py").write_text(
+        'sq = F.sum((diff * diff).cast("decimal(38,12)")).alias("__sq")\n'
+    )
+    # multi-line: the exact pre-fix ext_levene accumulator
+    (tmp_path / "bad2.py").write_text(
+        "s2 = F.sum(\n"
+        '    (F.col("__d") * F.col("__d")).cast("decimal(38,12)") * F.col("__c")\n'
+        ').alias("__s2")\n'
+    )
+    findings = lint_product_decimal_casts(str(tmp_path))
+    assert len(findings) == 2
+    assert all(f.code == "product-scaled-decimal-cast" for f in findings)
+
+
+def test_product_lint_accepts_safe_shapes(tmp_path):
+    (tmp_path / "ok.py").write_text(
+        # narrowed operands (the fix idiom): cast BEFORE the multiply
+        'a = F.sum(d.cast("decimal(8,6)") * d.cast("decimal(8,6)"))\n'
+        # scale-0 target: integer products carry no hidden scale rounding
+        + 'b = F.sum((F.col("__t") * F.col("__t")).cast("decimal(38,0)"))\n'
+        # stable_round-quantized double: exact at 6dp by construction,
+        # even across a multi-line wrapped call
+        + "t = stable_round(\n"
+        + "    -p * F.log2(p),\n"
+        + "    6,\n"
+        + ').cast("decimal(18,6)")\n'
+        # documented exemption marker
+        + "# product-exempt: operands are exact powers of two\n"
+        + 'e = (x * y).cast("decimal(20,4)")\n'
+    )
+    assert lint_product_decimal_casts(str(tmp_path)) == []

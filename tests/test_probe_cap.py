@@ -33,3 +33,19 @@ def test_every_probe_oracle_is_capped():
     assert any(
         f"vec_id % {PROBE_MODULUS}" in sql for sql in ORACLE_SQL.values()
     )
+
+
+def test_probe_oracles_interpolate_the_shared_predicate():
+    """Since round 10 the oracles interpolate PROBE_WHERE_SQL instead of
+    hand-copying the literal (advisor r9): the 8 exact-eval baselines
+    must each contain the rendered shared predicate verbatim, so a
+    constant change propagates to every oracle in one edit."""
+    expected = {
+        "ext_cosine_topk", "ext_lsh_ann", "ext_ivf_ann", "ext_pq_ann",
+        "ext_ivf_pq_ann", "ext_hard_negatives", "ext_matryoshka_recall",
+        "ext_ndcg",
+    }
+    carrying = {
+        name for name, sql in ORACLE_SQL.items() if PROBE_WHERE_SQL in sql
+    }
+    assert expected <= carrying, expected - carrying

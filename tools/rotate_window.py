@@ -42,9 +42,11 @@ SS2_CORE = [
 
 WINDOW = 50
 # A query's last driver check may never be more than this many rounds
-# old AFTER the proposed window runs. With 233 registered and a window
-# of 50, the steady-state cycle is ceil(233/50) = 5 rounds — so 5 is
-# attainable and anything older means the rotation mis-ranked.
+# old AFTER the proposed window runs. The steady-state cycle for N
+# registered queries is ceil(N/50) rounds (main() prints the live
+# figure each run), so 5 is attainable up to N = 300 — the registry's
+# capacity ceiling under this invariant (see registry.py's capacity
+# policy) — and anything older means the rotation mis-ranked.
 MAX_STALE_ROUNDS = 5
 
 
@@ -133,8 +135,12 @@ def main() -> None:
     if not history:
         raise SystemExit(f"no CORRECTNESS_r*.json found under {repo}")
     window, stats = compute_window(names, history)
+    cycle = -(-len(names) // WINDOW)  # ceil: steady-state re-check cadence
     print(f"# {len(names)} registered; window={WINDOW}; "
-          f"next_round={stats['next_round']}")
+          f"next_round={stats['next_round']}; "
+          f"steady-state cycle={cycle} round(s) "
+          f"(invariant allows {MAX_STALE_ROUNDS}; "
+          f"capacity ceiling {MAX_STALE_ROUNDS * WINDOW + WINDOW})")
     print(f"# reds: {stats['reds']}")
     print(f"# never-checked in window: {len(stats['never_checked'])}")
     print(f"# forced SS2 core: {stats['forced_core']}")
