@@ -307,3 +307,85 @@ def assert_clean(df: DataFrame, *, max_exchanges: int | None = None) -> list[Fin
             "plan lint failed: " + "; ".join(str(e) for e in errors)
         )
     return findings
+
+
+# ---------------------------------------------------------------------------
+# BroadcastNestedLoopJoin adjudication (round 10; VERDICT r9 ask #4).
+# ``lint_plan`` warns on every bnl-join because the shape is quadratic
+# in the probe side when the broadcast side grows with the corpus; a
+# warning is only acceptable when the broadcast side is PROVABLY
+# bounded. Through round 9 each round's warnings were adjudicated by
+# hand in SCALE.md — this dict makes the adjudication machine-checked:
+# tests/test_plan_lint.py::test_registry_bnl_joins_are_adjudicated
+# fails when any registered query's plan contains a bnl-join that is
+# not listed here (a NEW unadjudicated bnl-join cannot ship), and when
+# a listed query no longer produces one (stale entries cannot
+# accumulate). Every value states WHY the broadcast side is bounded —
+# the four recurring shapes:
+#   scalar-fold   crossJoin(broadcast(<single-row aggregate>)) — totals,
+#                 medians, grand means folded onto a bounded frame.
+#   grid          a value-domain- or calendar-bounded frame (quantized
+#                 score histogram, daily calendar, <= K bins/cells)
+#                 joined non-equi; size is corpus-INDEPENDENT.
+#   probe-capped  the deliberately-exact ANN/eval baseline: probe set
+#                 capped at PROBE_CAP_ID/PROBE_MODULUS = 1000 rows
+#                 (operators/similarity.py), so the nested loop is
+#                 O(1000 x N) — linear total work.
+#   scalar-subq   relational scalar-subquery shape (TPC-H Q17/Q22
+#                 style): Spark plans the single-row subquery result as
+#                 a bnl broadcast.
+BNL_ALLOWLIST: dict[str, str] = {
+    # -- relational scalar-subquery shapes
+    "idle_rich_customers": "scalar-subq: single-row AVG(acctbal) broadcast",
+    "important_parts": "scalar-subq: single-row avg-quantity broadcast",
+    # -- probe-capped exact-eval baselines (ANN / retrieval eval)
+    "ext_cosine_topk": "probe-capped: exact brute-force baseline",
+    "ext_pq_ann": "probe-capped: exact re-rank over capped probes",
+    "ext_hard_negatives": "probe-capped: exact neighbor baseline",
+    "ext_matryoshka_recall": "probe-capped: exact baseline per dim prefix",
+    "ext_ndcg": "probe-capped: exact baseline inside label join",
+    "ext_knn_label_agreement": "probe-capped: exact kNN baseline",
+    # -- single-row scalar folds onto bounded frames
+    "ext_skew_profile": "scalar-fold: single-row moment totals",
+    "ext_lm_score": "scalar-fold: single-row vocab/corpus totals",
+    "ext_label_balance": "scalar-fold: single-row corpus total",
+    "ext_heavy_hitters": "scalar-fold: single-row total onto <= k sketch rows",
+    "ext_welch_ttest": "scalar-fold: two single-row group moments",
+    "ext_kmins_distinct": "scalar-fold: single-row k-th-min fold",
+    "ext_benford_digits": "scalar-fold: single-row total onto 9 digit rows",
+    "ext_acf": "scalar-fold: mean/variance onto calendar-bounded lags",
+    "ext_burstiness": "scalar-fold: single-row moments",
+    "ext_cliffs_delta": "scalar-fold: totals onto |groups|-row frame (r9 audit)",
+    "ext_mann_whitney": "scalar-fold: tie terms onto |groups|-row frame (r9 audit)",
+    "ext_brier_decomp": "scalar-fold: totals onto <= 10-bin frame (r9 audit)",
+    "ext_runs_test": "scalar-fold: median onto calendar-bounded days (r9 audit)",
+    "ext_hill_tail": "scalar-fold: single-row k/threshold fold",
+    "ext_gpd_tail": "scalar-fold: single-row threshold moments",
+    "ext_cohens_kappa": "scalar-fold: single-row marginals",
+    "ext_chi2_independence": "scalar-fold: totals onto <= |cells| contingency",
+    "ext_mutual_information": "scalar-fold: totals onto <= |cells| contingency",
+    "ext_jensen_shannon": "scalar-fold: totals onto bounded score grid",
+    "ext_mixture_kl": "scalar-fold: totals onto bounded score grid",
+    "ext_psi_drift": "grid: |sources| x 10 PSI bin grid (r8 audit)",
+    "ext_tdigest_quantiles": "scalar-fold: totals onto bounded centroid rows",
+    "ext_tdigest_read": "grid: delta/|qs|-row rank lookups (r8 audit)",
+    "ext_kendall_tau": "grid: <= 300-cell contingency pair join (r9 audit)",
+    "ext_theil_sen": "grid: calendar-bounded daily pair join (r9 audit)",
+    "ext_mann_kendall": "grid: calendar-bounded daily pair frame (r8 audit)",
+    "ext_seasonal_decompose": "grid: 7-row DOW means + totals (r9 audit)",
+    "ext_token_lorenz": "grid: 10 x |values| decile-to-block join (r9 audit)",
+    "ext_class_separation": "scalar-fold: broadcast centroids (bounded classes)",
+    # -- sampling / weighting: single-row or |sources|-row weight folds
+    "ext_mixture_sample": "scalar-fold: |sources|-row weight frame",
+    "ext_curriculum_sample": "scalar-fold: stage thresholds (single row)",
+    "ext_doremi_weights": "scalar-fold: |sources|-row reference/weight frame",
+    "ext_dsir_sample": "scalar-fold: single-row totals onto hashed-ngram LLR",
+    # -- text/retrieval statistics on bounded substrates
+    "ext_bigram_lm": "scalar-fold: single-row vocab totals",
+    "ext_lsh_tuning": "grid: (band, row) parameter grid (bounded)",
+    "ext_lsh_recall": "scalar-fold: single-row truth-set total",
+    "ext_bm25_topk": "scalar-fold: single-row corpus stats (N, avgdl)",
+    "ext_rrf_fusion": "scalar-fold: single-row corpus stats into BM25 leg",
+    "ext_frequent_pairs": "scalar-fold: single-row basket total",
+    "ext_pmi_collocations": "scalar-fold: single-row token total",
+}

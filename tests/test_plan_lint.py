@@ -67,21 +67,59 @@ def test_cli_lint_runs(spark, capsys):
     assert "scan" in out
 
 
-def test_registry_has_no_error_findings(spark):
+@pytest.fixture(scope="module")
+def registry_findings(spark):
+    """One lint pass over every registered query's plan, shared by the
+    whole-registry checks below (a second 244-plan pass would double
+    the suite's most expensive fixture for no information)."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    return {
+        name: lint_plan(fn(spark, SF_DIR)) for name, fn in QUERIES.items()
+    }
+
+
+def test_registry_has_no_error_findings(registry_findings):
     """Every registered query's plan is free of cartesian joins and
     row-wise Python UDFs — the whole-registry form of the scale rules
     test_plans pins per-query. BNL warnings are expected for the
     documented bounded-broadcast shapes (scalar-subquery joins, exact
     ANN baselines) and are not errors."""
-    from be_analytic_etl_spark.registry import QUERIES
-
-    errors = {}
-    for name, fn in QUERIES.items():
-        findings = lint_plan(fn(spark, SF_DIR))
-        errs = [str(f) for f in findings if f.severity == "error"]
-        if errs:
-            errors[name] = errs
+    errors = {
+        name: [str(f) for f in findings if f.severity == "error"]
+        for name, findings in registry_findings.items()
+    }
+    errors = {k: v for k, v in errors.items() if v}
     assert not errors, errors
+
+
+def test_registry_bnl_joins_are_adjudicated(registry_findings):
+    """Machine-checked bnl-join adjudication (VERDICT r9 ask #4):
+    through round 9 each round's BroadcastNestedLoopJoin warnings were
+    reviewed by hand in SCALE.md, so a NEW query with a genuinely
+    unbounded broadcast side would have shipped with only a warning.
+    Now the warning set must EQUAL plans.lint.BNL_ALLOWLIST — an
+    unadjudicated bnl-join fails (add it to the allowlist with a
+    written boundedness justification, or fix the plan), and a stale
+    entry whose plan no longer nest-loops also fails (remove it, so the
+    list never vouches for shapes that no longer exist)."""
+    from be_analytic_etl_spark.plans.lint import BNL_ALLOWLIST
+
+    bnl = {
+        name
+        for name, findings in registry_findings.items()
+        if any(f.code == "bnl-join" for f in findings)
+    }
+    unadjudicated = bnl - set(BNL_ALLOWLIST)
+    stale = set(BNL_ALLOWLIST) - bnl
+    assert not unadjudicated, (
+        f"bnl-join in plans with NO documented boundedness adjudication "
+        f"(plans/lint.py BNL_ALLOWLIST): {sorted(unadjudicated)}"
+    )
+    assert not stale, (
+        f"BNL_ALLOWLIST entries whose plans no longer contain a "
+        f"bnl-join (remove them): {sorted(stale)}"
+    )
 
 
 def test_install_views_and_sql_surface(spark, capsys):
