@@ -375,6 +375,16 @@ BNL_ALLOWLIST: dict[str, str] = {
     "ext_seasonal_decompose": "grid: 7-row DOW means + totals (r9 audit)",
     "ext_token_lorenz": "grid: 10 x |values| decile-to-block join (r9 audit)",
     "ext_class_separation": "scalar-fold: broadcast centroids (bounded classes)",
+    # -- round-10 k-sample / distribution-distance panel (r10 audit)
+    "ext_kruskal_wallis": "scalar-fold: total + tie term onto |sources|-row frame",
+    "ext_mood_median": "scalar-fold: grand median + totals onto |sources|-row frame",
+    "ext_cramers_v": "scalar-fold: totals onto <= 200-cell contingency",
+    "ext_hellinger": "scalar-fold: corpus total onto |langs| x 10 bin grid",
+    "ext_jonckheere": "grid: |values| x <= 6 ordered-bucket dense frame + moment folds",
+    "ext_wasserstein": "grid: |langs| x |values| dense CDF grid + totals fold",
+    "ext_hodges_lehmann": "grid: calendar-bounded weekend x weekday pair frame",
+    "ext_siegel_slopes": "grid: calendar-bounded daily pair join (Theil-Sen shape)",
+    "ext_friedman": "scalar-fold: |types| count + moment folds onto calendar frame",
     # -- sampling / weighting: single-row or |sources|-row weight folds
     "ext_mixture_sample": "scalar-fold: |sources|-row weight frame",
     "ext_curriculum_sample": "scalar-fold: stage thresholds (single row)",
