@@ -94,3 +94,54 @@ def test_never_checked_counts_as_overstale_if_cut():
     window, stats = compute_window(names, history)
     assert "brand_new" not in window
     assert ("brand_new", None) in stats["overstale"]
+
+
+def _simulate_steady_state(n_total, warmup=15, n_rounds=60):
+    """Warm up compute_window from a cold start (alignment artifacts are
+    expected while it self-organizes), then return the first steady-state
+    violation round, or None if stable for n_rounds."""
+    names = list(SS2_CORE) + [f"q{i}" for i in range(n_total - len(SS2_CORE))]
+    history, rnd = [(1, {n: _green() for n in names[:WINDOW]})], 1
+    for step in range(warmup + n_rounds):
+        window, stats = compute_window(names, history)
+        if step >= warmup and stats["overstale"]:
+            return rnd + 1
+        rnd += 1
+        history.append((rnd, {n: _green() for n in window}))
+    return None
+
+
+def test_capacity_ceiling_is_exact():
+    # The registry capacity policy (registry.py): the sustainable
+    # ceiling is (WINDOW - core/2) * (MAX_STALE + 1) + core = 288, NOT
+    # the naive WINDOW * (MAX_STALE + 1) = 300 — the SS2 core's 2-round
+    # cadence consumes 3 slots/round. Stable at the ceiling, violated
+    # one past it.
+    cap = rotate_window.capacity()
+    assert cap == (WINDOW - len(SS2_CORE) // 2) * (MAX_STALE + 1) + len(SS2_CORE)
+    assert _simulate_steady_state(cap) is None
+    assert _simulate_steady_state(cap + 1) is not None
+
+
+def test_real_history_trajectory_is_sustainable():
+    # Forward-simulate the ACTUAL repo correctness history with the
+    # ACTUAL registry: at zero growth the rotation must hold the
+    # freshness invariant indefinitely (25 rounds >> one full cycle).
+    # This is the test that catches a real registry state that has
+    # painted itself into a corner even while each individual round's
+    # gate passed.
+    from be_analytic_etl_spark.registry import QUERIES
+
+    names = list(QUERIES)
+    assert len(names) <= rotate_window.capacity()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    history = rotate_window.load_history(repo)
+    rnd = max(r for r, _ in history)
+    for _ in range(25):
+        window, stats = compute_window(names, history)
+        assert stats["overstale"] == [], (
+            f"real-history rotation violates freshness at simulated "
+            f"round {rnd + 1}: {stats['overstale'][:5]}"
+        )
+        rnd += 1
+        history.append((rnd, {n: _green() for n in window}))

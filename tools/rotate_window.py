@@ -44,10 +44,27 @@ WINDOW = 50
 # A query's last driver check may never be more than this many rounds
 # old AFTER the proposed window runs. The steady-state cycle for N
 # registered queries is ceil(N/50) rounds (main() prints the live
-# figure each run), so 5 is attainable up to N = 300 — the registry's
-# capacity ceiling under this invariant (see registry.py's capacity
-# policy) — and anything older means the rotation mis-ranked.
+# figure each run), and anything older means the rotation mis-ranked.
 MAX_STALE_ROUNDS = 5
+
+
+def capacity() -> int:
+    """Maximum sustainable registry size under BOTH invariants.
+
+    The naive bound WINDOW * (MAX_STALE_ROUNDS + 1) = 300 ignores the
+    SS2 core's 2-round cadence: the core consumes len(SS2_CORE)/2
+    window slots per round on average, so the true steady-state bound
+    is (WINDOW - core/2) * (MAX_STALE + 1) + core = 288 at the current
+    constants. Measured, not just derived: the round-10 simulation
+    (tests/test_rotation.py::test_capacity_ceiling_is_exact) shows the
+    self-organized steady state is stable at exactly this N and
+    violates the freshness invariant at N + 1. This is the registry's
+    HARD registration ceiling — growth past it must retire or merge
+    queries first (registry.py capacity policy), never weaken an
+    invariant.
+    """
+    core_load = len(SS2_CORE) // 2  # 6 checks per 2 rounds
+    return (WINDOW - core_load) * (MAX_STALE_ROUNDS + 1) + len(SS2_CORE)
 
 
 def load_history(repo: str) -> list[tuple[int, dict]]:
@@ -134,13 +151,22 @@ def main() -> None:
     history = load_history(repo)
     if not history:
         raise SystemExit(f"no CORRECTNESS_r*.json found under {repo}")
+    cap = capacity()
+    if len(names) > cap:
+        raise SystemExit(
+            f"CAPACITY VIOLATION: {len(names)} registered queries exceed "
+            f"the sustainable ceiling of {cap} (core cadence + "
+            f"{MAX_STALE_ROUNDS}-round freshness); retire or merge "
+            f"queries per the registry.py capacity policy before "
+            f"registering more."
+        )
     window, stats = compute_window(names, history)
     cycle = -(-len(names) // WINDOW)  # ceil: steady-state re-check cadence
     print(f"# {len(names)} registered; window={WINDOW}; "
           f"next_round={stats['next_round']}; "
           f"steady-state cycle={cycle} round(s) "
           f"(invariant allows {MAX_STALE_ROUNDS}; "
-          f"capacity ceiling {MAX_STALE_ROUNDS * WINDOW + WINDOW})")
+          f"capacity ceiling {cap})")
     print(f"# reds: {stats['reds']}")
     print(f"# never-checked in window: {len(stats['never_checked'])}")
     print(f"# forced SS2 core: {stats['forced_core']}")
