@@ -180,3 +180,133 @@ def test_mcnemar_counts_on_random_corpus(spark, tmp_path, seed):
         assert out["mcnemar_chi2"] == pytest.approx((b - c) ** 2 / (b + c))
     else:
         assert out["mcnemar_chi2"] is None
+
+
+def _write_documents_langs(spark, path: str, rows) -> None:
+    """rows: (lang, source, n_chars) — text synthesized as in
+    _write_documents so token-derived scores vary with n_chars."""
+    df = spark.createDataFrame(
+        [
+            (i, "word " * max(1, n // 5), lang, src, n)
+            for i, (lang, src, n) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _collected_scores(spark, sf_dir):
+    """(lang, n_chars, q6) per doc, with q6 computed by the SAME _q6
+    expression the registered queries use — the brute force below then
+    checks the RANK ALGEBRA (pair counting vs the bounded-histogram
+    trick), which is the identity the r9 verdict asked to pin."""
+    import be_analytic_etl_spark.registry  # noqa: F401  (load order)
+    from be_analytic_etl_spark.queries_round9 import _q6
+    from be_analytic_etl_spark.sources import load_table
+
+    return [
+        (r["lang"], r["n_chars"], float(r["__q6"]))
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars", _q6())
+        .collect()
+    ]
+
+
+@pytest.mark.parametrize("seed", [7, 8, 9])
+def test_mann_whitney_pair_identity_on_random_corpus(spark, tmp_path, seed):
+    """Registered Mann-Whitney vs direct O(n^2) pair counting: 2U, the
+    rank-biserial, and the tie-corrected z — including all-tied groups
+    (ALL_TIES source yields identical scores) and even/odd group
+    sizes."""
+    import math
+
+    from be_analytic_etl_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    langs = ["en", "fr", "zh"][: rng.choice([1, 2, 3])]
+    rows = []
+    for lg in langs:
+        size = rng.randint(1, 30)
+        if rng.random() < 0.3:
+            rows += [(lg, "web", 100)] * size  # one score value: max ties
+        else:
+            rows += [(lg, "web", rng.randint(5, 300)) for _ in range(size)]
+    sf_dir = str(tmp_path / f"sf_mw{seed}")
+    _write_documents_langs(spark, sf_dir, rows)
+
+    scores = _collected_scores(spark, sf_dir)
+    out = {r["lang"]: r for r in QUERIES["ext_mann_whitney"](spark, sf_dir).collect()}
+    assert set(out) == set(langs)
+    n = len(scores)
+    from collections import Counter
+
+    tie3 = sum(
+        t**3 - t for t in Counter(q for _, _, q in scores).values()
+    )
+    for lg in langs:
+        xs = [q for l_, _, q in scores if l_ == lg]
+        ys = [q for l_, _, q in scores if l_ != lg]
+        u2 = sum(
+            2 * (x > y) + (x == y) for x in xs for y in ys
+        )
+        r = out[lg]
+        assert r["n_docs"] == len(xs) and r["u2"] == u2
+        if not ys:
+            assert r["rank_biserial"] is None and r["z_stat"] is None
+            continue
+        n1, n2 = len(xs), len(ys)
+        assert r["rank_biserial"] == pytest.approx((u2 - n1 * n2) / (n1 * n2))
+        var = (n1 * n2 / 12) * ((n + 1) - tie3 / (n * (n - 1)))
+        if var > 0:
+            assert r["z_stat"] == pytest.approx(
+                (u2 - n1 * n2) / (2 * math.sqrt(var)), abs=1e-6
+            )
+        else:
+            assert r["z_stat"] is None
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_kendall_tau_pair_identity_on_random_corpus(spark, tmp_path, seed):
+    """Registered tau-b vs direct O(n^2) pair counting over the SAME
+    (score-decile, length-bucket) cell assignment — concordant /
+    discordant counts must match exactly; tau-b to 6dp."""
+    import math
+
+    from be_analytic_etl_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    n = rng.randint(8, 50)
+    rows = [("en", "web", rng.randint(5, 6200)) for _ in range(n)]
+    sf_dir = str(tmp_path / f"sf_kt{seed}")
+    _write_documents_langs(spark, sf_dir, rows)
+
+    scores = _collected_scores(spark, sf_dir)
+    pts = [
+        (min(int(q * 10), 9), min(nc // 200, 29)) for _, nc, q in scores
+    ]
+    conc = disc = 0
+    for i in range(len(pts)):
+        for j in range(len(pts)):
+            (x1, y1), (x2, y2) = pts[i], pts[j]
+            if x1 < x2:
+                conc += y1 < y2
+                disc += y1 > y2
+    out = QUERIES["ext_kendall_tau"](spark, sf_dir).collect()[0]
+    assert out["n_docs"] == n
+    assert out["concordant"] == conc and out["discordant"] == disc
+    from collections import Counter
+
+    n0 = n * (n - 1) / 2
+    t1 = sum(
+        t * (t - 1) / 2 for t in Counter(x for x, _ in pts).values()
+    )
+    t2 = sum(
+        t * (t - 1) / 2 for t in Counter(y for _, y in pts).values()
+    )
+    d1, d2 = n0 - t1, n0 - t2
+    if d1 > 0 and d2 > 0:
+        assert out["tau_b"] == pytest.approx(
+            (conc - disc) / math.sqrt(d1 * d2), abs=1e-6
+        )
+    else:
+        assert out["tau_b"] is None
