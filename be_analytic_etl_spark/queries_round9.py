@@ -365,8 +365,11 @@ register("ext_mann_whitney", q_ext_mann_whitney, _mw_oracle())
 # exact integers — mirrored verbatim in the oracle, no libm anywhere.
 
 
-def q_ext_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_cents(spark, sf_dir)
+def seasonal_from_daily(daily: DataFrame) -> DataFrame:
+    """The decomposition over ANY (day, c) frame — factored so the
+    streaming twin (stream_daily_cents' complete-mode sink) feeds the
+    SAME code as the batch query (the r8 psi_from_binned discipline;
+    tests/test_streaming.py pins batch/stream bit-identity)."""
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     d1 = daily.select(
         "day",
@@ -396,6 +399,10 @@ def q_ext_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal.alias("seasonal_cents"),
         (F.col("c").cast("double") - trend - seasonal).alias("remainder_cents"),
     )
+
+
+def q_ext_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_from_daily(_daily_cents(spark, sf_dir))
 
 
 def _seasonal_oracle() -> str:
@@ -858,8 +865,9 @@ register("ext_brier_decomp", q_ext_brier_decomp, _brier_oracle())
 # quantized at the source.
 
 
-def q_ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_cents(spark, sf_dir)
+def runs_from_daily(daily: DataFrame) -> DataFrame:
+    """The runs test over ANY (day, c) frame — factored for the
+    streaming twin, like ``seasonal_from_daily`` above."""
     w = Window.orderBy("c")
     wall = Window.partitionBy()
     cum = daily.select(
@@ -924,6 +932,10 @@ def q_ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_stat"),
     )
+
+
+def q_ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return runs_from_daily(_daily_cents(spark, sf_dir))
 
 
 def _runs_oracle() -> str:

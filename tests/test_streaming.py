@@ -562,3 +562,85 @@ def test_stream_pii_counts_matches_batch_audit(spark, documents_stream_dir):
         for r in QUERIES["ext_pii_audit"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_daily_cents_feeds_seasonal_decompose(
+    spark, events_batch, events_stream_dir
+):
+    """The r9 seasonal decomposition over the STREAMED daily substrate
+    (complete mode, calendar-bounded state) must be bit-identical to the
+    same decomposition over the batch daily frame — the factored
+    seasonal_from_daily (r10; the psi_from_binned discipline) is the
+    shared code path, so the assertion pins that the streamed state is a
+    drop-in substrate for the whole daily-diagnostics family."""
+    import be_analytic_etl_spark.registry  # noqa: F401  (import order)
+    from be_analytic_etl_spark.queries_round9 import seasonal_from_daily
+    from be_analytic_etl_spark.streaming import stream_daily_cents
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_daily_cents(stream)
+        .writeStream.format("memory")
+        .queryName("t_seasonal_sub")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    streamed_daily = spark.table("t_seasonal_sub").select(
+        "day", F.col("cents").alias("c")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    batch_daily = (
+        events_batch.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("c"))
+    )
+    got = sorted(
+        (str(r["day"]), r["cents"], r["dow"], r["trend_cents"],
+         r["seasonal_cents"], r["remainder_cents"])
+        for r in seasonal_from_daily(streamed_daily).collect()
+    )
+    want = sorted(
+        (str(r["day"]), r["cents"], r["dow"], r["trend_cents"],
+         r["seasonal_cents"], r["remainder_cents"])
+        for r in seasonal_from_daily(batch_daily).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_daily_cents_feeds_runs_test(
+    spark, events_batch, events_stream_dir
+):
+    """Same twin discipline for the Wald-Wolfowitz runs test: the
+    streamed substrate through the factored runs_from_daily must equal
+    the batch result bit-for-bit (exact median split, run count, z)."""
+    import be_analytic_etl_spark.registry  # noqa: F401  (import order)
+    from be_analytic_etl_spark.queries_round9 import runs_from_daily
+    from be_analytic_etl_spark.streaming import stream_daily_cents
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_daily_cents(stream)
+        .writeStream.format("memory")
+        .queryName("t_runs_sub")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    streamed_daily = spark.table("t_runs_sub").select(
+        "day", F.col("cents").alias("c")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    batch_daily = (
+        events_batch.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("c"))
+    )
+    got = runs_from_daily(streamed_daily).collect()[0]
+    want = runs_from_daily(batch_daily).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got["runs"] >= 1 and got["n_used"] == got["n_above"] + got["n_below"]
