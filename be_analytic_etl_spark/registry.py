@@ -74,56 +74,56 @@ from be_analytic_etl_spark import queries_round10  # noqa: E402,F401
 # the full re-frozen window was swept at sf0.1. The rotation tool now
 # also FAILS if any registered query would exceed 5 rounds unchecked.
 _DRIVER_WINDOW_PRIORITY = [
-    "ext_cliffs_delta",
-    "ext_mann_whitney",
-    "ext_seasonal_decompose",
-    "ext_theil_sen",
-    "ext_kendall_tau",
-    "ext_gini_tokens",
-    "ext_brier_decomp",
-    "ext_runs_test",
-    "ext_token_lorenz",
-    "ext_levene",
-    "ext_mcnemar",
-    "ext_tfidf",
-    "ext_contamination",
-    "ext_hash_split",
-    "ext_dedup_groups",
-    "ext_asof_join",
-    "ext_gapfill",
-    "ext_salted_join",
-    "ext_merge_upsert",
-    "ext_scd2",
-    "ext_range_join",
-    "ext_weighted_sample",
-    "ext_hll_distinct",
-    "ext_kmeans",
-    "ext_countmin",
-    "ext_profile",
-    "ext_zorder",
-    "ext_pipeline",
-    "ext_bloom_join",
-    "ext_pagerank",
-    "ext_repetition",
-    "ext_semantic_neardup",
-    "ext_semantic_neardup_multiprobe",
-    "ext_incremental_dedup",
-    "ext_pack_shards",
-    "ext_oov_rate",
-    "ext_leakage_safe_split",
-    "ext_cross_source_overlap",
-    "ext_histogram_quantiles",
-    "ext_lsh_recall",
-    "ext_stratified_sample",
-    "ext_triangles",
-    "ext_bigram_topk",
-    "ext_chunk_dedup",
-    "ext_url_normalize",
-    "ext_ewma",
-    "ext_dq_audit",
-    "ext_ancestors",
-    "ext_corpus_report",
-    "ext_corr_matrix",
+    "ext_kruskal_wallis",
+    "ext_mood_median",
+    "ext_cramers_v",
+    "ext_hellinger",
+    "ext_cvm",
+    "ext_jonckheere",
+    "ext_wasserstein",
+    "ext_hodges_lehmann",
+    "ext_siegel_slopes",
+    "ext_friedman",
+    "flagship_mom_pivot",
+    "groupby_avg",
+    "lag_mom_variation",
+    "conditional_pivot",
+    "ingest_e2e",
+    "ingest_finalize",
+    "returned_revenue",
+    "market_share",
+    "window_suite",
+    "min_cost_supplier",
+    "grouping_sets",
+    "forecast_revenue",
+    "sole_blame_supplier",
+    "nation_profit",
+    "important_parts",
+    "supplier_variety",
+    "volume_suppliers",
+    "ext_freq_spectrum",
+    "ext_skew_profile",
+    "ext_embedding_stats",
+    "ext_bigram_lm",
+    "ext_lsh_tuning",
+    "ext_zscore_outliers",
+    "recursive_cte_ancestors",
+    "ext_dup_survivorship",
+    "ext_mixture_sample",
+    "ext_containment",
+    "ext_quality_bins",
+    "ext_rolling_median",
+    "ext_per_key_sample",
+    "ext_lm_score",
+    "ext_semdedup",
+    "ext_pq_ann",
+    "ext_ivf_pq_ann",
+    "ext_window_dedup",
+    "ext_frequent_pairs",
+    "ext_mad_outliers",
+    "ext_c4_filter",
+    "ext_char_entropy",
+    "ext_paragraph_dedup",
 ]
 
 # ---------------------------------------------------------------------------
