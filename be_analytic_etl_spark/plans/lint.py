@@ -385,6 +385,10 @@ BNL_ALLOWLIST: dict[str, str] = {
     "ext_hodges_lehmann": "grid: calendar-bounded weekend x weekday pair frame",
     "ext_siegel_slopes": "grid: calendar-bounded daily pair join (Theil-Sen shape)",
     "ext_friedman": "scalar-fold: |types| count + moment folds onto calendar frame",
+    # -- round-10 batch 2: event-sequence analytics (r10 audit)
+    "ext_funnel": "scalar-fold: three single-row step counts crossJoined",
+    "ext_attribution": "scalar-fold: single-row revenue total onto |types| rows",
+    "ext_rfm_segments": "scalar-fold: 1-row max-date + 1-row quartile frames onto per-customer frame",
     # -- sampling / weighting: single-row or |sources|-row weight folds
     "ext_mixture_sample": "scalar-fold: |sources|-row weight frame",
     "ext_curriculum_sample": "scalar-fold: stage thresholds (single row)",

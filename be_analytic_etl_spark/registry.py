@@ -54,25 +54,27 @@ from be_analytic_etl_spark import queries_round7  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round8  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round9  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round10  # noqa: E402,F401
+from be_analytic_etl_spark import queries_round10b  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
 # queries against the DuckDB oracle; everything after the window is only
 # locally gated (tests/test_registry_oracle.py). This block is GENERATED:
 # run `python tools/rotate_window.py --apply` after a round's
-# CORRECTNESS_r{N}.json lands — never hand-edit. Round-9 rotation
-# (from CORRECTNESS_r01-r08; round 8 left 233/233 ever-checked green,
-# zero reds): the 11 round-9 additions (never-checked — rank effect
-# sizes ext_cliffs_delta/ext_mann_whitney/ext_kendall_tau, time-series
-# ext_seasonal_decompose/ext_theil_sen/ext_runs_test, concentration
-# ext_gini_tokens/ext_token_lorenz, classifier eval ext_brier_decomp/
-# ext_mcnemar, spread test ext_levene), then the 39-query r4 cohort —
-# the oldest greens, exactly as the written r9 plan and the r8 verdict
-# prescribed (SS2 core was checked r8 and re-enters in r10). Every new
-# window member was pre-proven this round against
-# tools/verify_driver.py at sf0.001 AND sf0.01 AND sf0.1 (strict 17g);
-# the full re-frozen window was swept at sf0.1. The rotation tool now
-# also FAILS if any registered query would exceed 5 rounds unchecked.
+# CORRECTNESS_r{N}.json lands — never hand-edit. Round-10 rotation
+# (from CORRECTNESS_r01-r09; round 9 left 244/244 ever-checked green,
+# zero reds): the 14 round-10 additions (never-checked — the k-sample
+# rank-test / distribution-distance panel ext_kruskal_wallis ..
+# ext_friedman, then event-sequence analytics ext_funnel /
+# ext_attribution / ext_rfm_segments and the vocabulary-richness
+# estimator ext_chao1_vocab), then the SS2 core (last checked r8 —
+# force-entered on its 2-round cadence, the r9 verdict ask #1), then
+# the oldest greens (the r5 cohort). Every new window member was
+# pre-proven this round against tools/verify_driver.py at sf0.001 AND
+# sf0.01 AND sf0.1 (strict 17g), and the FULL 254-query pre-batch-2
+# registry was re-proven at sf0.01 before the window froze. The
+# rotation tool FAILS if any registered query would exceed 5 rounds
+# unchecked, and hard-fails past the 288-query capacity ceiling.
 _DRIVER_WINDOW_PRIORITY = [
     "ext_kruskal_wallis",
     "ext_mood_median",
@@ -84,6 +86,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_hodges_lehmann",
     "ext_siegel_slopes",
     "ext_friedman",
+    "ext_funnel",
+    "ext_attribution",
+    "ext_rfm_segments",
+    "ext_chao1_vocab",
     "flagship_mom_pivot",
     "groupby_avg",
     "lag_mom_variation",
@@ -120,10 +126,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_ivf_pq_ann",
     "ext_window_dedup",
     "ext_frequent_pairs",
-    "ext_mad_outliers",
-    "ext_c4_filter",
-    "ext_char_entropy",
-    "ext_paragraph_dedup",
 ]
 
 # ---------------------------------------------------------------------------
