@@ -143,8 +143,12 @@ def group_zscore_outliers(
         F.sum(xsq_dec).cast("double").alias("__sumsq"),
     )
     mean = F.col("__sum") / F.col("n")
+    # n == 1 -> sample variance undefined: NULL-divide instead of /0
+    # (ANSI double DIVIDE_BY_ZERO; the census then counts 0 outliers —
+    # the NULL comparison is false in both engines). Oracle twin:
+    # NULLIF(n - 1, 0).
     var = (F.col("__sumsq") - F.col("__sum") * F.col("__sum") / F.col("n")) / (
-        F.col("n") - 1
+        F.when(F.col("n") > 1, F.col("n") - 1)
     )
     stats = stats.select(
         *group_cols,

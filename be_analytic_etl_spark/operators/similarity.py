@@ -579,6 +579,13 @@ def _pq_codebook(
         .limit(n_codes)
         .collect()
     )
+    # Plan-time precondition (like clustering.kmeans): fail with a clear
+    # message instead of an IndexError on a near-empty corpus.
+    if len(cb_rows) < n_codes:
+        raise ValueError(
+            f"PQ codebook needs at least n_codes={n_codes} vectors, "
+            f"got {len(cb_rows)}"
+        )
     dim = len(cb_rows[0]["__v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -150,7 +150,7 @@ register(
     derived AS (
         SELECT l_returnflag, l_linestatus, n,
                s1 / n AS mean_value,
-               (s2 - s1 * s1 / n) / (n - 1) AS variance
+               (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) AS variance
         FROM stats
     )
     SELECT d.l_returnflag, d.l_linestatus,
@@ -608,8 +608,13 @@ def q_ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sab = F.col(f"s2_{a}_{b}").cast("double")
         saa = F.col(f"s2_{a}_{a}").cast("double")
         sbb = F.col(f"s2_{b}_{b}").cast("double")
-        return (nd * sab - sa * sb) / (
-            F.sqrt(nd * saa - sa * sa) * F.sqrt(nd * sbb - sb * sb)
+        # Degenerate guard (ANSI double DIVIDE_BY_ZERO on a 1-row /
+        # constant-column corpus: zero variance makes the denominator
+        # sqrt(0)): correlation is undefined there — emit NULL.
+        return F.when(
+            (nd * saa - sa * sa > 0) & (nd * sbb - sb * sb > 0),
+            (nd * sab - sa * sb)
+            / (F.sqrt(nd * saa - sa * sa) * F.sqrt(nd * sbb - sb * sb)),
         )
 
     rows = F.explode(
@@ -652,14 +657,21 @@ def _corr_matrix_oracle() -> str:
 
     branches = []
     for a, b in _CORR_PAIRS:
+        # degenerate guard mirrored from the Spark side (zero variance)
+        var_a = (
+            f"(CAST(n AS DOUBLE) * {dd(f's2_{a}_{a}')}"
+            f" - {dd(f's_{a}')} * {dd(f's_{a}')})"
+        )
+        var_b = (
+            f"(CAST(n AS DOUBLE) * {dd(f's2_{b}_{b}')}"
+            f" - {dd(f's_{b}')} * {dd(f's_{b}')})"
+        )
         branches.append(
             f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"CASE WHEN {var_a} > 0 AND {var_b} > 0 THEN "
             f"(CAST(n AS DOUBLE) * {dd(f's2_{a}_{b}')}"
             f" - {dd(f's_{a}')} * {dd(f's_{b}')}) / "
-            f"(sqrt(CAST(n AS DOUBLE) * {dd(f's2_{a}_{a}')}"
-            f" - {dd(f's_{a}')} * {dd(f's_{a}')}) * "
-            f"sqrt(CAST(n AS DOUBLE) * {dd(f's2_{b}_{b}')}"
-            f" - {dd(f's_{b}')} * {dd(f's_{b}')})) AS corr "
+            f"(sqrt({var_a}) * sqrt({var_b})) END AS corr "
             f"FROM m"
         )
     return (

@@ -515,8 +515,14 @@ def q_ext_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     restd = (F.col("__g") - F.col("__c")).cast("double")
     nld = F.col("__nl").cast("double")
     nrd = (F.col("__n") - F.col("__nl")).cast("double")
-    term = stable_round(
-        F.sqrt(cd * restd) / F.sqrt(nld * nrd), 12
+    # Degenerate guard (ANSI double DIVIDE_BY_ZERO on a single-language
+    # corpus: nrd = 0 makes the per-row denominator sqrt(0) before the
+    # NULL-gated output): NULL the term for a lang covering the whole
+    # corpus — SUM skips it identically in both engines and the `ok`
+    # gate already emits NULL for that lang.
+    term = F.when(
+        (F.col("__nl") > 0) & (F.col("__nl") < F.col("__n")),
+        stable_round(F.sqrt(cd * restd) / F.sqrt(nld * nrd), 12),
     ).cast("decimal(18,12)")
     per = j.groupBy("lang", "__nl", "__n").agg(F.sum(term).alias("__bc"))
     bcd = F.col("__bc").cast("double")
@@ -532,10 +538,15 @@ def q_ext_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hellinger_oracle() -> str:
-    term = stable_round_sql(
-        "(sqrt(CAST(__c AS DOUBLE) * CAST(__g - __c AS DOUBLE))"
-        " / sqrt(CAST(__nl AS DOUBLE) * CAST(__n - __nl AS DOUBLE)))",
-        12,
+    # degenerate guard mirrored from the Spark side (single-lang corpus)
+    term = (
+        "(CASE WHEN __nl > 0 AND __nl < __n THEN "
+        + stable_round_sql(
+            "(sqrt(CAST(__c AS DOUBLE) * CAST(__g - __c AS DOUBLE))"
+            " / sqrt(CAST(__nl AS DOUBLE) * CAST(__n - __nl AS DOUBLE)))",
+            12,
+        )
+        + " END)"
     )
     bcd = exact_dec_double_sql("__bc")
     hel = f"sqrt(GREATEST(0.0, 1.0 - {bcd}))"
@@ -606,8 +617,15 @@ def q_ext_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__f2"
     ).cast("double") / F.col("__n2").cast("double")
     nd = (F.col("__n1") + F.col("__n2")).cast("double")
-    term = stable_round(
-        (F.col("__g").cast("double") / nd) * df_ * df_, 12
+    # Degenerate guard (robustness class: ANSI double DIVIDE_BY_ZERO,
+    # caught by tests/test_degenerate_corpora.py): a single-language
+    # corpus has __n2 = 0, and the per-row df_ division throws BEFORE
+    # the NULL-gated output is reached. NULL the term instead — SUM
+    # skips it identically in both engines, and the final `ok` gate
+    # already emits NULL for this shape.
+    term = F.when(
+        (F.col("__n1") > 0) & (F.col("__n2") > 0),
+        stable_round((F.col("__g").cast("double") / nd) * df_ * df_, 12),
     ).cast("decimal(18,12)")
     folded = cum.groupBy().agg(
         F.max("__n1").alias("n_en"),
@@ -629,8 +647,11 @@ def _cvm_oracle() -> str:
         " - CAST(__f2 AS DOUBLE) / CAST(__n2 AS DOUBLE))"
     )
     nd = "CAST(__n1 + __n2 AS DOUBLE)"
-    term = stable_round_sql(
-        f"((CAST(__g AS DOUBLE) / {nd}) * {df_} * {df_})", 12
+    # degenerate guard mirrored from the Spark side (single-group corpus)
+    term = (
+        "(CASE WHEN __n1 > 0 AND __n2 > 0 THEN "
+        + stable_round_sql(f"((CAST(__g AS DOUBLE) / {nd}) * {df_} * {df_})", 12)
+        + " END)"
     )
     n1d = "CAST(n_en AS DOUBLE)"
     n2d = "CAST(n_rest AS DOUBLE)"

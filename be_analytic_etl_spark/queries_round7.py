@@ -449,9 +449,15 @@ def q_ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__na_name").over(tot).alias("src_a"),
         F.max("__nb_name").over(tot).alias("src_b"),
     )
-    d = F.abs(
-        F.col("__cuma").cast("double") / F.col("__na").cast("double")
-        - F.col("__cumb").cast("double") / F.col("__nb").cast("double")
+    # Degenerate guard (ANSI double DIVIDE_BY_ZERO when the corpus has a
+    # single source: __nb = 0): NULL the per-row gap — MAX skips it
+    # identically in both engines and d_stat comes out NULL.
+    d = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        F.abs(
+            F.col("__cuma").cast("double") / F.col("__na").cast("double")
+            - F.col("__cumb").cast("double") / F.col("__nb").cast("double")
+        ),
     )
     return sw.groupBy("src_a", "src_b").agg(
         F.max("__na").alias("n_a"),
@@ -500,8 +506,10 @@ def _ks_oracle() -> str:
     )
     SELECT src_a, src_b,
            MAX(__na) AS n_a, MAX(__nb) AS n_b,
-           MAX(ABS(CAST(__cuma AS DOUBLE) / CAST(__na AS DOUBLE)
-                   - CAST(__cumb AS DOUBLE) / CAST(__nb AS DOUBLE))) AS d_stat
+           MAX(CASE WHEN __na > 0 AND __nb > 0 THEN
+                   ABS(CAST(__cuma AS DOUBLE) / CAST(__na AS DOUBLE)
+                       - CAST(__cumb AS DOUBLE) / CAST(__nb AS DOUBLE))
+               END) AS d_stat
     FROM sw GROUP BY src_a, src_b
     """
 
@@ -934,9 +942,16 @@ def q_ext_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     ne = F.col("n_exceed").cast("double")
-    m = F.col("__s1").cast("double") / ne
-    s2 = (F.col("__s2").cast("double") - ne * m * m) / (ne - F.lit(1.0))
-    r = m * m / s2
+    # NULL-safe divisions (ANSI double DIVIDE_BY_ZERO): with zero/one
+    # exceedance the `ok` output gates never fire, but codegen's
+    # subexpression elimination hoists these shared quotients OUT of
+    # the lazy CASE branches and evaluates them unconditionally — so
+    # the guard must live on the division itself. Oracle twin: NULLIF.
+    m = F.col("__s1").cast("double") / F.when(ne > 0, ne)
+    s2 = (F.col("__s2").cast("double") - ne * m * m) / F.when(
+        ne > 1, ne - F.lit(1.0)
+    )
+    r = m * m / F.when(s2 > 0, s2)  # s2 == 0 with tied exceedances
     xi = (F.lit(1.0) - r) / F.lit(2.0)
     beta = m * (r + F.lit(1.0)) / F.lit(2.0)
     ok = (F.col("n_exceed") > 1) & (F.col("__s2") > 0)
@@ -954,9 +969,10 @@ def _gpd_oracle() -> str:
     s1d = exact_dec_double_sql("__s1")
     s2d = exact_dec_double_sql("__s2")
     ne = "CAST(n_exceed AS DOUBLE)"
-    m = f"({s1d} / {ne})"
-    s2 = f"(({s2d} - {ne} * {m} * {m}) / ({ne} - 1.0))"
-    r = f"({m} * {m} / {s2})"
+    # degenerate guards mirrored from the Spark side (NULL-safe divides)
+    m = f"({s1d} / NULLIF({ne}, 0.0))"
+    s2 = f"(({s2d} - {ne} * {m} * {m}) / NULLIF({ne} - 1.0, 0.0))"
+    r = f"({m} * {m} / (CASE WHEN {s2} > 0 THEN {s2} END))"
     xi = f"((1.0 - {r}) / 2.0)"
     beta = f"({m} * ({r} + 1.0) / 2.0)"
     return f"""

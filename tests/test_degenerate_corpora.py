@@ -1,0 +1,89 @@
+"""Degenerate-corpus robustness gate: EVERY registered query must run
+(possibly to an empty / NULL-gated result) on a 1-row version of every
+table, under the driver's ANSI-on session.
+
+Why this exists: Spark 4 ANSI mode throws DIVIDE_BY_ZERO for DOUBLE
+division too (not just integral/decimal), and codegen's subexpression
+elimination can hoist a division shared by several CASE branches out of
+the lazy branch — so an output-gated `when(ok, x / d)` still crashes
+when `d` is 0 on a degenerate group. Round 10 found six such crashes
+(ext_cvm, ext_hellinger, ext_zscore_outliers, ext_corr_matrix,
+ext_ks_test, ext_gpd_tail) that the fixed testdata can never trigger:
+each statistic's complement group (rest-of-corpus, second source,
+exceedance set) is nonempty at every SF, but empty on a 1-row table.
+The fix idiom is to guard the DIVISION itself (`x / F.when(d > 0, d)`,
+oracle twin NULLIF) rather than only the output.
+
+Explicit plan-time preconditions (a clear ValueError instead of a
+nonsense result) are allowed and pinned below."""
+
+from __future__ import annotations
+
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+#: queries that legitimately REFUSE tiny inputs, with the message bit
+#: that proves the refusal is the documented precondition, not a crash.
+PRECONDITIONS = {
+    "ext_kmeans": "rows",
+    "ext_pq_ann": "PQ codebook needs",
+    "ext_ivf_pq_ann": "PQ codebook needs",
+}
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("degen_one_row"))
+    for t in TABLES:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(1)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/{t}.parquet")
+        )
+    return d
+
+
+def test_every_query_survives_one_row_tables(spark, one_row_dir):
+    from be_analytic_etl_spark.registry import QUERIES
+
+    crashes = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, one_row_dir).collect()
+        except ValueError as e:
+            if PRECONDITIONS.get(name, "\x00") not in str(e):
+                crashes.append((name, f"ValueError: {e}"))
+        except Exception as e:  # noqa: BLE001 - we want the census
+            crashes.append((name, str(e).splitlines()[0][:100]))
+    assert not crashes, f"{len(crashes)} queries crash on 1-row tables: {crashes}"
+
+
+def test_single_language_tied_documents(spark, tmp_path):
+    """The shape that caught ext_cvm/ext_hellinger live: one language,
+    one source, all scores tied — every complement group empty."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    d = str(tmp_path / "degen_tied")
+    rows = [(i, "word " * 4, "en", "web", 100) for i in range(5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    for name in (
+        "ext_cvm",
+        "ext_hellinger",
+        "ext_wasserstein",
+        "ext_ks_test",
+        "ext_kruskal_wallis",
+        "ext_mood_median",
+        "ext_cliffs_delta",
+        "ext_mann_whitney",
+    ):
+        out = QUERIES[name](spark, d).collect()  # must not raise
+        assert out is not None
