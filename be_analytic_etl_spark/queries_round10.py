@@ -980,8 +980,12 @@ register("ext_wasserstein", q_ext_wasserstein, _wasserstein_oracle())
 # double is (d_lo + d_hi) / count of exact integers.
 
 
-def q_ext_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_cents(spark, sf_dir)
+def hl_from_daily(daily: DataFrame) -> DataFrame:
+    """Hodges-Lehmann weekend-vs-weekday shift from a ``(day, c)`` daily
+    frame — factored so the STREAMED daily substrate
+    (streaming.stream_daily_cents, complete mode) feeds the identical
+    code path as the batch query (the seasonal_from_daily / psi twin
+    discipline; pinned bit-identical in tests/test_streaming.py)."""
     dow = F.expr("weekday(day)").cast("int")
     wk = daily.filter(dow >= 5).select(F.col("c").alias("__cx"))
     wd = daily.filter(dow < 5).select(F.col("c").alias("__cy"))
@@ -1009,6 +1013,10 @@ def q_ext_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(med)).select(
         "n_weekend", "n_weekday", "n_pairs", "hl_shift_cents"
     )
+
+
+def q_ext_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hl_from_daily(_daily_cents(spark, sf_dir))
 
 
 def _hl_oracle() -> str:
@@ -1056,8 +1064,9 @@ register("ext_hodges_lehmann", q_ext_hodges_lehmann, _hl_oracle())
 # the same fixed-order IEEE expression in both engines.
 
 
-def q_ext_siegel_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_cents(spark, sf_dir)
+def siegel_from_daily(daily: DataFrame) -> DataFrame:
+    """Siegel repeated-medians slope from a ``(day, c)`` daily frame —
+    factored for the streaming twin (see hl_from_daily)."""
     a = daily.select(F.col("day").alias("da"), F.col("c").alias("ca"))
     b = daily.select(F.col("day").alias("db"), F.col("c").alias("cb"))
     slope = (F.col("cb") - F.col("ca")).cast("double") / F.datediff(
@@ -1096,6 +1105,10 @@ def q_ext_siegel_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__nd").cast("long").alias("n_days"),
         (F.sum("__m") / F.count(F.lit(1)).cast("double")).alias("siegel_slope"),
     )
+
+
+def q_ext_siegel_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return siegel_from_daily(_daily_cents(spark, sf_dir))
 
 
 def _siegel_oracle() -> str:

@@ -644,3 +644,75 @@ def test_stream_daily_cents_feeds_runs_test(
     want = runs_from_daily(batch_daily).collect()[0]
     assert got.asDict() == want.asDict()
     assert got["runs"] >= 1 and got["n_used"] == got["n_above"] + got["n_below"]
+
+
+def test_stream_daily_cents_feeds_hodges_lehmann(
+    spark, events_batch, events_stream_dir
+):
+    """Round-10 twin: the Hodges-Lehmann weekend-vs-weekday shift over
+    the STREAMED daily substrate must be bit-identical to the batch
+    result (exact cents pairs, two-middle-rank median)."""
+    import be_analytic_etl_spark.registry  # noqa: F401  (import order)
+    from be_analytic_etl_spark.queries_round10 import hl_from_daily
+    from be_analytic_etl_spark.streaming import stream_daily_cents
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_daily_cents(stream)
+        .writeStream.format("memory")
+        .queryName("t_hl_sub")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    streamed_daily = spark.table("t_hl_sub").select(
+        "day", F.col("cents").alias("c")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    batch_daily = (
+        events_batch.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("c"))
+    )
+    got = hl_from_daily(streamed_daily).collect()[0]
+    want = hl_from_daily(batch_daily).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert want["n_pairs"] > 0
+
+
+def test_stream_daily_cents_feeds_siegel_slopes(
+    spark, events_batch, events_stream_dir
+):
+    """Round-10 twin: the Siegel repeated-medians slope over the
+    STREAMED daily substrate must equal the batch slope bit-for-bit
+    (both median layers are exact two-middle-rank selections)."""
+    import be_analytic_etl_spark.registry  # noqa: F401  (import order)
+    from be_analytic_etl_spark.queries_round10 import siegel_from_daily
+    from be_analytic_etl_spark.streaming import stream_daily_cents
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_daily_cents(stream)
+        .writeStream.format("memory")
+        .queryName("t_siegel_sub")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    streamed_daily = spark.table("t_siegel_sub").select(
+        "day", F.col("cents").alias("c")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    batch_daily = (
+        events_batch.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("c"))
+    )
+    got = siegel_from_daily(streamed_daily).collect()[0]
+    want = siegel_from_daily(batch_daily).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert want["n_days"] > 0
