@@ -97,9 +97,16 @@ def add_dense_id(
         adjust[pid] = acc - (pid << 33) + 1
         acc += counts[pid]
 
-    adjust_map = F.create_map(
-        *[x for pid, a in adjust.items() for x in (F.lit(pid), F.lit(a).cast("long"))]
-    )
+    if not adjust:
+        # EMPTY input: no partitions reported counts, and `map()[pid]`
+        # would not even type-check (NULL-typed empty map). The id
+        # projection runs over zero rows anyway — a NULL literal keeps
+        # the schema (long) and the plan valid.
+        adjust_map = F.create_map().cast("map<int,long>")
+    else:
+        adjust_map = F.create_map(
+            *[x for pid, a in adjust.items() for x in (F.lit(pid), F.lit(a).cast("long"))]
+        )
     return (
         stamped.withColumn(
             id_col, (adjust_map[F.col("__pid")] + F.col("__mid")).cast("long")

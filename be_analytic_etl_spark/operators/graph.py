@@ -416,6 +416,11 @@ def pagerank(
     )
     outdeg = e.groupBy(F.col("s").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
     n = nodes.count()  # control plane: one scalar
+    if n == 0:
+        # EMPTY graph: PageRank of nothing is nothing — return the empty
+        # (id, score) frame instead of dividing by zero on the driver.
+        e.unpersist()
+        return nodes.select("id", F.lit(0).cast("long").alias("score"))
     base = (1.0 - damping) * float(scale) / float(n)  # single double literal
     init = int(float(scale) / float(n))  # floor, matching CAST(... AS BIGINT)
 

@@ -557,6 +557,13 @@ def _coarse_centroids(
         .limit(n_cells)
         .collect()
     )
+    # Plan-time precondition (like the PQ codebook): an EMPTY corpus
+    # would otherwise build a zero-length sims array whose SQL literal
+    # no longer type-checks (NULL_TYPE array_position).
+    if not cent_rows:
+        raise ValueError(
+            f"IVF coarse quantizer needs at least 1 vector (n_cells={n_cells}), got 0"
+        )
     cent_vecs = [[float(x) for x in r["__v"]] for r in cent_rows]
     cent_norms = [math.sqrt(_py_dot(cv, cv)) for cv in cent_vecs]
     return cent_vecs, cent_norms

@@ -297,7 +297,12 @@ def q_ext_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0, subset=["cnt"])
         .crossJoin(F.broadcast(tot))
     )
-    freq = F.col("cnt").cast("double") / F.col("__n").cast("double")
+    # NULL-safe divide: an EMPTY corpus (0 qualifying orders) must yield
+    # NULL freq/abs_dev, not an ANSI DIVIDE_BY_ZERO (class-8 guard;
+    # oracle twin NULLIF).
+    freq = F.col("cnt").cast("double") / F.when(
+        F.col("__n") > 0, F.col("__n").cast("double")
+    )
     return j.select(
         "digit",
         "cnt",
@@ -309,7 +314,7 @@ def q_ext_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _benford_oracle() -> str:
     arr = "[" + ", ".join(repr(p) for p in _BENFORD_P6) + "]"
-    freq = "(CAST(cnt AS DOUBLE) / CAST(__n AS DOUBLE))"
+    freq = "(CAST(cnt AS DOUBLE) / NULLIF(CAST(__n AS DOUBLE), 0.0))"
     dev = stable_round_sql(f"ABS({freq} - {arr}[digit])", 6)
     return f"""
     WITH d AS (

@@ -83,12 +83,15 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     path = f"/tmp/spark_graft_part_{_tag(sf_dir)}"
-    write_partitioned(
-        orders.select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"),
-        path,
-        partition_cols=["o_orderpriority"],
+    sel = orders.select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
     )
-    back = spark.read.parquet(path)
+    write_partitioned(sel, path, partition_cols=["o_orderpriority"])
+    # Explicit schema: an EMPTY input writes zero partition directories
+    # and schema INFERENCE would fail (UNABLE_TO_INFER_SCHEMA); partition
+    # discovery (and the pruned PartitionFilters plan shape pinned by
+    # tests/test_storage.py) is unaffected by a user-supplied schema.
+    back = spark.read.schema(sel.schema).parquet(path)
     return (
         back.filter(F.col("o_orderpriority") == "1-URGENT")
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
@@ -252,6 +255,13 @@ def q_rest_tsv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f.write(f"{r.n_name}\t{r.n_nationkey}\n")
         paths[rk] = p
     register_rest_tsv(spark)
+    if not paths:
+        # EMPTY manifest: zero resources to fetch — the source's `urls`
+        # contract correctly refuses a blank option, so short-circuit to
+        # the empty result frame with the output schema.
+        return spark.createDataFrame(
+            [], "region_bucket int, n_lines long, key_sum long, first_name string"
+        )
     df = (
         spark.read.format("rest_tsv")
         .option("urls", ",".join(f"file://{p}" for p in paths.values()))

@@ -34,6 +34,18 @@ PRECONDITIONS = {
     "ext_ivf_pq_ann": "PQ codebook needs",
 }
 
+#: additionally allowed on fully EMPTY tables: every model-fit operator
+#: that trains on seed vectors (coarse quantizer / codebook / k-means)
+#: refuses with a clear message instead of producing a nonsense model.
+EMPTY_PRECONDITIONS = {
+    **PRECONDITIONS,
+    "ext_ivf_pq_ann": "IVF coarse quantizer needs",
+    "ext_ivf_ann": "IVF coarse quantizer needs",
+    "ext_semdedup": "IVF coarse quantizer needs",
+    "ext_semantic_neardup": "IVF coarse quantizer needs",
+    "ext_semantic_neardup_multiprobe": "IVF coarse quantizer needs",
+}
+
 
 @pytest.fixture(scope="module")
 def one_row_dir(spark, tmp_path_factory):
@@ -62,6 +74,39 @@ def test_every_query_survives_one_row_tables(spark, one_row_dir):
         except Exception as e:  # noqa: BLE001 - we want the census
             crashes.append((name, str(e).splitlines()[0][:100]))
     assert not crashes, f"{len(crashes)} queries crash on 1-row tables: {crashes}"
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("degen_empty"))
+    for t in TABLES:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/{t}.parquet")
+        )
+    return d
+
+
+def test_every_query_survives_empty_tables(spark, empty_dir):
+    """An empty upstream batch (a backfill window with no data, a brand
+    new source) must produce an empty / NULL-gated result or a clear
+    model-fit precondition error — never an UNABLE_TO_INFER_SCHEMA,
+    NULL-typed literal, empty-map lookup, or driver-side ZeroDivision."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    crashes = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, empty_dir).collect()
+        except ValueError as e:
+            if EMPTY_PRECONDITIONS.get(name, "\x00") not in str(e):
+                crashes.append((name, f"ValueError: {e}"))
+        except Exception as e:  # noqa: BLE001 - we want the census
+            crashes.append((name, str(e).splitlines()[0][:100]))
+    assert not crashes, f"{len(crashes)} queries crash on empty tables: {crashes}"
 
 
 def test_single_language_tied_documents(spark, tmp_path):
