@@ -389,6 +389,8 @@ BNL_ALLOWLIST: dict[str, str] = {
     "ext_funnel": "scalar-fold: three single-row step counts crossJoined",
     "ext_attribution": "scalar-fold: single-row revenue total onto |types| rows",
     "ext_rfm_segments": "scalar-fold: 1-row max-date + 1-row quartile frames onto per-customer frame",
+    "ext_cuped": "scalar-fold: 1-row date-range frame onto the orders scan",
+    "ext_permutation_test": "scalar-fold: 1-row observed-stat frame onto the 64-row permutation fold",
     # -- sampling / weighting: single-row or |sources|-row weight folds
     "ext_mixture_sample": "scalar-fold: |sources|-row weight frame",
     "ext_curriculum_sample": "scalar-fold: stage thresholds (single row)",

@@ -55,6 +55,7 @@ from be_analytic_etl_spark import queries_round8  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round9  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round10  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round10b  # noqa: E402,F401
+from be_analytic_etl_spark import queries_round10c  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
@@ -63,13 +64,14 @@ from be_analytic_etl_spark import queries_round10b  # noqa: E402,F401
 # run `python tools/rotate_window.py --apply` after a round's
 # CORRECTNESS_r{N}.json lands — never hand-edit. Round-10 rotation
 # (from CORRECTNESS_r01-r09; round 9 left 244/244 ever-checked green,
-# zero reds): the 14 round-10 additions (never-checked — the k-sample
+# zero reds): the 18 round-10 additions (never-checked — the k-sample
 # rank-test / distribution-distance panel ext_kruskal_wallis ..
-# ext_friedman, then event-sequence analytics ext_funnel /
-# ext_attribution / ext_rfm_segments and the vocabulary-richness
-# estimator ext_chao1_vocab), then the SS2 core (last checked r8 —
-# force-entered on its 2-round cadence, the r9 verdict ask #1), then
-# the oldest greens (the r5 cohort). Every new window member was
+# ext_friedman; event-sequence analytics ext_funnel / ext_attribution /
+# ext_rfm_segments; the vocabulary panel ext_chao1_vocab /
+# ext_heaps_law; experimentation analytics ext_growth_accounting /
+# ext_permutation_test / ext_cuped), then the SS2 core (last checked
+# r8 — force-entered on its 2-round cadence, the r9 verdict ask #1),
+# then the oldest greens (the r5 cohort). Every new window member was
 # pre-proven this round against tools/verify_driver.py at sf0.001 AND
 # sf0.01 AND sf0.1 (strict 17g), and the FULL 254-query pre-batch-2
 # registry was re-proven at sf0.01 before the window froze. The
@@ -90,6 +92,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_attribution",
     "ext_rfm_segments",
     "ext_chao1_vocab",
+    "ext_heaps_law",
+    "ext_growth_accounting",
+    "ext_permutation_test",
+    "ext_cuped",
     "flagship_mom_pivot",
     "groupby_avg",
     "lag_mom_variation",
@@ -122,10 +128,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ext_per_key_sample",
     "ext_lm_score",
     "ext_semdedup",
-    "ext_pq_ann",
-    "ext_ivf_pq_ann",
-    "ext_window_dedup",
-    "ext_frequent_pairs",
 ]
 
 # ---------------------------------------------------------------------------
