@@ -491,18 +491,12 @@ register("ext_cramers_v", q_ext_cramers_v, _cramers_oracle())
 _HB_BINS = 10
 
 
-def q_ext_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    binc = F.least(
-        F.floor(F.col("__q6") * _HB_BINS).cast("int"), F.lit(_HB_BINS - 1)
-    )
-    cells = (
-        docs.select("lang", _q6())
-        .select("lang", binc.alias("__b"))
-        .groupBy("lang", "__b")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .localCheckpoint(eager=False)
-    )
+def hellinger_from_cells(cells: DataFrame) -> DataFrame:
+    """Per-language Bhattacharyya/Hellinger from a ``(lang, __b, __c)``
+    cell frame — factored so the STREAMED lang x decile substrate
+    (streaming.stream_lang_bins, complete mode) feeds the identical
+    readout as the batch query (the seasonal/HL twin discipline;
+    pinned bit-identical in tests/test_streaming.py)."""
     gb = cells.groupBy("__b").agg(F.sum("__c").cast("long").alias("__g"))
     nl = cells.groupBy("lang").agg(F.sum("__c").cast("long").alias("__nl"))
     tot = cells.agg(F.sum("__c").cast("long").alias("__n"))
@@ -535,6 +529,21 @@ def q_ext_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok, stable_round(F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bcd)), 6)
         ).alias("hellinger"),
     )
+
+
+def q_ext_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    binc = F.least(
+        F.floor(F.col("__q6") * _HB_BINS).cast("int"), F.lit(_HB_BINS - 1)
+    )
+    cells = (
+        docs.select("lang", _q6())
+        .select("lang", binc.alias("__b"))
+        .groupBy("lang", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    return hellinger_from_cells(cells)
 
 
 def _hellinger_oracle() -> str:

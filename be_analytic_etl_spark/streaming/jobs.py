@@ -579,6 +579,33 @@ def stream_quality_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
     )
 
 
+def stream_lang_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Streaming twin of the Hellinger substrate (queries_round10
+    ``q_ext_hellinger``'s cells frame): per-(lang, quality-score-decile)
+    counts, incrementally maintained on the |langs| x n_bins bounded
+    grid (complete mode, same discipline as ``stream_quality_bins``).
+    COUNT is the histogram merge, so the streamed state is
+    bit-identical to the batch cells frame and
+    ``queries_round10.hellinger_from_cells`` runs unchanged over it."""
+    from be_analytic_etl_spark.functions.rounding import stable_round
+    from be_analytic_etl_spark.operators import textstats as T
+
+    q6 = (
+        stable_round(T.quality_score("text", round_to=None), 6)
+        .cast("decimal(18,6)")
+        .alias("score")
+    )
+    b = F.least(
+        F.floor(F.col("score") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        docs.select("lang", q6)
+        .select("lang", b.alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def stream_pii_counts(docs: DataFrame) -> DataFrame:
     """Streaming twin of the PII-audit substrate (queries_round8
     ``ext_pii_audit``): maintain per-source document / PII-document /

@@ -716,3 +716,46 @@ def test_stream_daily_cents_feeds_siegel_slopes(
     want = siegel_from_daily(batch_daily).collect()[0]
     assert got.asDict() == want.asDict()
     assert want["n_days"] > 0
+
+
+def test_stream_lang_bins_feeds_hellinger(spark, documents_stream_dir):
+    """Round-10 twin: the streamed (lang, quality-decile) grid fed
+    through the factored hellinger_from_cells must reproduce the
+    registered batch ext_hellinger row-for-row (exact decimal BC sum,
+    fixed IEEE sqrt tail)."""
+    import be_analytic_etl_spark.registry  # noqa: F401  (import order)
+    from be_analytic_etl_spark.queries_round10 import hellinger_from_cells
+    from be_analytic_etl_spark.registry import QUERIES
+    from be_analytic_etl_spark.streaming import (
+        read_documents_stream,
+        stream_lang_bins,
+    )
+
+    stream = read_documents_stream(spark, documents_stream_dir)
+    q = (
+        stream_lang_bins(stream)
+        .writeStream.format("memory")
+        .queryName("t_lang_bins")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    cells = (
+        spark.table("t_lang_bins")
+        .select("lang", F.col("bin").alias("__b"), F.col("n").alias("__c"))
+        # hellinger_from_cells self-joins the cells frame; a memory-sink
+        # view yields conflicting attribute ids under self-join (the PSI
+        # twin's documented workaround), so cut the lineage
+        .localCheckpoint()
+    )
+    got = sorted(
+        (r["lang"], r["n_lang"], r["bhattacharyya"], r["hellinger"])
+        for r in hellinger_from_cells(cells).collect()
+    )
+    want = sorted(
+        (r["lang"], r["n_lang"], r["bhattacharyya"], r["hellinger"])
+        for r in QUERIES["ext_hellinger"](spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
