@@ -167,7 +167,9 @@ def test_chao1_matches_bruteforce(spark):
     out = _q(spark, "ext_chao1_vocab").collect()[0]
     assert (out["vocab_size"], out["total_tokens"]) == (v, n)
     assert (out["f1"], out["f2"]) == (f1, f2)
-    assert out["chao1"] == pytest.approx(v + f1 * (f1 - 1) / (2 * (f2 + 1)), rel=1e-9)
+    assert out["chao1"] == pytest.approx(  # emitted at 6dp (stable_round)
+        v + f1 * (f1 - 1) / (2 * (f2 + 1)), abs=1e-6
+    )
     assert out["gt_coverage"] == pytest.approx(1 - f1 / n, abs=1e-9)
     # Chao1 is a lower-bound ESTIMATE above the observed vocabulary
     assert out["chao1"] >= v
