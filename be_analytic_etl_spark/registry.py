@@ -73,8 +73,9 @@ from be_analytic_etl_spark import queries_round10c  # noqa: E402,F401
 # r8 — force-entered on its 2-round cadence, the r9 verdict ask #1),
 # then the oldest greens (the r5 cohort). Every new window member was
 # pre-proven this round against tools/verify_driver.py at sf0.001 AND
-# sf0.01 AND sf0.1 (strict 17g), and the FULL 254-query pre-batch-2
-# registry was re-proven at sf0.01 before the window froze. The
+# sf0.01 AND sf0.1 (strict 17g), and the FULL 262-query registry was
+# re-proven green at sf0.01 AND sf0.1 after the last addition (plus a
+# 254-query sf0.01 sweep before batch 2). The
 # rotation tool FAILS if any registered query would exceed 5 rounds
 # unchecked, and hard-fails past the 288-query capacity ceiling.
 _DRIVER_WINDOW_PRIORITY = [
