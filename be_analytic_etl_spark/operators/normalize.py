@@ -182,7 +182,12 @@ def temperature_weights(
         F.sum(F.size(tokenize(F.col(text_col)))).alias("n_tokens"),
     )
     total_tok = F.sum("n_tokens").over(Window.partitionBy())
-    p = (F.col("n_tokens").cast("double") / total_tok.cast("double")).alias("p")
+    # class-8 NULL-safe divide: zero corpus token mass (all-NULL text)
+    # must yield NULL p, not ANSI DIVIDE_BY_ZERO
+    p = (
+        F.col("n_tokens").cast("double")
+        / F.when(total_tok > 0, total_tok.cast("double"))
+    ).alias("p")
     # pow() output is an irrational double: quantize via stable_round
     # BEFORE the decimal accumulation (a raw double->decimal cast rounds
     # under each engine's own rule — the F.round divergence class).
@@ -204,7 +209,10 @@ def temperature_weights(
             "weight"
         ),
         stable_round(
-            (F.col("__w").cast("double") / total_w.cast("double")) / F.col("p"),
+            # p == 0 is REACHABLE on real data (one all-empty-text
+            # domain among non-empty ones): NULL-divide, don't throw
+            (F.col("__w").cast("double") / total_w.cast("double"))
+            / F.when(F.col("p") > 0, F.col("p")),
             8,
         ).alias("epochs_vs_uniform"),
     )

@@ -552,7 +552,10 @@ def _coarse_centroids(
     import math
 
     cent_rows = (
-        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
+        # NULL vectors cannot seed centroids (a NULL-poisoned batch
+        # would reach the driver-side float() loop as None)
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _vec(vec_col).alias("__v"))
         .orderBy(id_col)
         .limit(n_cells)
         .collect()
@@ -581,7 +584,8 @@ def _pq_codebook(
     Returns ``(cents, c2, sub)`` with ``cents[mm][j]`` the j-th codebook
     entry of subspace mm and ``sub`` the subvector length."""
     cb_rows = (
-        embeddings.select(F.col(id_col), _vec(vec_col).alias("__v"))
+        embeddings.filter(F.col(vec_col).isNotNull())  # see _coarse_centroids
+        .select(F.col(id_col), _vec(vec_col).alias("__v"))
         .orderBy(id_col)
         .limit(n_codes)
         .collect()

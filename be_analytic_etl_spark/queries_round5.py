@@ -1756,7 +1756,12 @@ def q_ext_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").cast("long").alias("total_tokens"),
         (
             (F.lit(2.0) * F.sum(F.col("__i") * F.col("toks")).cast("double"))
-            / (F.count(F.lit(1)) * F.sum("toks")).cast("double")
+            # class-8 NULL-safe divide: zero total token mass (all-NULL
+            # text) must yield NULL gini, not ANSI DIVIDE_BY_ZERO
+            / F.when(
+                F.sum("toks") > 0,
+                (F.count(F.lit(1)) * F.sum("toks")).cast("double"),
+            )
             - (F.count(F.lit(1)) + F.lit(1)).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("gini")
@@ -1778,7 +1783,8 @@ register(
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
            CAST(SUM(toks) AS BIGINT) AS total_tokens,
            (2.0 * CAST(SUM(i * toks) AS DOUBLE))
-               / CAST(COUNT(*) * SUM(toks) AS DOUBLE)
+               / (CASE WHEN SUM(toks) > 0
+                       THEN CAST(COUNT(*) * SUM(toks) AS DOUBLE) END)
            - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                AS gini
     FROM ranked
@@ -1812,7 +1818,9 @@ def q_ext_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks_one").cast("long").alias("deduped_tokens"),
         (F.sum("toks") - F.sum("toks_one")).cast("long").alias("removable_tokens"),
         (
-            F.sum("toks").cast("double") / F.sum("toks_one").cast("double")
+            # class-8 NULL-safe divide (all-NULL text -> zero token mass)
+            F.sum("toks").cast("double")
+            / F.when(F.sum("toks_one") > 0, F.sum("toks_one").cast("double"))
         ).alias("inflation_factor"),
     )
 
@@ -1833,7 +1841,9 @@ register(
            CAST(SUM(toks) AS BIGINT) AS total_tokens,
            CAST(SUM(toks_one) AS BIGINT) AS deduped_tokens,
            CAST(SUM(toks) - SUM(toks_one) AS BIGINT) AS removable_tokens,
-           CAST(SUM(toks) AS DOUBLE) / CAST(SUM(toks_one) AS DOUBLE)
+           CAST(SUM(toks) AS DOUBLE)
+               / (CASE WHEN SUM(toks_one) > 0
+                       THEN CAST(SUM(toks_one) AS DOUBLE) END)
                AS inflation_factor
     FROM per
     """,

@@ -241,7 +241,12 @@ def q_rest_tsv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nation = _t(spark, sf_dir, "nation")
     rows = sorted(
-        nation.select("n_nationkey", "n_name", "n_regionkey").collect(),
+        # a NULL region/name row has no bucket file to land in — skip it
+        # when building the fixture, like any manifest-driven ingest
+        # skips malformed resources (NULL-poisoned-batch gate)
+        nation.filter("n_regionkey IS NOT NULL AND n_name IS NOT NULL")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect(),
         key=lambda r: r.n_nationkey,
     )
     base = f"/tmp/spark_graft_resttsv_{_tag(sf_dir)}"

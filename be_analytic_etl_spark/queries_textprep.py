@@ -206,7 +206,9 @@ register(
         FROM documents GROUP BY source
     ), p AS (
         SELECT source, n_docs, n_tokens,
-               CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p
+               CAST(n_tokens AS DOUBLE)
+                   / (CASE WHEN SUM(n_tokens) OVER () > 0
+                           THEN CAST(SUM(n_tokens) OVER () AS DOUBLE) END) AS p
         FROM per
     ), w AS (
         SELECT *, CAST((CASE WHEN (pow(p, {_ALPHA})) IS NULL OR isnan(pow(p, {_ALPHA})) OR abs(pow(p, {_ALPHA})) >= 9007.199254740992 THEN (pow(p, {_ALPHA})) ELSE floor((pow(p, {_ALPHA})) * 1000000000000.0 + 0.5) / 1000000000000.0 END) AS DECIMAL(28,12)) AS w_dec FROM p
@@ -217,7 +219,7 @@ register(
     SELECT source, n_docs, n_tokens, p,
            {stable_round_sql("CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)", 8)}
                AS weight,
-           {stable_round_sql("(CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) / p", 8)}
+           {stable_round_sql("((CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)) / (CASE WHEN p > 0 THEN p END))", 8)}
                AS epochs_vs_uniform
     FROM w
     """,

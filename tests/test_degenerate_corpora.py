@@ -109,6 +109,62 @@ def test_every_query_survives_empty_tables(spark, empty_dir):
     assert not crashes, f"{len(crashes)} queries crash on empty tables: {crashes}"
 
 
+#: non-key columns are NULLed in the poisoned-batch gate; keys stay so
+#: joins/groupings still engage (a fully-NULL key row is just dropped).
+_KEY_COLS = {
+    "doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
+    "l_linenumber", "n_nationkey", "r_regionkey", "c_custkey",
+    "s_suppkey", "p_partkey",
+}
+
+
+@pytest.fixture(scope="module")
+def null_poisoned_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("degen_null"))
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(3)
+        types = dict(df.dtypes)
+        cols = [
+            F.col(c) if c in _KEY_COLS
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in df.columns
+        ]
+        (
+            df.select(cols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/{t}.parquet")
+        )
+    return d
+
+
+def test_every_query_survives_null_poisoned_tables(spark, null_poisoned_dir):
+    """A NULL-poisoned batch (rows present, every non-key value NULL —
+    a upstream-schema-drift shape) found four more crash classes in
+    round 10: NULL vectors reaching the driver-side centroid/codebook
+    float() loop, three zero-total divisions (source gini, dup
+    inflation, temperature weights — the last REACHABLE on real data
+    via one empty-text domain), and a NULL region bucket cast in the
+    TSV fixture. All must yield empty/NULL-gated results or the pinned
+    model-fit preconditions."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    crashes = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, null_poisoned_dir).collect()
+        except ValueError as e:
+            if EMPTY_PRECONDITIONS.get(name, "\x00") not in str(e):
+                crashes.append((name, f"ValueError: {e}"))
+        except Exception as e:  # noqa: BLE001 - we want the census
+            crashes.append((name, str(e).splitlines()[0][:100]))
+    assert not crashes, (
+        f"{len(crashes)} queries crash on NULL-poisoned tables: {crashes}"
+    )
+
+
 def test_single_language_tied_documents(spark, tmp_path):
     """The shape that caught ext_cvm/ext_hellinger live: one language,
     one source, all scores tied — every complement group empty."""
