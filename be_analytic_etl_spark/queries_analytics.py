@@ -585,6 +585,15 @@ _CORR_PAIRS = [
 
 def q_ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # correlations are over JOINTLY FINITE rows: a NaN/Infinity in any
+    # measure (NaN-poisoned batch) would overflow the ANSI cents cast —
+    # and n must count the same rows the moments saw (oracle twin:
+    # isfinite() conjunction in WHERE)
+    finite = None
+    for c in _CORR_COLS:
+        cond = ~F.isnan(F.col(c)) & (F.abs(F.col(c)) < F.lit(float("inf")))
+        finite = cond if finite is None else (finite & cond)
+    li = li.filter(finite)
 
     def qz(c: str) -> F.Column:
         return F.round(F.col(c) * 100).cast("bigint")
@@ -675,7 +684,8 @@ def _corr_matrix_oracle() -> str:
             f"FROM m"
         )
     return (
-        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n"
+        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem WHERE "
+        + " AND ".join(f"isfinite({c})" for c in _CORR_COLS) + ")\n"
         + "\nUNION ALL\n".join(branches)
     )
 

@@ -328,10 +328,12 @@ def q_ext_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sea = va / nda
     seb = vb / ndb
     se2 = sea + seb
-    t = (ma - mb) / F.sqrt(se2)
-    dfw = (se2 * se2) / (
-        sea * sea / (nda - F.lit(1.0)) + seb * seb / (ndb - F.lit(1.0))
-    )
+    # class-8 NULL-safe divides: two all-tied groups give a zero pooled
+    # standard error (reachable on real data), and ANSI throws on the
+    # double division — NULL the statistic instead (oracle twin CASE)
+    t = (ma - mb) / F.when(se2 > 0, F.sqrt(se2))
+    dfw_den = sea * sea / (nda - F.lit(1.0)) + seb * seb / (ndb - F.lit(1.0))
+    dfw = (se2 * se2) / F.when(dfw_den > 0, dfw_den)
     return j.select(
         "src_a",
         "src_b",
@@ -366,10 +368,14 @@ def _welch_oracle() -> str:
     sea = f"({va} / {nda})"
     seb = f"({vb} / {ndb})"
     se2 = f"({sea} + {seb})"
-    t = f"(({ma} - {mb}) / sqrt({se2}))"
+    # degenerate guards mirrored from the Spark side (zero pooled SE)
+    t = f"(({ma} - {mb}) / (CASE WHEN {se2} > 0 THEN sqrt({se2}) END))"
+    dfw_den = (
+        f"({sea} * {sea} / ({nda} - 1.0)"
+        f" + {seb} * {seb} / ({ndb} - 1.0))"
+    )
     dfw = (
-        f"(({se2} * {se2}) / ({sea} * {sea} / ({nda} - 1.0)"
-        f" + {seb} * {seb} / ({ndb} - 1.0)))"
+        f"(({se2} * {se2}) / (CASE WHEN {dfw_den} > 0 THEN {dfw_den} END))"
     )
     return f"""
     WITH {qscore_feature_ctes('source')}, sq AS (

@@ -165,6 +165,60 @@ def test_every_query_survives_null_poisoned_tables(spark, null_poisoned_dir):
     )
 
 
+@pytest.fixture(scope="module")
+def nan_poisoned_dir(spark, tmp_path_factory):
+    """Real rows, but ~25% of every DOUBLE column replaced with NaN or
+    Infinity — the sensor-glitch / bad-upstream-math shape. ANSI casts
+    of non-finite doubles to DECIMAL/BIGINT throw, so any query that
+    quantizes a measure must survive these rows."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("degen_nan"))
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(50)
+        types = dict(df.dtypes)
+        cols = []
+        for c in df.columns:
+            if types[c] == "double":
+                cols.append(
+                    F.when(F.rand(7) < 0.15, F.lit(float("nan")))
+                    .when(F.rand(11) < 0.1, F.lit(float("inf")))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        (
+            df.select(cols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/{t}.parquet")
+        )
+    return d
+
+
+def test_every_query_survives_nan_poisoned_tables(spark, nan_poisoned_dir):
+    """Round 10 found two crashes here: Infinity overflowing
+    ext_corr_matrix's cents BIGINT cast (now filtered to jointly-finite
+    rows, oracle-mirrored with isfinite()) and ext_welch_ttest's zero
+    pooled SE (two all-tied groups — a DATA shape, reachable on real
+    corpora, now a NULL-safe divide)."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    crashes = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, nan_poisoned_dir).collect()
+        except ValueError as e:
+            if EMPTY_PRECONDITIONS.get(name, "\x00") not in str(e):
+                crashes.append((name, f"ValueError: {e}"))
+        except Exception as e:  # noqa: BLE001 - we want the census
+            crashes.append((name, str(e).splitlines()[0][:100]))
+    assert not crashes, (
+        f"{len(crashes)} queries crash on NaN-poisoned tables: {crashes}"
+    )
+
+
 def test_single_language_tied_documents(spark, tmp_path):
     """The shape that caught ext_cvm/ext_hellinger live: one language,
     one source, all scores tied — every complement group empty."""
