@@ -243,12 +243,16 @@ def q_ext_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_add(F.col("day"), 1).alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("churned"))
     )
-    return daily.join(churn, "day", "left").select(
+    # FULL outer: churn attributed to a day with zero activity (a quiet
+    # gap day, or the day after the corpus's last active day) must still
+    # appear, or the growth-accounting identity undercounts churn
+    # (ADVICE r10); activity counts coalesce to 0 on churn-only days.
+    return daily.join(churn, "day", "full").select(
         "day",
-        "dau",
-        "new_users",
-        "retained",
-        "resurrected",
+        F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+        F.coalesce(F.col("new_users"), F.lit(0)).cast("long").alias("new_users"),
+        F.coalesce(F.col("retained"), F.lit(0)).cast("long").alias("retained"),
+        F.coalesce(F.col("resurrected"), F.lit(0)).cast("long").alias("resurrected"),
         F.coalesce(F.col("churned"), F.lit(0)).cast("long").alias("churned"),
     )
 
@@ -282,9 +286,13 @@ def _growth_oracle() -> str:
         WHERE __next IS NULL OR __next - day > 1
         GROUP BY 1
     )
-    SELECT d.day, d.dau, d.new_users, d.retained, d.resurrected,
+    SELECT COALESCE(d.day, c.day) AS day,
+           CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+           CAST(COALESCE(d.new_users, 0) AS BIGINT) AS new_users,
+           CAST(COALESCE(d.retained, 0) AS BIGINT) AS retained,
+           CAST(COALESCE(d.resurrected, 0) AS BIGINT) AS resurrected,
            CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned
-    FROM daily d LEFT JOIN churn c USING (day)
+    FROM daily d FULL OUTER JOIN churn c ON d.day = c.day
     """
 
 

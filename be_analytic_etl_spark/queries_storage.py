@@ -292,7 +292,11 @@ register(
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
            MIN(n_name) AS first_name
-    FROM nation GROUP BY n_regionkey
+    FROM nation
+    -- mirror the Spark fixture builder's NULL skip: a NULL region/name
+    -- row has no bucket file, so the oracle must not emit a NULL bucket
+    WHERE n_regionkey IS NOT NULL AND n_name IS NOT NULL
+    GROUP BY n_regionkey
     """,
 )
 
