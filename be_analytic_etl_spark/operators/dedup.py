@@ -1266,3 +1266,91 @@ def exact_substring_coverage_sql(toks_sql: str, window: int = 12) -> str:
                / CAST(b.n_tokens AS DOUBLE) AS dup_fraction
     FROM b LEFT JOIN per USING (doc_id)
     """
+
+
+def simhash_panel(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    portable: bool = False,
+) -> "DataFrame":
+    """The merged per-document SimHash readout (round-11 registry merge
+    of ``ext_simhash`` + ``ext_simhash_neardup``): one row per document —
+    the full fingerprint table ``simhash`` emits — widened with the
+    near-dup pair leg aggregated symmetrically onto each endpoint:
+    ``n_partners`` (near-dup partners at hamming <= ``max_hamming``
+    found via the 4-chunk pigeonhole bucket join) and ``min_hamming``
+    (closest partner distance; NULL when the doc has none).
+
+    Every bit of every document's simhash stays value-checked (the
+    fingerprint column is emitted verbatim) AND the candidate-join +
+    hamming-verify leg stays value-checked (any pair error shifts a
+    partner count / min distance). The fingerprint aggregation runs
+    ONCE: ``sh`` is persisted and feeds both the chunk self-join and
+    the final readout (released via ``session.cached_scope``).
+    """
+    from pyspark import StorageLevel
+
+    chunk_bits = (60 if portable else 64) // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    sh = simhash(df, text_col, id_col, portable=portable).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    chunks = sh.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "__id",
+        "simhash",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    left = chunks.select(
+        "chunk_id", "chunk", F.col("__id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    right = chunks.select(
+        "chunk_id", "chunk", F.col("__id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    pairs = (
+        left.join(right, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # symmetric endpoint view: each pair contributes to BOTH docs
+    sym = pairs.select(
+        F.col("id_a").alias("__id"), "hamming"
+    ).unionByName(pairs.select(F.col("id_b").alias("__id"), "hamming"))
+    per_doc = sym.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partners"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+    )
+    return sh.join(per_doc, sh[id_col] == per_doc["__id"], "left").select(
+        F.col(id_col),
+        "simhash",
+        F.coalesce("n_partners", F.lit(0).cast("long")).alias("n_partners"),
+        "min_hamming",
+    )

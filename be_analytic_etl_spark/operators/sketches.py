@@ -859,3 +859,157 @@ def tdigest_quantile_read_sql(
            {err} AS abs_err
     FROM tq_est e JOIN tq_ex x ON e.qm = x.qm
     """
+
+
+def tdigest_panel(
+    df: DataFrame,
+    value_col: str,
+    q_millionths: list[int],
+    delta: int = 32,
+) -> DataFrame:
+    """The merged write+read t-digest readout (round-11 registry merge of
+    ``ext_tdigest_quantiles`` + ``ext_tdigest_read``): one row per digest
+    CLUSTER — the full summary ``tdigest_clusters`` emits (cluster,
+    weight, centroid, v_min, v_max) — widened with the quantile READ
+    path aggregated onto each cluster that owns one of the requested
+    ranks: ``n_q_owned`` (how many of ``q_millionths`` this cluster
+    answers), ``rank_sum`` / ``exact_sum`` (BIGINT checksums of the
+    owned ranks and their exact order statistics off the same
+    histogram), and ``err_max`` (the digest's worst measured |centroid -
+    exact| over the owned quantiles, 6dp; NULL when the cluster owns
+    none).
+
+    ONE corpus pass: the value histogram is lazy-checkpointed and the
+    cluster build, the rank lookups, and the exact order statistics all
+    fan out from it. The rank joins are inequality joins against
+    BROADCAST frames of |qs| and delta rows — bounded nested loops,
+    corpus-independent (same shapes the r8 audit allowlisted for the
+    two parents).
+    """
+    from be_analytic_etl_spark.functions.rounding import stable_round
+
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    clus = tdigest_clusters_from_hist(hist, delta)
+    w_c = Window.orderBy("cluster").rowsBetween(Window.unboundedPreceding, 0)
+    cspan = clus.select(
+        "cluster",
+        "weight",
+        "centroid",
+        "v_min",
+        "v_max",
+        F.sum("weight").over(w_c).cast("long").alias("__chi"),
+    ).withColumn("__clo", F.col("__chi") - F.col("weight") + 1)
+    tot = hist.agg(F.sum("__c").cast("long").alias("__n"))
+    qarr = F.array(*[F.lit(q).cast("long") for q in q_millionths])
+    ranks = tot.select(F.explode(qarr).alias("__qm"), "__n").select(
+        "__qm",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(__n * __qm + 500000L) DIV 1000000L"),
+        ).alias("rank"),
+    )
+    w_h = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    hc = hist.select(
+        "__v", "__c", F.sum("__c").over(w_h).cast("long").alias("__hhi")
+    ).withColumn("__hlo", F.col("__hhi") - F.col("__c") + 1)
+    exact = hc.join(
+        F.broadcast(ranks),
+        (F.col("rank") >= F.col("__hlo")) & (F.col("rank") <= F.col("__hhi")),
+    ).select("__qm", "rank", F.col("__v").cast("long").alias("__exact"))
+    owned = exact.join(
+        F.broadcast(cspan.select("cluster", "centroid", "__clo", "__chi")),
+        (F.col("rank") >= F.col("__clo")) & (F.col("rank") <= F.col("__chi")),
+    ).select(
+        "cluster",
+        "rank",
+        "__exact",
+        stable_round(
+            F.abs(F.col("centroid") - F.col("__exact").cast("double")), 6
+        ).alias("__err"),
+    )
+    per_cluster = owned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_q_owned"),
+        F.sum("rank").cast("long").alias("rank_sum"),
+        F.sum("__exact").cast("long").alias("exact_sum"),
+        F.max("__err").alias("err_max"),
+    )
+    return cspan.select(
+        "cluster", "weight", "centroid", "v_min", "v_max"
+    ).join(per_cluster, "cluster", "left").select(
+        "cluster",
+        "weight",
+        "centroid",
+        "v_min",
+        "v_max",
+        F.coalesce("n_q_owned", F.lit(0).cast("long")).alias("n_q_owned"),
+        F.coalesce("rank_sum", F.lit(0).cast("long")).alias("rank_sum"),
+        F.coalesce("exact_sum", F.lit(0).cast("long")).alias("exact_sum"),
+        "err_max",
+    )
+
+
+def tdigest_panel_sql(
+    value_rows: str, q_millionths: list[int], delta: int = 32
+) -> str:
+    """DuckDB twin of ``tdigest_panel`` — generated from the same
+    parameters (and reusing ``tdigest_clusters_sql``) so operator and
+    oracle cannot drift."""
+    from be_analytic_etl_spark.functions.rounding import stable_round_sql
+
+    clus = tdigest_clusters_sql(value_rows, delta)
+    qvals = ", ".join(f"({q})" for q in q_millionths)
+    err = stable_round_sql("ABS(cs.centroid - CAST(h.__v AS DOUBLE))", 6)
+    return f"""
+    tp_clus AS (WITH {clus}),
+    tp_h AS (
+        SELECT v AS __v, CAST(COUNT(*) AS BIGINT) AS __c
+        FROM ({value_rows}) WHERE v IS NOT NULL GROUP BY 1
+    ),
+    tp_tot AS (SELECT CAST(SUM(__c) AS BIGINT) AS __n FROM tp_h),
+    tp_q (qm) AS (VALUES {qvals}),
+    tp_r AS (
+        SELECT qm, GREATEST(1, (__n * qm + 500000) // 1000000) AS rank
+        FROM tp_q, tp_tot
+    ),
+    tp_cs AS (
+        SELECT cluster, weight, centroid, v_min, v_max,
+               CAST(SUM(weight) OVER (ORDER BY cluster) AS BIGINT) AS __chi,
+               CAST(SUM(weight) OVER (ORDER BY cluster) - weight + 1
+                    AS BIGINT) AS __clo
+        FROM tp_clus
+    ),
+    tp_hc AS (
+        SELECT __v,
+               CAST(SUM(__c) OVER (ORDER BY __v) AS BIGINT) AS __hhi,
+               CAST(SUM(__c) OVER (ORDER BY __v) - __c + 1 AS BIGINT)
+                   AS __hlo
+        FROM tp_h
+    ),
+    tp_owned AS (
+        SELECT cs.cluster, r.rank,
+               CAST(h.__v AS BIGINT) AS __exact,
+               {err} AS __err
+        FROM tp_r r
+        JOIN tp_hc h ON r.rank >= h.__hlo AND r.rank <= h.__hhi
+        JOIN tp_cs cs ON r.rank >= cs.__clo AND r.rank <= cs.__chi
+    ),
+    tp_pc AS (
+        SELECT cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_q_owned,
+               CAST(SUM(rank) AS BIGINT) AS rank_sum,
+               CAST(SUM(__exact) AS BIGINT) AS exact_sum,
+               MAX(__err) AS err_max
+        FROM tp_owned GROUP BY cluster
+    )
+    SELECT cs.cluster, cs.weight, cs.centroid, cs.v_min, cs.v_max,
+           CAST(COALESCE(pc.n_q_owned, 0) AS BIGINT) AS n_q_owned,
+           CAST(COALESCE(pc.rank_sum, 0) AS BIGINT) AS rank_sum,
+           CAST(COALESCE(pc.exact_sum, 0) AS BIGINT) AS exact_sum,
+           pc.err_max
+    FROM tp_cs cs LEFT JOIN tp_pc pc ON cs.cluster = pc.cluster
+    """

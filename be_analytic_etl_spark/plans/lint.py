@@ -367,8 +367,7 @@ BNL_ALLOWLIST: dict[str, str] = {
     "ext_jensen_shannon": "scalar-fold: totals onto bounded score grid",
     "ext_mixture_kl": "scalar-fold: totals onto bounded score grid",
     "ext_psi_drift": "grid: |sources| x 10 PSI bin grid (r8 audit)",
-    "ext_tdigest_quantiles": "scalar-fold: totals onto bounded centroid rows",
-    "ext_tdigest_read": "grid: delta/|qs|-row rank lookups (r8 audit)",
+    "ext_tdigest_panel": "grid: delta/|qs|-row rank lookups onto bounded centroid rows (r8 audit shapes, merged r11)",
     "ext_kendall_tau": "grid: <= 300-cell contingency pair join (r9 audit)",
     "ext_theil_sen": "grid: calendar-bounded daily pair join (r9 audit)",
     "ext_mann_kendall": "grid: calendar-bounded daily pair frame (r8 audit)",

@@ -403,43 +403,20 @@ def _simhash_sql_body() -> str:
 
 
 def q_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RETIRED from the registry in round 11: merged with
+    # ext_simhash_neardup into ext_simhash_panel (queries_round11.py).
+    # Kept as a helper — pytest still pins the raw fingerprint path.
     return D.simhash(_t(spark, sf_dir, "documents"), portable=True)
-
-
-register(
-    "ext_simhash",
-    q_ext_simhash,
-    f"WITH {_simhash_sql_body()} SELECT doc_id, simhash FROM sim",
-)
 
 
 _SIMHASH_MAXHAM = 6
 
 
 def q_ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RETIRED from the registry in round 11 (merged: see above).
     return D.simhash_neardup_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=_SIMHASH_MAXHAM, portable=True
     )
-
-
-register(
-    "ext_simhash_neardup",
-    q_ext_simhash_neardup,
-    f"""
-    WITH {_simhash_sql_body()}, chunks AS (
-        SELECT doc_id, simhash, i AS chunk_id, (simhash >> (i * 15)) & 32767 AS chunk
-        FROM sim, range(0, 4) r(i)
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               a.simhash AS sh_a, b.simhash AS sh_b
-        FROM chunks a JOIN chunks b
-          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-    FROM cand
-    WHERE bit_count(xor(sh_a, sh_b)) <= {_SIMHASH_MAXHAM}
-    """,
-)
 
 
 # ---------------------------------------------------------------------------
@@ -1380,6 +1357,9 @@ register(
 # estimate (portable md5 hash, integer-exact register sums, one final
 # division) via hll_sql_twin — generated from the same parameters, so
 # operator and oracle cannot drift.
+# RETIRED from the registry in round 11: merged with ext_hll_union into
+# ext_hll_panel (queries_round11.py — the register-merge rollup carrying
+# the exact count alongside each estimate). Kept for pytest coverage.
 def q_ext_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from be_analytic_etl_spark.operators.sketches import hll_distinct
 
@@ -1404,9 +1384,6 @@ def _hll_oracle() -> str:
     SELECT s.event_type, s.hll_estimate, s.n_registers_used, e.exact_users
     FROM sketch s JOIN exact e USING (event_type)
     """
-
-
-register("ext_hll_distinct", q_ext_hll_distinct, _hll_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -1557,6 +1534,12 @@ _PIPE_MIN_TOKENS = 5
 
 
 def q_ext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RETIRED from the registry in round 11: merged with
+    # ext_pipeline_spec into ext_pipeline_e2e (queries_round11.py), which
+    # drives the SAME chain through the composer against the SAME
+    # recursive-CTE oracle (PIPELINE_ORACLE_SQL below). The hand-built
+    # chain stays as this helper; its row-for-row parity with the
+    # composer is pinned by tests/test_pipeline_composer.py.
     from be_analytic_etl_spark.operators import graph as G
     from be_analytic_etl_spark.operators import sampling as SP
 
@@ -1598,9 +1581,10 @@ def q_ext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "ext_pipeline",
-    q_ext_pipeline,
+#: the end-to-end curation-chain oracle (LSH CTE chain feeding a
+#: recursive-CTE transitive closure) — shared by the round-11 merged
+#: registration ext_pipeline_e2e and the composer parity pytest.
+PIPELINE_ORACLE_SQL = (
     f"""
     WITH RECURSIVE
     base AS (
@@ -1654,7 +1638,7 @@ register(
                 ELSE 'test' END AS split
     FROM ex e JOIN comp c USING (doc_id)
     WHERE c.gid = e.doc_id
-    """,
+    """
 )
 
 

@@ -1177,7 +1177,9 @@ def _hll_union_oracle() -> str:
     )
 
 
-register("ext_hll_union", q_ext_hll_union, _hll_union_oracle())
+# RETIRED from the registry in round 11: merged with ext_hll_distinct
+# into ext_hll_panel (queries_round11.py) — the same register-merge
+# rollup, widened with the exact distinct count per scope.
 
 
 # ---------------------------------------------------------------------------

@@ -80,7 +80,9 @@ def _tdigest_oracle() -> str:
     return "WITH " + tdigest_clusters_sql(rows, delta=_TD_DELTA).strip()
 
 
-register("ext_tdigest_quantiles", q_ext_tdigest_quantiles, _tdigest_oracle())
+# RETIRED from the registry in round 11: merged with ext_tdigest_read
+# into ext_tdigest_panel (queries_round11.py) — the same digest, widened
+# with the read path folded onto each owning cluster.
 
 
 # ---------------------------------------------------------------------------
@@ -1065,7 +1067,7 @@ def _tdigest_read_oracle() -> str:
     ).strip()
 
 
-register("ext_tdigest_read", q_ext_tdigest_read, _tdigest_read_oracle())
+# RETIRED from the registry in round 11 (merged: see ext_tdigest_panel).
 
 
 # ---------------------------------------------------------------------------

@@ -430,13 +430,10 @@ def q_ext_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pipeline_spec_oracle() -> str:
-    from be_analytic_etl_spark.registry import ORACLE_SQL
-
-    return ORACLE_SQL["ext_pipeline"]
-
-
-register("ext_pipeline_spec", q_ext_pipeline_spec, _pipeline_spec_oracle())
+# RETIRED from the registry in round 11: merged with ext_pipeline into
+# ext_pipeline_e2e (queries_round11.py), registered against the shared
+# PIPELINE_ORACLE_SQL. q_ext_pipeline_spec stays — it IS the merged
+# query's implementation.
 
 
 # ---------------------------------------------------------------------------

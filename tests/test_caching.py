@@ -66,7 +66,7 @@ def test_registered_dedup_queries_leave_no_persistent_rdds(spark):
 
     names = [
         "ext_minhash_lsh_neardup",
-        "ext_simhash_neardup",
+        "ext_simhash_panel",
         "ext_lsh_recall",
         "ext_lsh_tuning",
         "ext_incremental_dedup",

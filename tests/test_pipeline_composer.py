@@ -87,3 +87,20 @@ def test_cli_pipeline_spec(tmp_path, spark):
     p.write_text(json.dumps(spec))
     # NOTE: main() stops the session; run last in the module.
     assert main(["pipeline", "--spec", str(p), "--sf-dir", SF_DIR, "--show", "3"]) == 0
+
+
+def test_composer_matches_hand_built_chain(spark):
+    """Round-11 merge invariant: ext_pipeline (hand-built chain helper)
+    and the composer-driven ext_pipeline_e2e used to be two separate
+    registrations proving each other through the shared recursive-CTE
+    oracle; since the merge only the composer form is driver-checked, so
+    the hand-built parity is pinned HERE, row for row."""
+    from be_analytic_etl_spark.queries_extensions import q_ext_pipeline
+    from be_analytic_etl_spark.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    hand = {tuple(r) for r in q_ext_pipeline(spark, sf_dir).collect()}
+    merged = {
+        tuple(r) for r in QUERIES["ext_pipeline_e2e"](spark, sf_dir).collect()
+    }
+    assert hand == merged and len(hand) > 0

@@ -248,7 +248,7 @@ def test_small_quantity_broadcasts_per_part_averages(spark):
 
 
 def test_pipeline_stays_jvm_side_and_cartesian_free(spark):
-    df = QUERIES["ext_pipeline"](spark, SF_DIR)
+    df = QUERIES["ext_pipeline_e2e"](spark, SF_DIR)
     plan = plan_of(df)
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in plan, bad
@@ -518,11 +518,14 @@ def test_kmins_single_corpus_scan(spark):
 
 
 def test_tdigest_single_rank_window(spark):
-    """The t-digest rank pass is allowed exactly ONE unpartitioned
-    window over the bounded histogram — the total row count must come
-    from an agg + broadcast, not a second single-task window pass."""
-    plan = plan_of(QUERIES["ext_tdigest_quantiles"](spark, SF_DIR))
-    assert plan.count("Window") == 1, plan
+    """The t-digest panel's unpartitioned windows run ONLY over bounded
+    frames: the value histogram's rank pass, the histogram's cumulative
+    span, and the <= delta cluster span — never the corpus. Four
+    window passes max (rank pass, histogram span, cluster span, and the
+    cluster build's own rank pass), and the total row count must come
+    from an agg + broadcast, not a further single-task window pass."""
+    plan = plan_of(QUERIES["ext_tdigest_panel"](spark, SF_DIR))
+    assert 1 <= plan.count("Window") <= 4, plan
     assert "BroadcastExchange" in plan, plan
     assert "BatchEvalPython" not in plan, plan
 
