@@ -390,6 +390,12 @@ BNL_ALLOWLIST: dict[str, str] = {
     "ext_rfm_segments": "scalar-fold: 1-row max-date + 1-row quartile frames onto per-customer frame",
     "ext_cuped": "scalar-fold: 1-row date-range frame onto the orders scan",
     "ext_permutation_test": "scalar-fold: 1-row observed-stat frame onto the 64-row permutation fold",
+    # -- round-11 batch 1: event-history / time-series panel (r11 audit)
+    "ext_survival_curve": "scalar-fold: 1-row corpus-horizon frame onto the per-user lifetime frame",
+    "ext_inter_arrival": "scalar-fold: 1-row totals onto the <= 64-bucket gap histogram",
+    "ext_binseg_changepoint": "scalar-fold: 1-row moment totals onto the calendar-bounded daily frame",
+    "ext_ljung_box": "scalar-fold: 1-row denominator onto the <= 7-lag frame",
+    "ext_session_paths": "scalar-fold: 1-row session total onto the bounded path frame",
     # -- sampling / weighting: single-row or |sources|-row weight folds
     "ext_mixture_sample": "scalar-fold: |sources|-row weight frame",
     "ext_curriculum_sample": "scalar-fold: stage thresholds (single row)",
