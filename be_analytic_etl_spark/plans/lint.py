@@ -396,6 +396,8 @@ BNL_ALLOWLIST: dict[str, str] = {
     "ext_binseg_changepoint": "scalar-fold: 1-row moment totals onto the calendar-bounded daily frame",
     "ext_ljung_box": "scalar-fold: 1-row denominator onto the <= 7-lag frame",
     "ext_session_paths": "scalar-fold: 1-row session total onto the bounded path frame",
+    # -- round-11 batch 3: curation / concentration panel (r11 audit)
+    "ext_negative_sampling": "scalar-fold: 1-row weight total onto the vocab frame",
     # -- sampling / weighting: single-row or |sources|-row weight folds
     "ext_mixture_sample": "scalar-fold: |sources|-row weight frame",
     "ext_curriculum_sample": "scalar-fold: stage thresholds (single row)",
