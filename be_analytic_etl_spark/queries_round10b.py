@@ -81,6 +81,19 @@ def q_ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
+    return funnel_from_events(ev)
+
+
+def funnel_from_events(ev: DataFrame) -> DataFrame:
+    """The funnel fold over a (user_id, ts, event_type) frame — shared
+    by the registered batch query and the streaming twin's readout
+    (tests/test_streaming.py), so the two surfaces cannot drift. The
+    streamed substrate is the distinct step-event frame
+    (streaming/jobs.py stream_funnel_events): the 7-day window
+    re-anchors on the user's EARLIEST view, so a late-arriving earlier
+    view can resurrect any previously-out-of-window click — no
+    fixed-size per-user summary is sufficient, and the exact
+    event-time multiset IS the minimal streamable state."""
     s1 = (
         ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
         .groupBy("user_id")

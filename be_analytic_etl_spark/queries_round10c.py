@@ -208,6 +208,15 @@ def q_ext_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)  # feeds the window AND the churn join
     )
+    return growth_accounting_from_ud(ud)
+
+
+def growth_accounting_from_ud(ud: DataFrame) -> DataFrame:
+    """The DAU-decomposition fold over a distinct (user_id, day) frame —
+    shared by the registered batch query and the streaming twin's
+    readout (tests/test_streaming.py): the streamed substrate
+    (streaming/jobs.py stream_user_day) maintains exactly this frame
+    incrementally, so the two surfaces cannot drift."""
     w = Window.partitionBy("user_id").orderBy("day")
     lagged = ud.select(
         "user_id",

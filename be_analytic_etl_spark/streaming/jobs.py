@@ -650,3 +650,58 @@ def stream_pii_counts(docs: DataFrame) -> DataFrame:
         F.sum("__e").cast("long").alias("n_emails"),
         F.sum("__m").cast("long").alias("n_numbers"),
     )
+
+
+def stream_user_day(events: DataFrame) -> DataFrame:
+    """Streaming twin of the growth-accounting substrate
+    (queries_round10c ``ext_growth_accounting``'s distinct (user, day)
+    frame): maintain per-(user, day) presence incrementally.
+
+    The batch decomposition collapses events to DISTINCT (user_id, day)
+    and everything else — LAG/LEAD per user, the daily new/retained/
+    resurrected/churned counts, the full-outer churn attribution — is a
+    fold over that frame. Presence is exactly what a stream can keep:
+    an unwatermarked global groupBy on (user_id, day), complete mode;
+    COUNT-as-presence is the merge, so micro-batch boundaries cannot
+    change the state, and ``growth_accounting_from_ud`` runs UNCHANGED
+    over the sink — bit-identical to batch because the substrate is.
+    State is |users| x |active days| rows — the same cardinality the
+    batch shuffle materializes.
+    """
+    return (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def stream_funnel_events(events: DataFrame) -> DataFrame:
+    """Streaming twin of the funnel substrate (queries_round10b
+    ``ext_funnel``): maintain the distinct (user_id, event_type, ts)
+    step-event multiset incrementally, pruned to the three funnel step
+    types.
+
+    The funnel's 7-day window re-anchors on the user's EARLIEST view:
+    a late-arriving earlier view moves the window and can resurrect a
+    click that was previously outside it, so NO fixed-size per-user
+    summary (first-touch times, per-day minima) reproduces the batch
+    semantics — the exact step-event times are the minimal sufficient
+    state, and keeping them as an unwatermarked (user, type, ts)
+    groupBy (complete mode, COUNT as multiplicity) is precisely the
+    streaming-distinct shape. ``funnel_from_events`` then runs
+    UNCHANGED over the sink (multiplicity is irrelevant to MIN folds),
+    bit-identical to batch. State is bounded by the distinct step-event
+    count — the same rows the batch scan feeds the three conditional-
+    min aggregations.
+    """
+    from be_analytic_etl_spark.queries_round10b import _FUNNEL_STEPS
+
+    return (
+        events.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin(*_FUNNEL_STEPS)
+        )
+        .groupBy("user_id", "event_type", "ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

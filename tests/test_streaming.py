@@ -759,3 +759,73 @@ def test_stream_lang_bins_feeds_hellinger(spark, documents_stream_dir):
         for r in QUERIES["ext_hellinger"](spark, SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_user_day_feeds_growth_accounting(
+    spark, events_batch, events_stream_dir
+):
+    """The streamed (user, day) presence frame, drained complete-mode,
+    must reproduce the registered growth-accounting decomposition
+    bit-for-bit when the SAME fold (growth_accounting_from_ud) runs
+    over the sink — VERDICT r10 ask #4."""
+    from be_analytic_etl_spark.registry import QUERIES
+    from be_analytic_etl_spark.queries_round10c import (
+        growth_accounting_from_ud,
+    )
+    from be_analytic_etl_spark.streaming import (
+        read_events_stream,
+        stream_user_day,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_user_day(stream)
+        .writeStream.format("memory")
+        .queryName("t_user_day")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    ud = spark.table("t_user_day").select("user_id", "day")
+    got = {
+        tuple(r) for r in growth_accounting_from_ud(ud).collect()
+    }
+    want = {
+        tuple(r) for r in QUERIES["ext_growth_accounting"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_funnel_events_feeds_funnel(
+    spark, events_batch, events_stream_dir
+):
+    """The streamed distinct step-event multiset, drained complete-mode,
+    must reproduce the registered funnel readout bit-for-bit when the
+    SAME fold (funnel_from_events) runs over the sink — VERDICT r10
+    ask #4. Multiplicity in the sink is irrelevant to the conditional-
+    MIN funnel folds, which is what makes the streaming-distinct state
+    the right substrate."""
+    from be_analytic_etl_spark.registry import QUERIES
+    from be_analytic_etl_spark.queries_round10b import funnel_from_events
+    from be_analytic_etl_spark.streaming import (
+        read_events_stream,
+        stream_funnel_events,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_funnel_events(stream)
+        .writeStream.format("memory")
+        .queryName("t_funnel_events")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    ev = spark.table("t_funnel_events").select("user_id", "ts", "event_type")
+    got = {tuple(r) for r in funnel_from_events(ev).collect()}
+    want = {tuple(r) for r in QUERIES["ext_funnel"](spark, SF_DIR).collect()}
+    assert got == want and len(want) > 0
