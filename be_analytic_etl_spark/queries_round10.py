@@ -396,11 +396,29 @@ def q_ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__nr").alias("n_rows"),
         F.max("__nc").alias("n_cols"),
         F.sum(term).alias("__chi2"),
+        # zero-observed cells contribute (0-E)^2/E = E to chi2; the
+        # cells frame only carries OBSERVED cells, so that mass was
+        # silently missing (caught by the round-11 brute-force property
+        # test on a sparse random contingency). Since sum over ALL r x c
+        # cells of E is exactly n, the missing mass is
+        # (n^2 - sum_observed(r*c)) / n — exact decimal algebra, zero
+        # exactly on a dense table.
+        F.sum(
+            F.col("__r").cast("decimal(38,0)") * F.col("__col")
+        ).alias("__rc"),
     )
     nd = F.col("n").cast("double")
     rd = F.col("n_rows").cast("double")
     cd = F.col("n_cols").cast("double")
-    chi2d = F.col("__chi2").cast("double")
+    # n^2 - sum(r*c) stays EXACT decimal before the one double division,
+    # so no 1e24-vs-1e24 cancellation at any corpus size.
+    chi2d = (
+        F.col("__chi2").cast("double")
+        + (
+            F.col("n").cast("decimal(38,0)") * F.col("n") - F.col("__rc")
+        ).cast("double")
+        / nd
+    )
     phi2 = chi2d / nd
     v = F.sqrt(phi2 / F.least(rd - 1, cd - 1))
     phi2c = F.greatest(
@@ -435,7 +453,12 @@ def _cramers_oracle() -> str:
     nd = "CAST(n AS DOUBLE)"
     rd = "CAST(n_rows AS DOUBLE)"
     cd = "CAST(n_cols AS DOUBLE)"
-    phi2 = f"(CAST(__chi2 AS DOUBLE) / {nd})"
+    missing = (
+        exact_dec_double_sql("(CAST(n AS DECIMAL(38,0)) * n - __rc)")
+        + f" / {nd}"
+    )
+    chi2_full = f"(CAST(__chi2 AS DOUBLE) + {missing})"
+    phi2 = f"({chi2_full} / {nd})"
     v = f"sqrt({phi2} / LEAST({rd} - 1, {cd} - 1))"
     phi2c = (
         f"GREATEST(0.0, {phi2} - ({rd} - 1) * ({cd} - 1) / ({nd} - 1))"
@@ -461,12 +484,13 @@ def _cramers_oracle() -> str:
         FROM cells
     ), folded AS (
         SELECT MAX(__n) AS n, MAX(__nr) AS n_rows, MAX(__nc) AS n_cols,
-               SUM(CAST({term} AS DECIMAL(18,6))) AS __chi2
+               SUM(CAST({term} AS DECIMAL(18,6))) AS __chi2,
+               SUM(CAST(__r AS DECIMAL(38,0)) * __col) AS __rc
         FROM cells
         JOIN rm USING (source) JOIN cm USING (__b), t
     )
     SELECT n, n_rows, n_cols,
-           CAST(__chi2 AS DOUBLE) AS chi2,
+           {chi2_full} AS chi2,
            CASE WHEN n_rows >= 2 AND n_cols >= 2 AND n > 2
                 THEN {stable_round_sql(v, 6)} END AS cramers_v,
            CASE WHEN n_rows >= 2 AND n_cols >= 2 AND n > 2

@@ -13,6 +13,7 @@ import random
 from collections import Counter, defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.test_round9_property import (
     _collected_scores,
@@ -218,3 +219,190 @@ def test_jonckheere_on_random_corpus(spark, tmp_path, seed):
         assert out["z_stat"] == pytest.approx(z, abs=1e-5)
     else:
         assert out["z_stat"] is None
+
+
+def _write_daily(spark, path: str, rows) -> None:
+    """rows: (date_str, cents) -> an events table whose _daily_cents
+    frame is exactly those (day, cents) rows (one event per day at
+    value cents/100)."""
+    df = spark.createDataFrame(
+        [
+            (i, f"{d} 12:00:00", 1, "view", c / 100.0, None)
+            for i, (d, c) in enumerate(rows)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _pymedian(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return (xs[(n - 1) // 2] + xs[n // 2]) / 2
+
+
+@pytest.mark.parametrize("seed", [40, 41, 42])
+def test_hodges_lehmann_on_random_series(spark, tmp_path, seed):
+    """Registered HL (two-middle-rank selection over the weekend x
+    weekday pair join) vs the textbook median of ALL pairwise
+    differences — VERDICT r10 ask #6."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    import datetime
+
+    start = datetime.date(2024, 1, 1)
+    n_days = rng.randint(8, 40)
+    rows = [
+        (str(start + datetime.timedelta(days=i)), rng.randint(-500, 50000))
+        for i in range(n_days)
+    ]
+    sf_dir = str(tmp_path / f"sf_hl{seed}")
+    _write_daily(spark, sf_dir, rows)
+    out = _run(spark, "ext_hodges_lehmann", sf_dir)[0]
+    wk = [c for d, c in rows if datetime.date.fromisoformat(d).weekday() >= 5]
+    wd = [c for d, c in rows if datetime.date.fromisoformat(d).weekday() < 5]
+    assert (out["n_weekend"], out["n_weekday"]) == (len(wk), len(wd))
+    diffs = [x - y for x in wk for y in wd]
+    assert out["n_pairs"] == len(diffs)
+    if diffs:
+        assert out["hl_shift_cents"] == pytest.approx(
+            _pymedian(diffs), abs=1e-9
+        )
+
+
+@pytest.mark.parametrize("seed", [43, 44, 45])
+def test_siegel_slopes_on_random_series(spark, tmp_path, seed):
+    """Registered Siegel repeated medians vs the direct O(n^2) loop:
+    per-day median of pairwise slopes, then the median of medians."""
+    from be_analytic_etl_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    import datetime
+
+    start = datetime.date(2024, 3, 1)
+    n_days = rng.randint(3, 25)
+    days = sorted(rng.sample(range(120), n_days))
+    rows = [
+        (str(start + datetime.timedelta(days=d)), rng.randint(0, 40000))
+        for d in days
+    ]
+    sf_dir = str(tmp_path / f"sf_sg{seed}")
+    _write_daily(spark, sf_dir, rows)
+    out = _run(spark, "ext_siegel_slopes", sf_dir)[0]
+    assert out["n_days"] == n_days
+    permed = []
+    for i, (di, ci) in enumerate(zip(days, [c for _, c in rows])):
+        slopes = [
+            (cj - ci) / (dj - di)
+            for j, (dj, cj) in enumerate(zip(days, [c for _, c in rows]))
+            if j != i
+        ]
+        if slopes:
+            permed.append(_pymedian(slopes))
+    if len(days) >= 2:
+        assert out["siegel_slope"] == pytest.approx(
+            _pymedian(permed), abs=1e-9
+        )
+
+
+@pytest.mark.parametrize("seed", [46, 47, 48])
+def test_hellinger_on_random_corpus(spark, tmp_path, seed):
+    """Registered per-language Hellinger vs the direct decile-histogram
+    computation: BC = sum_b sqrt(p_lang * p_rest) — VERDICT r10 ask #6."""
+    rng = random.Random(seed)
+    langs = ["en", "fr", "zh"][: rng.choice([1, 2, 3])]
+    rows = []
+    for lg in langs:
+        rows += [(lg, n) for (lg2, _, n) in _rand_corpus(rng, [lg])]
+    rows = [(lg, "web", n) for lg, n in rows]
+    sf_dir = str(tmp_path / f"sf_he{seed}")
+    _write_documents_langs(spark, sf_dir, rows)
+    scored = _collected_scores(spark, sf_dir)
+    out = {r["lang"]: r for r in _run(spark, "ext_hellinger", sf_dir)}
+    n = len(scored)
+    bins = defaultdict(Counter)
+    for lg, _, q in scored:
+        b = min(int(q * 10), 9)
+        bins[lg][b] += 1
+    for lg in {s for s, _, _ in scored}:
+        nl = sum(bins[lg].values())
+        row = out[lg]
+        assert row["n_lang"] == nl
+        if nl == 0 or nl == n:
+            assert row["bhattacharyya"] is None
+            continue
+        bc = 0.0
+        for b in range(10):
+            cl = bins[lg][b]
+            cr = sum(bins[l2][b] for l2 in bins if l2 != lg)
+            bc += math.sqrt((cl / nl) * (cr / (n - nl)))
+        assert row["bhattacharyya"] == pytest.approx(bc, abs=1e-5)
+        assert row["hellinger"] == pytest.approx(
+            math.sqrt(max(0.0, 1.0 - bc)), abs=1e-5
+        )
+
+
+@pytest.mark.parametrize("seed", [49, 50, 51])
+def test_cramers_v_on_random_corpus(spark, tmp_path, seed):
+    """Registered Cramér's V vs a direct contingency-table computation
+    (chi2, V, and the Bergsma correction) — VERDICT r10 ask #6."""
+    rng = random.Random(seed)
+    sources = ["web", "books", "s3", "s4"][: rng.choice([1, 2, 4])]
+    rows = []
+    for src in sources:
+        rows += [
+            ("en", src, n) for (_, _, n) in _rand_corpus(rng, ["en"])
+        ]
+    sf_dir = str(tmp_path / f"sf_cv{seed}")
+    _write_documents_langs(spark, sf_dir, rows)
+
+    import be_analytic_etl_spark.registry  # noqa: F401
+    from be_analytic_etl_spark.queries_round9 import _q6
+    from be_analytic_etl_spark.sources import load_table
+
+    scored = [
+        (r["source"], min(int(float(r["__q6"]) * 10), 9))
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source", _q6())
+        .collect()
+    ]
+    out = _run(spark, "ext_cramers_v", sf_dir)[0]
+    n = len(scored)
+    cells = Counter(scored)
+    rm = Counter(s for s, _ in scored)
+    cm = Counter(b for _, b in scored)
+    nr, nc = len(rm), len(cm)
+    assert (out["n"], out["n_rows"], out["n_cols"]) == (n, nr, nc)
+    chi2 = sum(
+        (c - rm[s] * cm[b] / n) ** 2 / (rm[s] * cm[b] / n)
+        for (s, b), c in cells.items()
+    )
+    # off-support cells contribute E (O=0): include them like the query
+    chi2 += sum(
+        rm[s] * cm[b] / n
+        for s in rm
+        for b in cm
+        if (s, b) not in cells
+    )
+    if nr < 2 or nc < 2 or n <= 2:
+        assert out["cramers_v"] is None
+        return
+    phi2 = chi2 / n
+    v = math.sqrt(phi2 / min(nr - 1, nc - 1))
+    assert out["cramers_v"] == pytest.approx(v, abs=1e-4)
+    phi2c = max(0.0, phi2 - (nr - 1) * (nc - 1) / (n - 1))
+    rc = nr - (nr - 1) ** 2 / (n - 1)
+    cc = nc - (nc - 1) ** 2 / (n - 1)
+    if min(rc, cc) > 1:
+        assert out["cramers_v_corrected"] == pytest.approx(
+            math.sqrt(phi2c / (min(rc, cc) - 1)), abs=1e-4
+        )
