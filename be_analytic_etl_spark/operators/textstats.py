@@ -173,9 +173,18 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
 #: PII-ish redaction patterns -> replacement tokens. Restricted to regex
 #: constructs with identical semantics in Java regex (Spark) and RE2
 #: (DuckDB) so redaction is oracle-checkable. Order matters: emails first
-#: (their local parts contain digit runs).
+#: (their local parts contain digit runs). Quantifiers are BOUNDED at
+#: the RFC 5321 limits (64-char local part, 255-char domain, 63-char
+#: TLD): with the unbounded `+`, Java's scan re-consumes the rest of an
+#: email-alphabet run at EVERY failed start position — O(n^2), ~10^12
+#: steps on the string-poisoned gate's 1 MB single token (a live hang);
+#: bounded, each failed position costs <= 64 steps, O(n) total. RFC-
+#: valid emails match identically.
 REDACT_PATTERNS: list[tuple[str, str]] = [
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63}",
+        "<EMAIL>",
+    ),
     (r"[0-9]{6,}", "<NUM>"),
 ]
 

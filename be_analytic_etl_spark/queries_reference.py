@@ -458,7 +458,12 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     agg = (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
+        # the sink declares n_name VARCHAR(32): values wider than the
+        # DDL abort Derby's batch insert (string-poisoned gate), so the
+        # loader truncates at the declared width — the standard
+        # load-boundary guard; clean TPC-H names (<= 25 chars) pass
+        # byte-identical
+        .groupBy(F.substring("n_name", 1, 32).alias("n_name"))
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
             F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
@@ -486,10 +491,10 @@ register(
     "jdbc_roundtrip",
     q_jdbc_roundtrip,
     """
-    SELECT n_name, COUNT(*) AS n_suppliers,
+    SELECT substr(n_name, 1, 32) AS n_name, COUNT(*) AS n_suppliers,
            CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    GROUP BY n_name
+    GROUP BY 1
     """,
 )
 
@@ -654,7 +659,12 @@ def q_classify_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u.contains("PROMO"), F.lit("PRM"))
         .otherwise(F.lit("OTHER"))
         .alias("type_class"),
-        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+        # NULLIF: regexp_extract yields '' on no-match and the ANSI
+        # ''->INT cast throws — null-on-error, the reference's P4
+        # semantics (string-poisoned gate)
+        F.nullif(F.regexp_extract("p_brand", r"(\d+)", 1), F.lit(""))
+        .cast("int")
+        .alias("brand_num"),
         F.upper("p_name").contains("WIDGET").alias("is_widget"),
     )
 
@@ -670,7 +680,8 @@ register(
              WHEN upper(COALESCE(p_type, '')) LIKE '%PROMO%' THEN 'PRM'
              ELSE 'OTHER'
            END AS type_class,
-           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INTEGER) AS brand_num,
+           CAST(NULLIF(regexp_extract(p_brand, '(\\d+)', 1), '') AS INTEGER)
+               AS brand_num,
            upper(p_name) LIKE '%WIDGET%' AS is_widget
     FROM part
     """,
@@ -1717,13 +1728,20 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
+    # thresholded levenshtein: O(k * len) with early exit instead of the
+    # full O(len^2) DP — on an adversarial megabyte-long "name" (the
+    # string-poisoned gate) the unthresholded form is ~10^12 cells per
+    # pair and never returns; the threshold form is exact for distances
+    # <= 2 and returns -1 past the threshold (hence between(0, 2), not
+    # <= 2).
+    lev2 = F.levenshtein("name_a", "name_b", 2)
     return (
         a.join(b, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .filter(lev2.between(0, 2))
         .select(
             "id_a", "id_b", "name_a", "name_b",
-            F.levenshtein("name_a", "name_b").alias("distance"),
+            lev2.alias("distance"),
         )
         .distinct()
     )

@@ -24,6 +24,7 @@ exactly, not just that the write succeeded.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -186,10 +187,17 @@ register(
 # writer emits Java shortest round-trip representations.
 
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # XML 1.0 cannot represent control characters (legal chars are tab/
+    # LF/CR and >= 0x20): a NUL-bearing upstream string makes the writer
+    # throw WstxIOException and abort the job (string-poisoned gate), so
+    # the sink boundary strips them — clean text passes byte-identical.
+    xml_safe = F.regexp_replace(
+        "s_name", r"[\x00-\x08\x0B\x0C\x0E-\x1F]", ""
+    ).alias("s_name")
     sup = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") > 0)
-        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .select("s_suppkey", xml_safe, "s_nationkey", "s_acctbal")
     )
     path = f"/tmp/spark_graft_xml_{_tag(sf_dir)}"
     (
@@ -257,7 +265,14 @@ def q_rest_tsv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(p, "w", encoding="utf-8") as f:
             for r in rows:
                 if r.n_regionkey == rk:
-                    f.write(f"{r.n_name}\t{r.n_nationkey}\n")
+                    # TSV framing cannot carry raw tab/newline: a name
+                    # containing them shifts the key field and the ANSI
+                    # ''->BIGINT cast crashes the read (string-poisoned
+                    # gate) — the standard TSV escape maps them to ' '
+                    # at the writer, mirrored in the oracle's
+                    # regexp_replace; clean names pass byte-identical.
+                    name = re.sub(r"[\t\n\r]", " ", r.n_name)
+                    f.write(f"{name}\t{r.n_nationkey}\n")
         paths[rk] = p
     register_rest_tsv(spark)
     if not paths:
@@ -291,7 +306,8 @@ register(
     SELECT CAST(n_regionkey AS INTEGER) AS region_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
-           MIN(n_name) AS first_name
+           -- the TSV writer's framing escape (tab/newline -> space)
+           MIN(regexp_replace(n_name, '[\\t\\n\\r]', ' ', 'g')) AS first_name
     FROM nation
     -- mirror the Spark fixture builder's NULL skip: a NULL region/name
     -- row has no bucket file, so the oracle must not emit a NULL bucket

@@ -180,6 +180,29 @@ def write_partitioned(
             .sortWithinPartitions("__zk")
             .drop("__zk")
         )
+    # Partition VALUES become directory names: control characters make
+    # mkdir fail outright (a NUL-bearing value killed the whole write in
+    # the string-poisoned gate) and long values exceed NAME_MAX — which
+    # is 255 BYTES, so the cap is 40 CHARS (worst-case 4 bytes each,
+    # plus the "col=" prefix and Hive %-escaping, stays under 255; a
+    # 200-char cap still crashed on a combining-mark run). At 100 TB one
+    # drifted upstream row must not abort the backfill; clean
+    # low-cardinality values pass through byte-identical.
+    types = dict(df.dtypes)
+    sanitized = [
+        F.substring(
+            F.regexp_replace(F.col(c), r"[\x00-\x1F\x7F]", "_"), 1, 40
+        ).alias(c)
+        if types.get(c) == "string"
+        else F.col(c)
+        for c in df.columns
+    ]
+    df = df.select(
+        [
+            s if c in partition_cols else F.col(c)
+            for c, s in zip(df.columns, sanitized)
+        ]
+    )
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
