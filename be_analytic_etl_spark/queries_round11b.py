@@ -72,6 +72,15 @@ def q_ext_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
     ud = ev.select("user_id", F.to_date("ts").alias("__d"))
+    return survival_from_user_day(ud)
+
+
+def survival_from_user_day(ud: DataFrame) -> DataFrame:
+    """The KM/Nelson-Aalen fold over a (user_id, __d) presence frame —
+    the SAME substrate the growth-accounting streaming twin maintains
+    (streaming/jobs.py stream_user_day), so streamed lifecycle state
+    feeds survival and DAU decomposition alike; pinned bit-identical in
+    tests/test_streaming.py."""
     pu = ud.groupBy("user_id").agg(
         F.min("__d").alias("__f"), F.max("__d").alias("__l")
     )

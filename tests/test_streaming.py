@@ -829,3 +829,40 @@ def test_stream_funnel_events_feeds_funnel(
     got = {tuple(r) for r in funnel_from_events(ev).collect()}
     want = {tuple(r) for r in QUERIES["ext_funnel"](spark, SF_DIR).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_user_day_feeds_survival_curve(
+    spark, events_batch, events_stream_dir
+):
+    """The SAME streamed (user, day) presence sink that feeds growth
+    accounting also feeds the survival panel bit-for-bit — one
+    incremental substrate, two lifecycle readouts."""
+    from be_analytic_etl_spark.registry import QUERIES
+    from be_analytic_etl_spark.queries_round11b import (
+        survival_from_user_day,
+    )
+    from be_analytic_etl_spark.streaming import (
+        read_events_stream,
+        stream_user_day,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_user_day(stream)
+        .writeStream.format("memory")
+        .queryName("t_user_day_surv")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    ud = spark.table("t_user_day_surv").select(
+        "user_id", F.col("day").alias("__d")
+    )
+    got = {tuple(r) for r in survival_from_user_day(ud).collect()}
+    want = {
+        tuple(r)
+        for r in QUERIES["ext_survival_curve"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
