@@ -124,9 +124,14 @@ def test_cramers_v_matches_bruteforce(spark, scored_docs):
         rm[src] += c
         cm[b] += c
     n = sum(cells.values())
+    # textbook chi2 runs over ALL r x k cells: a zero-observed cell
+    # contributes (0-E)^2/E = E (the mass the round-11 property test
+    # found missing — this brute force used to skip it too)
     chi2 = sum(
-        (c - rm[src] * cm[b] / n) ** 2 / (rm[src] * cm[b] / n)
-        for (src, b), c in cells.items()
+        (cells.get((src, b), 0) - rm[src] * cm[b] / n) ** 2
+        / (rm[src] * cm[b] / n)
+        for src in rm
+        for b in cm
     )
     r, k = len(rm), len(cm)
     v = math.sqrt(chi2 / n / min(r - 1, k - 1))
