@@ -147,3 +147,33 @@ def test_frame_sampling_count_matches_payload_size(spark):
     assert counts[1] == 2  # 3000 // 1024
     assert counts[2] == 1  # below one frame -> still 1
     assert counts[3] == 8  # capped at max_frames
+
+
+def test_redact_patterns_bounded_and_correct(spark):
+    """The RFC-bounded email pattern (round-11 ReDoS fix) must still
+    redact normal emails and long digit runs, and must stay LINEAR on
+    an adversarial email-alphabet megabyte run — the unbounded form
+    re-consumed the rest of the run at every failed position (O(n^2),
+    a live hang in the string-poisoned gate)."""
+    import time
+
+    from be_analytic_etl_spark.operators.textstats import redact_pii
+
+    rows = [
+        (0, "reach me at jane.doe+spam@sub.example.co.uk today"),
+        (1, "account 123456789 and a short 12345"),
+        (2, "x" * 1_000_000),  # email-alphabet run, no @ — must be fast
+        (3, "a" * 70 + "@example.com"),  # local part past the RFC cap
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    t0 = time.time()
+    got = {r["id"]: r["r"] for r in df.select("id", redact_pii("text").alias("r")).collect()}
+    elapsed = time.time() - t0
+    assert got[0] == "reach me at <EMAIL> today"
+    assert got[1] == "account <NUM> and a short 12345"
+    assert got[2] == "x" * 1_000_000
+    # >64-char local part: the RFC-bounded pattern redacts the trailing
+    # 64 chars + domain; the 6-char overflow prefix survives (documented)
+    assert got[3].endswith("<EMAIL>") and got[3].startswith("aaaaaa")
+    assert "@" not in got[3]
+    assert elapsed < 30, f"redaction no longer linear: {elapsed:.1f}s"
