@@ -128,17 +128,26 @@ def test_growth_accounting_on_random_events(spark, tmp_path, seed):
         for d in ds:
             days[d].add(u)
     out = {r["day"]: r for r in QUERIES["ext_growth_accounting"](spark, sf_dir).collect()}
-    assert set(out) == set(days)
-    for d, users in days.items():
-        r = out[d]
+    # full-outer churn attribution (ADVICE r10): days with zero activity
+    # but nonzero churn (quiet gap day, day after the horizon) appear too
+    churn_days = {
+        d + timedelta(days=1)
+        for u, ds in user_days.items()
+        for d in ds
+        if (d + timedelta(days=1)) not in ds
+    }
+    assert set(out) == set(days) | churn_days
+    for d, r in out.items():
+        users = days.get(d, set())
         assert r["dau"] == len(users)
         assert r["dau"] == r["new_users"] + r["retained"] + r["resurrected"]
         assert r["new_users"] == sum(1 for u in users if min(user_days[u]) == d)
         assert r["retained"] == sum(
             1 for u in users if (d - timedelta(days=1)) in user_days[u]
         )
-        nxt = d + timedelta(days=1)
-        if nxt in out:
-            assert out[nxt]["churned"] == sum(
-                1 for u in users if nxt not in user_days[u]
-            )
+        prev = d - timedelta(days=1)
+        assert r["churned"] == sum(
+            1
+            for u, ds in user_days.items()
+            if prev in ds and d not in ds
+        )

@@ -77,9 +77,20 @@ def test_growth_accounting_identity_and_bruteforce(spark):
         days[d].add(r["user_id"])
         user_days[r["user_id"]].add(d)
     out = {r["day"]: r for r in _q(spark, "ext_growth_accounting").collect()}
-    assert set(out) == set(days)
-    for d, users in days.items():
-        r = out[d]
+    from datetime import timedelta
+
+    # full-outer churn attribution (ADVICE r10): a churn-only day (no
+    # activity, e.g. the day after the corpus horizon) appears with
+    # dau = 0 — churn is never silently dropped
+    churn_days = {
+        d + timedelta(days=1)
+        for u, ds in user_days.items()
+        for d in ds
+        if (d + timedelta(days=1)) not in ds
+    }
+    assert set(out) == set(days) | churn_days
+    for d, r in out.items():
+        users = days.get(d, set())
         assert r["dau"] == len(users)
         # the growth-accounting identity
         assert r["dau"] == r["new_users"] + r["retained"] + r["resurrected"]
@@ -90,14 +101,13 @@ def test_growth_accounting_identity_and_bruteforce(spark):
             if any((d - pd).days == 1 for pd in user_days[u] if pd < d)
         )
         assert (r["new_users"], r["retained"]) == (new, retained)
-    # churn census: users active on d with no activity on d+1
-    for d, users in days.items():
-        from datetime import timedelta
-
-        nxt = d + timedelta(days=1)
-        churned = sum(1 for u in users if nxt not in user_days[u])
-        if nxt in out:
-            assert out[nxt]["churned"] == churned
+    # churn census: users active on d-1 with no activity on d
+    for d, r in out.items():
+        prev = d - timedelta(days=1)
+        churned = sum(
+            1 for u, ds in user_days.items() if prev in ds and d not in ds
+        )
+        assert r["churned"] == churned
 
 
 def test_permutation_test_matches_bruteforce(spark):
