@@ -582,3 +582,57 @@ def test_token_lorenz_decile_lookup_is_bounded(spark):
     plan = plan_of(QUERIES["ext_token_lorenz"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# --- round-11 additions ------------------------------------------------------
+
+
+def test_round11_panels_stay_jvm_side_and_cartesian_free(spark):
+    """Every round-11 addition must plan without row-Python stages or
+    cartesian products; the bounded scalar-fold broadcasts are the only
+    nested loops (adjudicated in plans/lint.py BNL_ALLOWLIST)."""
+    for name in (
+        "ext_survival_curve",
+        "ext_inter_arrival",
+        "ext_binseg_changepoint",
+        "ext_ljung_box",
+        "ext_session_paths",
+        "ext_effect_size_power",
+        "ext_srm_check",
+        "ext_odds_ratio",
+        "ext_rater_agreement",
+        "ext_gopher_rules",
+        "ext_negative_sampling",
+        "ext_capture_recapture",
+        "ext_mattr",
+        "ext_random_projection",
+        "ext_hhi",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_mattr_single_explode_no_window_materialization(spark):
+    """The windowless MATTR must read documents ONCE, explode ONCE, and
+    carry no per-window array build — the closed-form contribution is
+    plain integer arithmetic after one LAG window."""
+    plan = plan_of(QUERIES["ext_mattr"](spark, SF_DIR))
+    assert plan.count("Generate explode") + plan.count("Generate posexplode") == 1, plan
+    assert "collect_list" not in plan, plan
+
+
+def test_random_projection_partial_aggregates(spark):
+    """The JL projection's per-vector sums must combine map-side
+    (partial + final hash aggregate) — the posexplode partial-agg shape
+    that replaced the 6x-slower interpreted lambda folds."""
+    plan = plan_of(QUERIES["ext_random_projection"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_hhi_joins_are_shuffle_or_broadcast_hash(spark):
+    plan = plan_of(QUERIES["ext_hhi"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
