@@ -197,3 +197,28 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == 4000
     assert back.agg({"id": "sum"}).first()[0] == sum(range(4000))
+
+
+def test_write_partitioned_sanitizes_partition_values(spark, tmp_path):
+    """Round-11 string-poisoned-gate fix: partition values are directory
+    names, so control characters are replaced and values are capped at
+    40 chars (NAME_MAX is 255 BYTES; multibyte chars at 3-4 bytes each
+    made a 200-char cap fail) — while clean low-cardinality values pass
+    through byte-identical and non-partition columns are untouched."""
+    from pyspark.sql import functions as F
+
+    from be_analytic_etl_spark.sources.sinks import write_partitioned
+
+    rows = [
+        (1, "1-URGENT", "keep\x00me"),
+        (2, "bad\x00\nvalue", "payload"),
+        (3, "é" * 300, "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, p string, payload string")
+    path = str(tmp_path / "part_sanitize")
+    write_partitioned(df, path, partition_cols=["p"])
+    back = {r["id"]: r for r in spark.read.parquet(path).collect()}
+    assert back[1]["p"] == "1-URGENT"            # clean value untouched
+    assert back[1]["payload"] == "keep\x00me"    # non-partition col raw
+    assert back[2]["p"] == "bad__value"          # control chars -> '_'
+    assert back[3]["p"] == "é" * 40              # capped at 40 chars
