@@ -90,3 +90,34 @@ def test_hll_panel_carries_both_parent_readouts(spark):
     assert panel["ALL"]["exact_distinct"] == docs.select("text").distinct().count()
     for s, cnt in per.items():
         assert panel[s]["exact_distinct"] == cnt
+
+
+def test_retired_parents_still_match_their_oracles(spark, duck):
+    """The retired pair members keep their own DuckDB value checks HERE
+    (they left the driver registry at the merge, not the test suite) —
+    so the sketch write/read/rollup twins can never silently rot while
+    only the merged panels are driver-checked."""
+    from tests.conftest import assert_matches_oracle
+
+    from be_analytic_etl_spark.queries_extensions import (
+        _hll_oracle,
+        q_ext_hll_distinct,
+    )
+    from be_analytic_etl_spark.queries_round5 import (
+        _hll_union_oracle,
+        q_ext_hll_union,
+    )
+    from be_analytic_etl_spark.queries_round8 import (
+        _tdigest_oracle,
+        _tdigest_read_oracle,
+        q_ext_tdigest_quantiles,
+        q_ext_tdigest_read,
+    )
+
+    for fn, sql in [
+        (q_ext_tdigest_quantiles, _tdigest_oracle()),
+        (q_ext_tdigest_read, _tdigest_read_oracle()),
+        (q_ext_hll_distinct, _hll_oracle()),
+        (q_ext_hll_union, _hll_union_oracle()),
+    ]:
+        assert_matches_oracle(fn(spark, SF_DIR), duck, sql)
