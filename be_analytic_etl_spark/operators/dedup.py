@@ -400,10 +400,21 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     portable: bool = False,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the hash bits into 4 chunks
     (pigeonhole: hamming<=3 pairs share at least one exact chunk), bucket-join
     on chunks, verify true hamming distance.
+
+    ``max_bucket`` is the flood guard the minhash-LSH path always had
+    and this path was missing (caught by the round-11 duplicate-bomb
+    probe): a crawl-duplicate flood puts every copy in the SAME four
+    chunk buckets, so the candidate join is C(n, 2) — quadratic in the
+    flood size. Buckets with more than ``max_bucket`` members are
+    skipped, exactly like LSH's ``kept`` filter; an exact-duplicate
+    flood is exact dedup's job (run first, as the pipeline composer
+    does), and a >1000-member *near*-dup chunk bucket on real data
+    means the chunk carries no discriminating bits for that cluster.
 
     The persisted simhash table stays cached until GC of the returned plan
     (``session.cached_scope`` for eager cleanup)."""
@@ -433,6 +444,10 @@ def simhash_neardup_pairs(
             )
         ).alias("c"),
     ).select("__id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    kept = chunks.groupBy("chunk_id", "chunk").agg(
+        F.count(F.lit(1)).alias("__bn")
+    ).filter(F.col("__bn") <= max_bucket).drop("__bn")
+    chunks = chunks.join(kept, ["chunk_id", "chunk"])
     left = chunks.select("chunk_id", "chunk", F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = chunks.select("chunk_id", "chunk", F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"))
     cand = (
@@ -1274,6 +1289,7 @@ def simhash_panel(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     portable: bool = False,
+    max_bucket: int = 1000,
 ) -> "DataFrame":
     """The merged per-document SimHash readout (round-11 registry merge
     of ``ext_simhash`` + ``ext_simhash_neardup``): one row per document —
@@ -1319,6 +1335,13 @@ def simhash_panel(
         F.col("c.chunk_id").alias("chunk_id"),
         F.col("c.chunk").alias("chunk"),
     )
+    # flood guard (see simhash_neardup_pairs): skip chunk buckets larger
+    # than max_bucket so a crawl-duplicate flood cannot make the
+    # candidate join quadratic; mirrored in the registered oracle.
+    kept = chunks.groupBy("chunk_id", "chunk").agg(
+        F.count(F.lit(1)).alias("__bn")
+    ).filter(F.col("__bn") <= max_bucket).drop("__bn")
+    chunks = chunks.join(kept, ["chunk_id", "chunk"])
     left = chunks.select(
         "chunk_id", "chunk", F.col("__id").alias("id_a"),
         F.col("simhash").alias("sh_a"),

@@ -76,6 +76,7 @@ register("ext_tdigest_panel", q_ext_tdigest_panel, _tdigest_panel_oracle())
 #    portable 60-bit hash, 4-chunk pigeonhole, hamming <= 6).
 
 _SIMHASH_MAXHAM = 6
+_SIMHASH_MAXBUCKET = 1000
 
 
 def q_ext_simhash_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,6 +84,7 @@ def q_ext_simhash_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         max_hamming=_SIMHASH_MAXHAM,
         portable=True,
+        max_bucket=_SIMHASH_MAXBUCKET,
     )
 
 
@@ -90,10 +92,15 @@ register(
     "ext_simhash_panel",
     q_ext_simhash_panel,
     f"""
-    WITH {_simhash_sql_body()}, chunks AS (
+    WITH {_simhash_sql_body()}, chunks0 AS (
         SELECT doc_id, simhash, i AS chunk_id,
                (simhash >> (i * 15)) & 32767 AS chunk
         FROM sim, range(0, 4) r(i)
+    ), kept AS (
+        SELECT chunk_id, chunk FROM chunks0
+        GROUP BY 1, 2 HAVING COUNT(*) <= {_SIMHASH_MAXBUCKET}
+    ), chunks AS (
+        SELECT chunks0.* FROM chunks0 JOIN kept USING (chunk_id, chunk)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.simhash AS sh_a, b.simhash AS sh_b
