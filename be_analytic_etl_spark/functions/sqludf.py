@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from be_analytic_etl_spark.operators.textstats import WS_PLUS_SQLEXPR
+
 # Single-element transform(array(x), v -> body) is the expression-level
 # let (see functions.let / dedup._portable_minhash_sql): bind the
 # stripped string once instead of inlining the regexp per reference.
@@ -66,7 +68,7 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "INT",
         r"size(CASE WHEN trim(coalesce(s, '')) = '' "
         r"THEN CAST(array() AS ARRAY<STRING>) "
-        r"ELSE split(trim(coalesce(s, '')), '\\s+') END)",
+        rf"ELSE split(trim(coalesce(s, '')), '{WS_PLUS_SQLEXPR}') END)",
     ),
 }
 

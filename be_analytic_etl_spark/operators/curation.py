@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.operators.textstats import (
     STOPWORDS,
+    WS_CHARS,
+    WS_CLASS,
     token_count,
     tokenize,
 )
@@ -46,8 +48,10 @@ from be_analytic_etl_spark.operators.textstats import (
 
 #: Characters counted as "ordinary" by the symbol-ratio rule. Everything
 #: outside this class is a symbol. Restricted to constructs Java regex and
-#: RE2 treat identically so the DuckDB oracle can replicate it verbatim.
-ORDINARY_CLASS = "[A-Za-z0-9\\s.,;:!?'\"-]"
+#: RE2 treat identically so the DuckDB oracle can replicate it verbatim —
+#: whitespace is spelled out via WS_CHARS because Java's \s includes
+#: vertical tab and RE2's does not (ADVICE r11 #2).
+ORDINARY_CLASS = "[A-Za-z0-9" + WS_CHARS + ".,;:!?'\"-]"
 
 #: Rule thresholds (C4 uses >=3 sentences & >=5 words/line; Gopher uses
 #: 50..100k words, mean word length 3..10; these are the same shape, tuned
@@ -70,7 +74,7 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     c = F.coalesce(F.col(text_col), F.lit(""))
     low = F.lower(c)
     n_words = token_count(text_col)
-    n_nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    n_nonspace = F.length(F.regexp_replace(c, WS_CLASS, ""))
     n_chars = F.length(c)
     n_symbols = F.length(F.regexp_replace(c, ORDINARY_CLASS, ""))
     toks = tokenize(text_col)
@@ -91,7 +95,7 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.when(n_chars > 0, n_symbols.cast("double") / n_chars)
         .otherwise(F.lit(0.0))
         .alias("symbol_ratio"),
-        c.rlike(r"[.!?]\s*$").alias("flag_terminal_punct"),
+        c.rlike("[.!?]" + WS_CLASS + "*$").alias("flag_terminal_punct"),
         has_stop.alias("flag_has_stopword"),
         flag_boiler.alias("flag_no_boilerplate"),
     )

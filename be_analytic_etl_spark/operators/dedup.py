@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.operators.textstats import (
     PORTABLE_P,
+    WS_PLUS_SQLEXPR,
     normalize_text,
     portable_base_hash,
     tokenize,
@@ -93,7 +94,7 @@ def _tokenize_sql(c: str) -> str:
     t = f"trim(coalesce({c}, ''))"
     return (
         f"CASE WHEN {t} = '' THEN CAST(array() AS ARRAY<STRING>) "
-        rf"ELSE split({t}, '\\s+') END"
+        rf"ELSE split({t}, '{WS_PLUS_SQLEXPR}') END"
     )
 
 

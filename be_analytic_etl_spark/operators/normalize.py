@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from be_analytic_etl_spark.functions.rounding import stable_round
 
 from be_analytic_etl_spark.operators.textstats import (
+    WS_PLUS,
     portable_base_hash,
     tokenize,
 )
@@ -94,7 +95,7 @@ def normalize_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(F.coalesce(c, F.lit("")), CONTROL_CLASS, "")
     c = repair_mojibake(c)
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, WS_PLUS, " ")
     return F.trim(c)
 
 

@@ -13,12 +13,27 @@ from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.functions.rounding import stable_round
 
+#: Explicit whitespace class, byte-identical in Java regex (Spark) and
+#: RE2 (DuckDB). Java's ``\s`` is ``[ \t\n\x0B\f\r]`` while RE2's omits
+#: vertical tab, so a VT-bearing document silently diverges between the
+#: engines (ADVICE r11 #2) — ``\s`` is therefore banned from every
+#: engine-paired pattern in favor of these constants. The literal
+#: backslash escapes are interpreted identically by Java regex (when
+#: passed straight from Python) and by RE2 (when embedded in a DuckDB
+#: single-quoted literal, which keeps backslashes raw). Spark *SQL
+#: expression strings* unescape once at parse time — use the
+#: ``_SQLEXPR`` variant there.
+WS_CHARS = r" \t\n\r\f\x0B"
+WS_CLASS = "[" + WS_CHARS + "]"
+WS_PLUS = WS_CLASS + "+"
+WS_PLUS_SQLEXPR = WS_PLUS.replace("\\", "\\\\")
+
 
 def tokenize(col: Column | str) -> Column:
     """Whitespace tokenization; empty/blank text -> empty array."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(F.coalesce(c, F.lit("")))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, WS_PLUS))
 
 
 def token_count(col: Column | str) -> Column:
@@ -30,7 +45,7 @@ def token_count(col: Column | str) -> Column:
 #: identical in Java regex (Spark) and RE2 (DuckDB) so the count is
 #: oracle-checkable. Real BPE vocabularies pre-split on exactly this kind
 #: of pattern before merging.
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_CHARS + "]"
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
@@ -213,7 +228,7 @@ def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: trim, lowercase, collapse runs of
     whitespace to single spaces."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), WS_PLUS, " ")
 
 
 def fingerprint_md5(col: Column | str) -> Column:

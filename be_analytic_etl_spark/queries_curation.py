@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_sql
 from be_analytic_etl_spark.operators import curation as C
+from be_analytic_etl_spark.operators import textstats as T
 from be_analytic_etl_spark.queries_extensions import _STOP_SQL, _t, _TOKS
 from be_analytic_etl_spark.registry import register
 
@@ -48,7 +49,7 @@ register(
     ), m AS (
         SELECT doc_id, t, low, toks,
                len(toks) AS n_words,
-               length(regexp_replace(t, '\\s', '', 'g')) AS n_nonspace,
+               length(regexp_replace(t, '{T.WS_CLASS}', '', 'g')) AS n_nonspace,
                length(t) AS n_chars,
                length(regexp_replace(t, '{_ORDINARY_SQL}', '', 'g')) AS n_symbols
         FROM base
@@ -61,7 +62,7 @@ register(
                     THEN CAST(n_symbols AS DOUBLE) / n_chars ELSE 0.0 END
                    AS symbol_ratio,
                (n_words BETWEEN {C.MIN_WORDS} AND {C.MAX_WORDS}) AS flag_word_count,
-               regexp_matches(t, '[.!?]\\s*$') AS flag_terminal_punct,
+               regexp_matches(t, '[.!?]{T.WS_CLASS}*$') AS flag_terminal_punct,
                len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x)))) > 0
                    AS flag_has_stopword,
                ({_BOILER_SQL}) AS flag_no_boilerplate

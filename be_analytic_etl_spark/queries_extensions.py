@@ -38,9 +38,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --- shared DuckDB SQL fragments -------------------------------------------
 
 #: tokenize() twin: whitespace split of trimmed text; blank -> empty list.
+#: Whitespace is the explicit WS_PLUS class, not \s — RE2's \s omits
+#: vertical tab while Java's includes it (ADVICE r11 #2).
 _TOKS = (
     "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) "
-    "ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END"
+    f"ELSE string_split_regex(trim(coalesce(text, '')), '{T.WS_PLUS}') END"
 )
 
 
@@ -138,7 +140,7 @@ register(
                     ELSE CAST(n_punct AS DOUBLE) / n_chars_meas END AS punct_ratio,
                CASE WHEN n_tokens = 0 THEN 0.0
                     ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
-               md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS fingerprint
+               md5(regexp_replace(lower(trim(t)), '{T.WS_PLUS}', ' ', 'g')) AS fingerprint
         FROM m
     )
     SELECT doc_id, n_tokens, n_chars_meas, punct_ratio, stopword_ratio,
@@ -1868,7 +1870,7 @@ register(
 # fingerprint set and band index are incremental state (persist + append),
 # so per-batch cost ∝ batch size, not corpus size.
 _INC_FP_SQL = (
-    "md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))"
+    f"md5(regexp_replace(lower(trim(coalesce(text, ''))), '{T.WS_PLUS}', ' ', 'g'))"
 )
 
 
@@ -2148,10 +2150,10 @@ def q_ext_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "ext_cross_source_overlap",
     q_ext_cross_source_overlap,
-    """
+    f"""
     WITH fp AS (
         SELECT DISTINCT
-               md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))
+               md5(regexp_replace(lower(trim(coalesce(text, ''))), '{T.WS_PLUS}', ' ', 'g'))
                    AS fp,
                source
         FROM documents

@@ -189,6 +189,14 @@ def q_ext_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__us").isNotNull())
         .select(F.expr("__us DIV 1000000").alias("__s"))
     )
+    return inter_arrival_hist_from_gaps(gaps)
+
+
+def inter_arrival_hist_from_gaps(gaps: DataFrame) -> DataFrame:
+    """Spectrum readout over a ``__s`` (gap seconds) frame — shared by
+    the batch query above and the streaming twin
+    (streaming/jobs.stream_user_gaps), so the two stay bit-identical by
+    construction whenever the gap multisets agree."""
     # bit-length bucket: 0 for sub-second gaps, else length(bin(s)) —
     # the HLL rank trick, integer-exact in both engines.
     bucket = (
@@ -449,7 +457,12 @@ def q_ext_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ndd = F.col("n_days").cast("double")
     q = ndd * (ndd + F.lit(2.0)) * F.col("__fold").cast("double")
-    return folded.select(
+    # Empty-input parity with the oracle's `WHERE n_days IS NOT NULL`:
+    # a keyless groupBy().agg() over zero rows emits one all-NULL row,
+    # which the oracle's outer filter drops — drop it here too so both
+    # sides return zero rows on a constant or <=1-day series
+    # (ADVICE r11 #1).
+    return folded.filter(F.col("n_days").isNotNull()).select(
         "n_days", "max_lag", stable_round(q, 6).alias("q_stat")
     )
 

@@ -53,6 +53,7 @@ from be_analytic_etl_spark.functions.rounding import (
     stable_round,
     stable_round_sql,
 )
+from be_analytic_etl_spark.operators.textstats import WS_CHARS
 from be_analytic_etl_spark.queries_extensions import _TOKS, _t
 from be_analytic_etl_spark.registry import register
 
@@ -74,7 +75,11 @@ def q_ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         tokenize(txt).alias("__tk"),
         F.length(txt).alias("__nc"),
-        F.length(F.regexp_replace(txt, r"[A-Za-z0-9\s]", "")).alias("__sym"),
+        F.length(
+            # explicit whitespace class, not \s: Java's \s includes \x0B
+            # (vertical tab) while RE2's does not (ADVICE r11 #2)
+            F.regexp_replace(txt, "[A-Za-z0-9" + WS_CHARS + "]", "")
+        ).alias("__sym"),
     ).select(
         F.size("__tk").alias("__nt"),
         F.expr(
@@ -149,7 +154,7 @@ def _gopher_oracle() -> str:
         SELECT {_TOKS.replace("text", "COALESCE(text, '')")} AS tk,
                len(COALESCE(text, '')) AS nc,
                len(regexp_replace(COALESCE(text, ''),
-                                  '[A-Za-z0-9\\s]', '', 'g')) AS sym
+                                  '[A-Za-z0-9{WS_CHARS}]', '', 'g')) AS sym
         FROM documents
     ), m AS (
         SELECT len(tk) AS nt,

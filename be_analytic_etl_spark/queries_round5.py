@@ -61,7 +61,7 @@ def _quality_ctes() -> str:
 
     return f"""{qscore_feature_ctes("doc_id", ", t")}, q AS (
         SELECT doc_id,
-               md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS fingerprint,
+               md5(regexp_replace(lower(trim(t)), '{T.WS_PLUS}', ' ', 'g')) AS fingerprint,
                {_QSCORE_SQL} AS quality
         FROM m
     )"""
@@ -1832,7 +1832,7 @@ register(
     q_ext_dup_inflation,
     f"""
     WITH per AS (
-        SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp,
+        SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '{T.WS_PLUS}', ' ', 'g')) AS fp,
                COUNT(*) AS copies,
                CAST(SUM(len({_TOKS})) AS BIGINT) AS toks,
                CAST(MIN(len({_TOKS})) AS BIGINT) AS toks_one

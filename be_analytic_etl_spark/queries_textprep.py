@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 # queries_extensions.
 from be_analytic_etl_spark.registry import register
 from be_analytic_etl_spark.operators import normalize as N
-from be_analytic_etl_spark.operators.textstats import PORTABLE_P
+from be_analytic_etl_spark.operators.textstats import PORTABLE_P, WS_PLUS
 from be_analytic_etl_spark.functions.rounding import stable_round, stable_round_sql
 from be_analytic_etl_spark.queries_extensions import _TOKS, _t
 
@@ -73,7 +73,7 @@ def _normalize_sql(expr: str) -> str:
     out = rf"regexp_replace({out}, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')"
     for bad, good in N.MOJIBAKE_PAIRS:
         out = f"replace({out}, '{bad}', '{good}')"
-    out = rf"regexp_replace({out}, '\s+', ' ', 'g')"
+    out = rf"regexp_replace({out}, '{WS_PLUS}', ' ', 'g')"
     return f"trim({out})"
 
 
@@ -541,7 +541,7 @@ def q_ext_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "ext_udtf_sentences",
     q_ext_udtf_sentences,
-    r"""
+    rf"""
     WITH parts AS (
         SELECT doc_id, string_split(coalesce(text, ''), '. ') AS ps FROM documents
     )
@@ -549,7 +549,7 @@ register(
            CAST(u.e.pos AS INTEGER) AS pos,
            md5(u.e.s) AS sentence_md5,
            CAST(len(CASE WHEN trim(u.e.s) = '' THEN CAST([] AS VARCHAR[])
-                         ELSE string_split_regex(trim(u.e.s), '\s+') END)
+                         ELSE string_split_regex(trim(u.e.s), '{WS_PLUS}') END)
                 AS INTEGER) AS n_toks
     FROM parts,
          unnest(list_apply(ps, (x, i) -> struct_pack(pos := i - 1, s := x))) u(e)

@@ -60,6 +60,7 @@ from be_analytic_etl_spark import queries_round11  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round11b  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round11c  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round11d  # noqa: E402,F401
+from be_analytic_etl_spark import queries_round12  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered

@@ -28,6 +28,7 @@ bound, not CPU-bound — the one place a Python boundary costs nothing.
 
 from __future__ import annotations
 
+import re
 import urllib.request
 from collections.abc import Iterator
 
@@ -40,6 +41,21 @@ from pyspark.sql.datasource import (
 
 #: The reference's encoding probe order (main.py:371-389).
 DEFAULT_ENCODINGS = ("utf-8", "latin-1", "cp1252", "utf-16")
+
+
+def _split_records(text: str) -> list[str]:
+    """Split a resource into records on REAL newlines only
+    (``\\r\\n`` / ``\\r`` / ``\\n``) — the universal-newline semantics
+    of the reference's pandas reader. NOT ``str.splitlines()``: that
+    also splits on ``\\x0b \\x0c \\x1c-\\x1e \\x85 \\u2028 \\u2029``,
+    so a vertical-tab inside a FIELD would silently fracture the record
+    (caught by the string-poisoned gate when \\x0b joined the
+    adversarial set). A trailing newline yields no empty final record,
+    matching splitlines' framing."""
+    recs = re.split(r"\r\n|\r|\n", text)
+    if recs and recs[-1] == "":
+        recs.pop()
+    return recs
 
 
 def _decode_with_fallback(raw: bytes, encodings: tuple[str, ...]) -> str:
@@ -96,10 +112,10 @@ class RestTsvReader(DataSourceReader):
         with urllib.request.urlopen(url, timeout=60) as resp:
             raw = resp.read()
         text = _decode_with_fallback(raw, self._encodings)
-        # splitlines (not split("\n")) so \r\n resources don't leak \r
-        # into the last column — the reference's pandas reader does the
-        # same universal-newline handling.
-        for i, line in enumerate(text.splitlines()):
+        # record split on \r\n|\r|\n only (so \r\n resources don't leak
+        # \r into the last column AND an in-field \x0b/\x0c survives —
+        # see _split_records)
+        for i, line in enumerate(_split_records(text)):
             yield (url, i, line)
 
 
@@ -140,7 +156,7 @@ class RestTsvStreamReader(SimpleDataSourceStreamReader):
         with urllib.request.urlopen(self._url, timeout=60) as resp:
             raw = resp.read()
         text = _decode_with_fallback(raw, self._encodings)
-        lines = text.splitlines()
+        lines = _split_records(text)
         # Only NEWLINE-TERMINATED lines are consumable: a non-atomic
         # append can expose a partial trailing line, and committing it
         # would both ingest truncated content and break replay (the same

@@ -156,6 +156,7 @@ def write_partitioned(
     partition_cols: list[str],
     zorder_cols: tuple[str, str] | None = None,
     mode: str = "overwrite",
+    max_partition_value_bytes: int | None = None,
 ) -> None:
     """Hive-partitioned parquet layout: one directory per partition value,
     so any filter on ``partition_cols`` prunes whole directories at
@@ -182,25 +183,43 @@ def write_partitioned(
         )
     # Partition VALUES become directory names: control characters make
     # mkdir fail outright (a NUL-bearing value killed the whole write in
-    # the string-poisoned gate) and long values exceed NAME_MAX — which
-    # is 255 BYTES, so the cap is 40 CHARS (worst-case 4 bytes each,
-    # plus the "col=" prefix and Hive %-escaping, stays under 255; a
-    # 200-char cap still crashed on a combining-mark run). At 100 TB one
-    # drifted upstream row must not abort the backfill; clean
-    # low-cardinality values pass through byte-identical.
+    # the string-poisoned gate) and long values exceed NAME_MAX, which is
+    # 255 BYTES. The guard is PER-VALUE (ADVICE r11 #3 — the old version
+    # truncated every value to 40 chars, silently mutating legitimate
+    # long values and merging distinct values sharing a prefix):
+    #   * control chars always map to '_' (identity on clean values);
+    #   * a value is shortened ONLY when its byte budget would actually
+    #     overflow the directory-name limit — budget = (254 - len("c="))
+    #     / 3, the worst case where Hive %-escapes every byte to 3;
+    #   * shortened values keep a suffix of md5(full value), so distinct
+    #     oversized values stay distinct partitions instead of merging.
+    # At 100 TB one drifted upstream row must not abort the backfill;
+    # clean low-cardinality values pass through byte-identical.
     types = dict(df.dtypes)
-    sanitized = [
-        F.substring(
-            F.regexp_replace(F.col(c), r"[\x00-\x1F\x7F]", "_"), 1, 40
-        ).alias(c)
-        if types.get(c) == "string"
-        else F.col(c)
-        for c in df.columns
-    ]
+
+    def _safe(c: str) -> F.Column:
+        limit_b = max_partition_value_bytes or max(
+            24, (254 - len(c) - 1) // 3
+        )
+        # truncated form: head chars (4-byte worst case) + "-" + 8 hash
+        # chars, raw bytes <= limit_b so the escaped name fits NAME_MAX
+        n_chars = max(1, (limit_b - 9) // 4)
+        clean = F.regexp_replace(F.col(c), r"[\x00-\x1F\x7F]", "_")
+        return F.when(
+            F.octet_length(clean) > F.lit(limit_b),
+            F.concat(
+                F.substring(clean, 1, n_chars),
+                F.lit("-"),
+                F.substring(F.md5(clean), 1, 8),
+            ),
+        ).otherwise(clean).alias(c)
+
     df = df.select(
         [
-            s if c in partition_cols else F.col(c)
-            for c, s in zip(df.columns, sanitized)
+            _safe(c)
+            if c in partition_cols and types.get(c) == "string"
+            else F.col(c)
+            for c in df.columns
         ]
     )
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

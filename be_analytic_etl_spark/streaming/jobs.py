@@ -705,3 +705,71 @@ def stream_funnel_events(events: DataFrame) -> DataFrame:
         .groupBy("user_id", "event_type", "ts")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+GAPS_SCHEMA = "user_id long, gap_s long"
+
+
+def stream_user_gaps(events: DataFrame) -> DataFrame:
+    """Streaming twin of the inter-arrival substrate (queries_round11b
+    ``ext_inter_arrival``): per-user consecutive event gaps via
+    ``applyInPandasWithState``.
+
+    State per user is ONE long — the last seen event's microsecond
+    timestamp — so live state is O(users), not O(events) (the batch
+    LAG shuffles every event; the stream never re-touches history).
+    Each arriving event appends exactly one gap row (its distance to
+    the previous event), and ``inter_arrival_hist_from_gaps`` runs
+    UNCHANGED over the append sink, bit-identical to batch because the
+    gap multiset is.
+
+    Ordering contract: the per-user feed must be non-decreasing in
+    (ts, event_id) ACROSS micro-batches (the replay / append-only-log
+    shape every event-time state machine assumes); within a batch rows
+    are sorted before folding, so any batch slicing of an ordered feed
+    yields the same gaps — pinned against the batch readout in
+    tests/test_streaming.py. An out-of-order production feed needs the
+    watermark + re-sort front end first (stream_dedup_within_watermark's
+    discipline); the gap fold itself is deliberately kept exact.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        frames = [pdf[["us", "event_id"]] for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values(["us", "event_id"])
+        prev = None
+        if state.exists:
+            (prev,) = state.get
+            prev = int(prev)
+        gaps: list[int] = []
+        for u in batch["us"]:
+            u = int(u)
+            if prev is not None:
+                # `DIV 1000000` twin: non-negative by the ordering
+                # contract, so floor == truncate
+                gaps.append((u - prev) // 1_000_000)
+            prev = u
+        state.update((prev,))
+        if gaps:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(gaps), "gap_s": gaps}
+            )
+
+    prepped = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=GAPS_SCHEMA,
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -255,6 +255,10 @@ _ADVERSARIAL_STRINGS = [
     " \t\n\r  ",
     "x" * 1_000_000,
     "\x00\x00a\x00b",
+    # vertical tab + form feed: Java regex \s matches \x0B, RE2's does
+    # not — the divergence class ADVICE r11 #2 flagged; every paired
+    # pattern now spells whitespace explicitly (textstats.WS_CHARS)
+    "ver\x0btical\x0b tab\x0c body. text\x0b",
     "���",
     "é" * 500 + " ‍​ " + "\U0001f980" * 100,
     "‮ right-to-left ‭ mixed ⁦dir⁩",

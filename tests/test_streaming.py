@@ -866,3 +866,75 @@ def test_stream_user_day_feeds_survival_curve(
         for r in QUERIES["ext_survival_curve"](spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+@pytest.fixture(scope="module")
+def events_sliced_dir(spark, tmp_path_factory):
+    """The events table split into 3 ts-ordered parquet files (one
+    micro-batch each under maxFilesPerTrigger=1), so per-user order
+    holds ACROSS batches — the ordered-feed contract the gap state
+    machine assumes. File names fix the pickup order (the file source
+    sorts by path within equal mod times)."""
+    import os
+    import shutil
+
+    from be_analytic_etl_spark.sources import load_table
+
+    d = tmp_path_factory.mktemp("events_sliced")
+    ev = load_table(spark, SF_DIR, "events")
+    b1, b2 = ev.selectExpr(
+        "percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.33) p1",
+        "percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.66) p2",
+    ).first()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    slices = [
+        ev.filter(us <= F.lit(int(b1))),
+        ev.filter((us > F.lit(int(b1))) & (us <= F.lit(int(b2)))),
+        ev.filter((us > F.lit(int(b2))) | F.col("ts").isNull()),
+    ]
+    for i, sl in enumerate(slices):
+        tmp = str(d / f"__stage{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        shutil.move(os.path.join(tmp, part), str(d / f"{i:03d}.parquet"))
+        shutil.rmtree(tmp)
+        os.utime(str(d / f"{i:03d}.parquet"), (1_000_000 + i, 1_000_000 + i))
+    return str(d)
+
+
+def test_stream_user_gaps_feeds_inter_arrival(
+    spark, events_batch, events_sliced_dir
+):
+    """The per-user gap stream (O(users) applyInPandasWithState state,
+    3 genuine micro-batches so last-ts state crosses batch boundaries)
+    must reproduce the registered inter-arrival spectrum bit-for-bit
+    when the SAME readout (inter_arrival_hist_from_gaps) runs over the
+    append sink — the r11 handoff's named streaming-twin ask."""
+    from be_analytic_etl_spark.registry import QUERIES
+    from be_analytic_etl_spark.queries_round11b import (
+        inter_arrival_hist_from_gaps,
+    )
+    from be_analytic_etl_spark.streaming import (
+        read_events_stream,
+        stream_user_gaps,
+    )
+
+    stream = read_events_stream(spark, events_sliced_dir)
+    got_gaps = _run(
+        spark, stream_user_gaps(stream), "t_user_gaps"
+    )
+    # multi-batch sanity: state really crossed a boundary (any user
+    # whose events span two slices yields a gap no single batch holds)
+    got = {
+        tuple(r)
+        for r in inter_arrival_hist_from_gaps(
+            got_gaps.select(F.col("gap_s").alias("__s"))
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in QUERIES["ext_inter_arrival"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
