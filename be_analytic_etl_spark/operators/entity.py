@@ -33,17 +33,35 @@ from be_analytic_etl_spark.operators.graph import connected_components
 from be_analytic_etl_spark.operators.textstats import tokenize
 
 
+#: Names longer than this never enter blocking (they stay singleton
+#: entities). This is the ER family's flood guard, same discipline as
+#: the LSH/simhash ``max_bucket`` caps: it bounds EVERY levenshtein call
+#: at O(threshold * MAX_NAME_LEN) regardless of upstream drift. Without
+#: it the string-poisoned gate hung the suite — the block self-join
+#: materializes (megabyte-name, megabyte-name) probe pairs, and
+#: Catalyst may evaluate the levenshtein conjunct before the cheap
+#: id/band guards, where Spark's distance walk over a 1 MB non-name is
+#: effectively unbounded. A megabyte "name" is upstream drift, not an
+#: entity; real vocabularies sit orders of magnitude below the cap,
+#: which never binds on the clean corpus (hashes unchanged at all SFs).
+MAX_NAME_LEN = 1000
+
+
 def blocking_keys(
-    names: DataFrame, name_col: str = "name", id_col: str = "id"
+    names: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    max_name_len: int = MAX_NAME_LEN,
 ) -> DataFrame:
     """(id, name, ln, bk) — one row per (name, block key).
 
     Keys are the md5 of the first and the last whitespace token (md5 so a
     megabyte-token name shuffles as 32 chars, and so the DuckDB twin is
-    byte-identical). Blank names produce no key and therefore no pairs.
+    byte-identical). Blank names and names past ``max_name_len`` produce
+    no key and therefore no pairs.
     """
     toks = tokenize(name_col)
-    keyed = names.select(
+    keyed = names.filter(F.length(name_col) <= max_name_len).select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("name"),
         F.length(name_col).alias("ln"),
@@ -78,13 +96,20 @@ def candidate_pairs(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"),
         F.col("ln").alias("ln_b"), "bk",
     )
+    # id order and length band ride IN the join condition (not a
+    # downstream filter): self-pairs and out-of-band pairs then never
+    # materialize for later conjuncts — Catalyst is free to reorder
+    # post-join filters, and the levenshtein must never run on a pair
+    # these guards exclude
+    cond = (
+        (a["bk"] == b["bk"])
+        & (a["id_a"] < b["id_b"])
+        & (F.abs(a["ln_a"] - b["ln_b"]) <= threshold)
+    )
     return (
-        a.join(F.broadcast(kept.select("bk")), "bk")
-        .join(b, "bk")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= threshold)
-        )
+        a.join(F.broadcast(kept.select(F.col("bk").alias("__kbk"))),
+               a["bk"] == F.col("__kbk"))
+        .join(b, cond)
         .select("id_a", "name_a", "id_b", "name_b")
         .distinct()
     )
@@ -107,11 +132,12 @@ def resolve_entities(
     *,
     threshold: int = 3,
     max_block: int = 1000,
+    max_name_len: int = MAX_NAME_LEN,
 ) -> DataFrame:
     """Label every name with its entity id (min member id of its match
     cluster). Returns (id, name, entity_id); singletons keep their own
     id, so the output is a total function of the input vocabulary."""
-    keyed = blocking_keys(names, name_col, id_col)
+    keyed = blocking_keys(names, name_col, id_col, max_name_len=max_name_len)
     matches = verified_matches(
         candidate_pairs(keyed, threshold=threshold, max_block=max_block),
         threshold=threshold,

@@ -411,4 +411,9 @@ BNL_ALLOWLIST: dict[str, str] = {
     "ext_rrf_fusion": "scalar-fold: single-row corpus stats into BM25 leg",
     "ext_frequent_pairs": "scalar-fold: single-row basket total",
     "ext_pmi_collocations": "scalar-fold: single-row token total",
+    # -- round-12 additions (r12 audit)
+    "ext_pacf": "scalar-fold: ext_acf's den fold + the ONE-row pivoted "
+    "rho frame the Durbin-Levinson recursion runs on",
+    "ext_anova_two_way": "scalar-fold: three single-row moment frames "
+    "(grand, lang-marginal, source-marginal) crossJoined",
 }

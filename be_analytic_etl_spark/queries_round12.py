@@ -49,6 +49,10 @@ from be_analytic_etl_spark.registry import register
 # its member count and the canonical (min-id) name — singletons
 # included, so the result is a total relabeling of the vocabulary.
 
+from be_analytic_etl_spark.operators.entity import (  # noqa: E402
+    MAX_NAME_LEN as _ER_MAX_NAME_LEN,
+)
+
 _ER_THRESHOLD = 3
 _ER_MAX_BLOCK = 1000
 
@@ -89,9 +93,12 @@ def _entity_resolution_oracle() -> str:
         FROM part GROUP BY p_name
     ),
     tk AS (
+        -- the ER flood guard (operators/entity.py MAX_NAME_LEN):
+        -- oversized non-names never block, staying singleton entities
         SELECT id, name, length(name) AS ln,
                {_name_toks_sql('name')} AS toks
         FROM vocab
+        WHERE length(name) <= {_ER_MAX_NAME_LEN}
     ),
     keyed AS (
         SELECT DISTINCT id, name, ln, md5(k) AS bk

@@ -69,6 +69,8 @@ def _er_bruteforce(vocab: dict[int, str], threshold: int, blocked: bool):
         for b in ids[i + 1 :]:
             na, nb = vocab[a], vocab[b]
             if blocked:
+                if len(na) > 1000 or len(nb) > 1000:  # MAX_NAME_LEN guard
+                    continue
                 ta, tb = na.split(), nb.split()
                 if not ta or not tb:
                     continue
@@ -251,28 +253,47 @@ def test_pacf_matches_python_durbin_levinson(spark, tmp_path, seed):
                 assert gv == pytest.approx(wv, abs=1e-9), (l, got[l], want[l])
 
 
-def test_pacf_empty_corpus_parity(spark, tmp_path):
-    """ext_ljung_box's ADVICE lesson applied up front: on an EMPTY
-    events table both the Spark query and the DuckDB oracle must emit
-    the same shape — 7 lag rows, all-NULL acf/pacf."""
+def _pacf_both_engines(spark, sf_dir):
     import duckdb
 
     from be_analytic_etl_spark.registry import ORACLE_SQL
 
-    sf_dir = str(tmp_path / "sf_pacf_empty")
-    _write_events(spark, sf_dir, [])
-    got = _run(spark, "ext_pacf", sf_dir)
-    assert len(got) == 7
-    assert all(r.acf is None and r.pacf is None for r in got)
-
+    got = {r.lag: (r.acf, r.pacf) for r in _run(spark, "ext_pacf", sf_dir)}
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
     )
-    oracle = con.execute(ORACLE_SQL["ext_pacf"]).fetchall()
-    assert len(oracle) == 7
-    assert all(a is None and p is None for _, a, p in oracle)
+    oracle = {
+        l: (a, p)
+        for l, a, p in con.execute(ORACLE_SQL["ext_pacf"]).fetchall()
+    }
+    return got, oracle
+
+
+def test_pacf_empty_corpus_parity(spark, tmp_path):
+    """ext_ljung_box's ADVICE lesson applied up front: on an EMPTY
+    events table both the Spark query and the DuckDB oracle must emit
+    the same shape — 7 lag rows, all-NULL acf/pacf."""
+    sf_dir = str(tmp_path / "sf_pacf_empty")
+    _write_events(spark, sf_dir, [])
+    got, oracle = _pacf_both_engines(spark, sf_dir)
+    assert len(got) == len(oracle) == 7
+    assert all(v == (None, None) for v in got.values())
+    assert all(v == (None, None) for v in oracle.values())
+
+
+def test_pacf_constant_series_parity(spark, tmp_path):
+    """A constant daily series (den = 0 — the other ljung-box degenerate
+    shape) must yield 7 all-NULL rows in BOTH engines."""
+    rows = [
+        (1, f"2024-01-{d:02d} 10:00:00", "click", 5.0) for d in range(1, 11)
+    ]
+    sf_dir = str(tmp_path / "sf_pacf_const")
+    _write_events(spark, sf_dir, rows)
+    got, oracle = _pacf_both_engines(spark, sf_dir)
+    assert got == oracle and len(got) == 7
+    assert all(v == (None, None) for v in got.values())
 
 
 # ---------------------------------------------------------------------------

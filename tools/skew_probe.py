@@ -78,6 +78,31 @@ def main() -> None:
         u = bench(name, BASE)
         s = bench(name, skew_dir)
         print(f"| {name} | {u:.2f}s | {s:.2f}s | {s / u:.1f}x |")
+
+    # the (user, day) sub-key spine (operators/sessions.py, VERDICT r11
+    # ask #5): same readout, whale-resistant decomposition — probe both
+    # formulations on both corpora so the spine's cost/benefit at the
+    # hot-key corpus is a recorded number
+    from be_analytic_etl_spark.operators.sessions import sessionize_events
+
+    def bench_sessionize(sf_dir: str, spine: str | None) -> float:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            sessionize_events(ev, spine=spine).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        return best
+
+    print("| sessionize form | uniform | 90% whale | ratio |")
+    print("|---|---|---|---|")
+    for spine in (None, "day"):
+        u = bench_sessionize(BASE, spine)
+        s = bench_sessionize(skew_dir, spine)
+        label = "plain per-user" if spine is None else f"spine={spine}"
+        print(f"| {label} | {u:.2f}s | {s:.2f}s | {s / u:.1f}x |")
     spark.stop()
 
 
