@@ -67,76 +67,72 @@ from be_analytic_etl_spark import queries_round12  # noqa: E402,F401
 # queries against the DuckDB oracle; everything after the window is only
 # locally gated (tests/test_registry_oracle.py). This block is GENERATED:
 # run `python tools/rotate_window.py --apply` after a round's
-# CORRECTNESS_r{N}.json lands — never hand-edit. Round-11 rotation
-# (from CORRECTNESS_r01-r10; round 10 left 262/262 ever-checked green,
-# zero reds): the 19 round-11 never-checked entries first — the four
-# MERGED panels (ext_tdigest_panel / ext_simhash_panel / ext_hll_panel
-# / ext_pipeline_e2e, each replacing a retired pair per the capacity
-# policy) and the 15 round-11 additions (event-history/time-series
-# panel ext_survival_curve .. ext_session_paths; experiment-design
-# panel ext_effect_size_power .. ext_rater_agreement; curation/
-# embedding/concentration panel ext_gopher_rules .. ext_hhi) — then
-# the mandatory 23-query r5 cohort (at the 5-round staleness boundary;
-# ext_pipeline_spec left it by retirement), then the oldest r6 greens
-# in the remaining 8 slots (draining the r6 cohort early so the r12
-# window keeps free slots). The SS2 core was checked in r10 (1 round
-# old — not forced this round). Every new window member was pre-proven
-# against tools/verify_driver.py at sf0.001 AND sf0.01 AND sf0.1
-# (strict 17g) plus the five degenerate-corpus gates before the window
+# CORRECTNESS_r{N}.json lands — never hand-edit. Round-12 rotation
+# (from CORRECTNESS_r01-r11; round 11 left 273/273 ever-checked green,
+# zero reds): the 3 round-12 never-checked additions first
+# (ext_entity_resolution / ext_pacf / ext_anova_two_way), then the SS2
+# core forced on its 2-round cadence (last checked r10), then the
+# oldest greens — the remaining 41-query r6 cohort, which exactly fills
+# the window and clears the 5-round staleness boundary on schedule.
+# Every new window member was pre-proven against tools/verify_driver.py
+# at sf0.001 AND sf0.01 AND sf0.1 (strict 17g) plus the SIX
+# degenerate-corpus gates (1-row / empty / NULL-poisoned / NaN-poisoned
+# / tied-language / adversarial-strings — the last of which caught the
+# entity-resolution levenshtein flood pre-freeze) before the window
 # froze. The rotation tool FAILS if any registered query would exceed
 # 5 rounds unchecked, and hard-fails past the 288-query capacity
 # ceiling.
 _DRIVER_WINDOW_PRIORITY = [
-    "ext_tdigest_panel",
-    "ext_simhash_panel",
-    "ext_hll_panel",
-    "ext_pipeline_e2e",
-    "ext_survival_curve",
-    "ext_inter_arrival",
-    "ext_binseg_changepoint",
-    "ext_ljung_box",
-    "ext_session_paths",
-    "ext_effect_size_power",
-    "ext_srm_check",
-    "ext_odds_ratio",
-    "ext_rater_agreement",
-    "ext_gopher_rules",
-    "ext_negative_sampling",
-    "ext_capture_recapture",
-    "ext_mattr",
-    "ext_random_projection",
-    "ext_hhi",
-    "ext_pq_ann",
-    "ext_ivf_pq_ann",
-    "ext_window_dedup",
-    "ext_frequent_pairs",
-    "ext_mad_outliers",
-    "ext_c4_filter",
-    "ext_char_entropy",
-    "ext_paragraph_dedup",
-    "ext_chunk_text",
-    "ext_multimodal_frames",
-    "orc_roundtrip",
-    "partitioned_prune",
-    "bucketed_join",
-    "xml_roundtrip",
-    "schema_evolution",
-    "binaryfile_roundtrip",
-    "ext_text_normalize",
-    "ext_line_dedup",
-    "ext_corpus_shuffle",
-    "ext_temperature_weights",
-    "ext_quality_classifier",
-    "ext_variant_json",
-    "ext_preference_pairs",
-    "ext_pack_sequences",
-    "ext_bm25_topk",
-    "ext_rrf_fusion",
-    "ext_token_budget_sample",
-    "ext_dsir_sample",
-    "ext_quality_percentile",
-    "ext_zorder_skipping",
-    "ext_hard_negatives",
+    "ext_entity_resolution",
+    "ext_pacf",
+    "ext_anova_two_way",
+    "flagship_mom_pivot",
+    "groupby_avg",
+    "lag_mom_variation",
+    "conditional_pivot",
+    "ingest_e2e",
+    "ingest_finalize",
+    "ext_topk_per_group",
+    "ext_distinct_ngrams",
+    "ext_pmi_collocations",
+    "ext_matryoshka_recall",
+    "ext_knn_label_agreement",
+    "ext_source_gini",
+    "ext_dup_inflation",
+    "ext_windowed_hll",
+    "ext_pack_efficiency",
+    "ext_frequent_spans",
+    "ext_label_balance",
+    "ext_retention",
+    "ext_dau_wau",
+    "ext_multimodal_resize",
+    "rest_tsv_source",
+    "ext_udtf_sentences",
+    "ext_isotonic_minimax",
+    "ext_isotonic_trend",
+    "ext_snapshot_diff",
+    "ext_curriculum_sample",
+    "ext_incremental_agg",
+    "ext_decontaminate",
+    "ext_rollup_refresh",
+    "ext_dataset_manifest",
+    "ext_manifest_drift",
+    "pipe_syntax_revenue",
+    "sql_table_function",
+    "ext_doremi_weights",
+    "ext_markov_transitions",
+    "ext_span_corruption",
+    "ext_ngram_novelty",
+    "ext_mixture_kl",
+    "ext_k_anonymity",
+    "ext_roc_auc",
+    "ext_poisson_bootstrap",
+    "having_countdistinct",
+    "unpivot_measures",
+    "union_distinct",
+    "dense_id",
+    "dense_id_scale",
+    "csv_roundtrip",
 ]
 
 # ---------------------------------------------------------------------------
