@@ -710,7 +710,7 @@ def stream_funnel_events(events: DataFrame) -> DataFrame:
 GAPS_SCHEMA = "user_id long, gap_s long"
 
 
-def stream_user_gaps(events: DataFrame) -> DataFrame:
+def stream_user_gaps(events: DataFrame, api: str = "auto") -> DataFrame:
     """Streaming twin of the inter-arrival substrate (queries_round11b
     ``ext_inter_arrival``): per-user consecutive event gaps via
     ``applyInPandasWithState``.
@@ -731,8 +731,17 @@ def stream_user_gaps(events: DataFrame) -> DataFrame:
     tests/test_streaming.py. An out-of-order production feed needs the
     watermark + re-sort front end first (stream_dedup_within_watermark's
     discipline); the gap fold itself is deliberately kept exact.
+
+    ``api``: "tws" | "apiws" | "auto" — the transformWithState twin
+    (stateful.UserGapsProcessor) runs where protobuf exists, same
+    semantics (the stateful module's two-API front-door discipline).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from be_analytic_etl_spark.streaming.stateful import (
+        HAS_TWS_PROTO,
+        UserGapsProcessor,
+    )
 
     def fold(key, pdfs, state):
         import pandas as pd
@@ -766,6 +775,13 @@ def stream_user_gaps(events: DataFrame) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "event_id",
     )
+    if api == "tws" or (api == "auto" and HAS_TWS_PROTO):
+        return prepped.groupBy("user_id").transformWithStateInPandas(
+            UserGapsProcessor(),
+            outputStructType=GAPS_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
     return prepped.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType=GAPS_SCHEMA,

@@ -335,3 +335,42 @@ def stream_heavy_hitter_candidates(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class UserGapsProcessor(StatefulProcessor):
+    """transformWithState twin of ``jobs.stream_user_gaps``'s fallback:
+    per-user consecutive event gaps with ONE ValueState long (the last
+    event's microsecond timestamp). Same ordering contract as the
+    fallback (per-user feed non-decreasing in (us, event_id) across
+    batches; in-batch rows sorted before folding); emits one gap row
+    per arriving event after the first.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState("last_us", "last_us long")
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: N802 (API name)
+        import pandas as pd
+
+        frames = [pdf[["us", "event_id"]] for pdf in rows if len(pdf)]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values(["us", "event_id"])
+        prev = None
+        if self._last.exists():
+            (prev,) = self._last.get()
+            prev = int(prev)
+        gaps: list[int] = []
+        for u in batch["us"]:
+            u = int(u)
+            if prev is not None:
+                gaps.append((u - prev) // 1_000_000)
+            prev = u
+        self._last.update((prev,))
+        if gaps:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(gaps), "gap_s": gaps}
+            )
+
+    def close(self) -> None:
+        pass

@@ -200,19 +200,25 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
 
 
 def test_write_partitioned_sanitizes_partition_values(spark, tmp_path):
-    """Round-11 string-poisoned-gate fix: partition values are directory
-    names, so control characters are replaced and values are capped at
-    40 chars (NAME_MAX is 255 BYTES; multibyte chars at 3-4 bytes each
-    made a 200-char cap fail) — while clean low-cardinality values pass
-    through byte-identical and non-partition columns are untouched."""
-    from pyspark.sql import functions as F
+    """Partition values are directory names: control characters are
+    replaced, and a value is shortened ONLY when its worst-case-escaped
+    byte budget would overflow NAME_MAX (ADVICE r11 #3 — the old
+    blanket 40-char cap silently mutated legitimate long values and
+    merged distinct values sharing a prefix; shortened values now keep
+    an md5 suffix so distinct oversized values stay distinct)."""
+    import hashlib
 
     from be_analytic_etl_spark.sources.sinks import write_partitioned
 
+    long_clean = "category-" + "x" * 51          # 60 ASCII chars, within budget
+    over_a = "é" * 300 + "a"
+    over_b = "é" * 300 + "b"
     rows = [
         (1, "1-URGENT", "keep\x00me"),
         (2, "bad\x00\nvalue", "payload"),
-        (3, "é" * 300, "x"),
+        (3, over_a, "x"),
+        (4, long_clean, "y"),
+        (5, over_b, "z"),
     ]
     df = spark.createDataFrame(rows, "id long, p string, payload string")
     path = str(tmp_path / "part_sanitize")
@@ -221,4 +227,15 @@ def test_write_partitioned_sanitizes_partition_values(spark, tmp_path):
     assert back[1]["p"] == "1-URGENT"            # clean value untouched
     assert back[1]["payload"] == "keep\x00me"    # non-partition col raw
     assert back[2]["p"] == "bad__value"          # control chars -> '_'
-    assert back[3]["p"] == "é" * 40              # capped at 40 chars
+    # 60 clean ASCII chars fit the byte budget -> byte-identical
+    # (the old 40-char cap would have mangled this)
+    assert back[4]["p"] == long_clean
+    # oversized values shorten to head + md5 suffix, under the budget
+    limit_b = (254 - len("p") - 1) // 3
+    n_chars = (limit_b - 9) // 4
+    for rid, v in ((3, over_a), (5, over_b)):
+        expect = v[:n_chars] + "-" + hashlib.md5(v.encode()).hexdigest()[:8]
+        assert back[rid]["p"] == expect
+        assert len(back[rid]["p"].encode()) <= limit_b
+    # distinct oversized values must NOT merge into one partition
+    assert back[3]["p"] != back[5]["p"]
