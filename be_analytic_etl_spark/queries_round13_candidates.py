@@ -1,10 +1,9 @@
-"""STAGED round-13 candidate queries — implemented, oracle-twinned,
-pytest-value-checked, but NOT registered (deliberately: the r12 driver
-window froze with the r12 additions inside it, and a post-freeze
-registration would sit un-driver-checked in the round's CORRECTNESS
-ledger; r13 registers these INSIDE its window by adding three
-``register()`` calls — the staged-merge discipline applied to new
-queries). This module is imported by tests only, never by the registry.
+"""Round-13 candidate queries, staged in round 12 and REGISTERED in
+round 13 (via ``queries_round13.py``). Staging discipline: implemented,
+oracle-twinned and pytest-value-checked one full round before
+registration, so their first CORRECTNESS ledger rows land inside a
+driver window rather than trailing un-verified (the r12 driver window
+had already frozen when these were built).
 
 Candidates (the r12 handoff's named list):
 

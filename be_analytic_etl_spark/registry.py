@@ -61,78 +61,82 @@ from be_analytic_etl_spark import queries_round11b  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round11c  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round11d  # noqa: E402,F401
 from be_analytic_etl_spark import queries_round12  # noqa: E402,F401
+from be_analytic_etl_spark import queries_round13  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The round driver verifies the FIRST 50 registered
 # queries against the DuckDB oracle; everything after the window is only
 # locally gated (tests/test_registry_oracle.py). This block is GENERATED:
 # run `python tools/rotate_window.py --apply` after a round's
-# CORRECTNESS_r{N}.json lands — never hand-edit. Round-12 rotation
-# (from CORRECTNESS_r01-r11; round 11 left 273/273 ever-checked green,
-# zero reds): the 3 round-12 never-checked additions first
-# (ext_entity_resolution / ext_pacf / ext_anova_two_way), then the SS2
-# core forced on its 2-round cadence (last checked r10), then the
-# oldest greens — the remaining 41-query r6 cohort, which exactly fills
-# the window and clears the 5-round staleness boundary on schedule.
-# Every new window member was pre-proven against tools/verify_driver.py
-# at sf0.001 AND sf0.01 AND sf0.1 (strict 17g) plus the SIX
-# degenerate-corpus gates (1-row / empty / NULL-poisoned / NaN-poisoned
-# / tied-language / adversarial-strings — the last of which caught the
-# entity-resolution levenshtein flood pre-freeze) before the window
+# CORRECTNESS_r{N}.json lands — never hand-edit. Round-13 rotation
+# (from CORRECTNESS_r01-r12; round 12 left 276/276 ever-checked green,
+# zero reds): the 3 round-13 registrations first (two_proportion_panel
+# / binseg2_changepoint / fdr_bh_panel — STAGED and value-checked in
+# r12, see queries_round13_candidates.py), then the oldest greens —
+# the full 44-member r7 cohort sitting exactly at the 5-round
+# staleness boundary (jdbc_roundtrip, br_number_parse, classify_extract,
+# date_roundtrip, pattern_row_filter, scalar_math, ext_strip_zeros and
+# peers) plus the 3 oldest r8 greens (sessionize,
+# late_shipment_priority, nation_trade_flow). The SS2 core is
+# NOT forced this round (checked r12; its 2-round cadence re-enters it
+# at r14). Every new window member was pre-proven against
+# tools/verify_driver.py at sf0.001 AND sf0.01 AND sf0.1 (strict 17g)
+# plus the SIX degenerate-corpus gates (1-row / empty / NULL-poisoned /
+# NaN-poisoned / tied-language / adversarial-strings) before the window
 # froze. The rotation tool FAILS if any registered query would exceed
 # 5 rounds unchecked, and hard-fails past the 288-query capacity
 # ceiling.
 _DRIVER_WINDOW_PRIORITY = [
-    "ext_entity_resolution",
-    "ext_pacf",
-    "ext_anova_two_way",
-    "flagship_mom_pivot",
-    "groupby_avg",
-    "lag_mom_variation",
-    "conditional_pivot",
-    "ingest_e2e",
-    "ingest_finalize",
-    "ext_topk_per_group",
-    "ext_distinct_ngrams",
-    "ext_pmi_collocations",
-    "ext_matryoshka_recall",
-    "ext_knn_label_agreement",
-    "ext_source_gini",
-    "ext_dup_inflation",
-    "ext_windowed_hll",
-    "ext_pack_efficiency",
-    "ext_frequent_spans",
-    "ext_label_balance",
-    "ext_retention",
-    "ext_dau_wau",
-    "ext_multimodal_resize",
-    "rest_tsv_source",
-    "ext_udtf_sentences",
-    "ext_isotonic_minimax",
-    "ext_isotonic_trend",
-    "ext_snapshot_diff",
-    "ext_curriculum_sample",
-    "ext_incremental_agg",
-    "ext_decontaminate",
-    "ext_rollup_refresh",
-    "ext_dataset_manifest",
-    "ext_manifest_drift",
-    "pipe_syntax_revenue",
-    "sql_table_function",
-    "ext_doremi_weights",
-    "ext_markov_transitions",
-    "ext_span_corruption",
-    "ext_ngram_novelty",
-    "ext_mixture_kl",
-    "ext_k_anonymity",
-    "ext_roc_auc",
-    "ext_poisson_bootstrap",
-    "having_countdistinct",
-    "unpivot_measures",
-    "union_distinct",
-    "dense_id",
-    "dense_id_scale",
-    "csv_roundtrip",
+    "two_proportion_panel",
+    "binseg2_changepoint",
+    "fdr_bh_panel",
+    "jdbc_roundtrip",
+    "topk_revenue",
+    "semi_anti_customers",
+    "br_number_parse",
+    "classify_extract",
+    "pattern_row_filter",
+    "date_roundtrip",
+    "scalar_math",
+    "pricing_summary",
+    "star_join_broadcast",
+    "fact_join_revenue",
+    "region_revenue",
+    "rollup_revenue",
+    "topn_per_group",
+    "sliding_window",
+    "events_enrich",
+    "tumbling_window",
+    "ext_token_stats",
+    "ext_bpe_fingerprint",
+    "ext_lang_id",
+    "ext_exact_dedup",
+    "ext_minhash_sig",
+    "ext_minhash_lsh_neardup",
+    "ext_ngram_jaccard",
+    "ext_cosine_topk",
+    "ext_cosine_neardup",
+    "ext_ivf_ann",
+    "ext_strip_zeros",
+    "ext_multimodal_meta",
+    "ext_first_per_key",
+    "ext_reliability_bins",
+    "ext_calibration_ece",
+    "ext_cohens_kappa",
+    "ext_heavy_hitters",
+    "ext_robust_stats",
+    "ext_substring_dedup",
+    "ext_welch_ttest",
+    "ext_ks_test",
+    "ext_chi2_independence",
+    "ext_mutual_information",
+    "ext_spearman_corr",
+    "ext_hill_tail",
+    "ext_gpd_tail",
+    "ext_jensen_shannon",
+    "sessionize",
+    "late_shipment_priority",
+    "nation_trade_flow",
 ]
 
 # ---------------------------------------------------------------------------
