@@ -156,7 +156,8 @@ register(
 # autocorrelations. phi_{k,k} (the PACF at lag k) and the helper
 # phi_{k,j} columns are generated as expression TEXT shared verbatim by
 # both engines: identical parse trees -> identical IEEE evaluation ->
-# value-hash equality without any intermediate quantization. A constant
+# value-hash equality (the recursion itself adds no quantization beyond
+# the 6dp-rounded ACF inputs it starts from). A constant
 # series (den = 0) or a short series (missing high lags) yields NULL
 # rho's, and NULL propagates identically through both engines'
 # arithmetic, so all 7 lag rows always appear with NULL acf/pacf where

@@ -198,9 +198,16 @@ def write_partitioned(
     types = dict(df.dtypes)
 
     def _safe(c: str) -> F.Column:
-        limit_b = max_partition_value_bytes or max(
-            24, (254 - len(c) - 1) // 3
-        )
+        # `is not None`, not `or`: an explicit 0 is a caller error, not
+        # "unset". And the truncated form needs at least 13 raw bytes
+        # (1 head char at 4-byte worst case + "-" + 8 hash chars), so
+        # smaller budgets are floored there rather than silently
+        # producing names that overflow the requested cap (ADVICE r12
+        # #2).
+        if max_partition_value_bytes is not None:
+            limit_b = max(13, max_partition_value_bytes)
+        else:
+            limit_b = max(24, (254 - len(c) - 1) // 3)
         # truncated form: head chars (4-byte worst case) + "-" + 8 hash
         # chars, raw bytes <= limit_b so the escaped name fits NAME_MAX
         n_chars = max(1, (limit_b - 9) // 4)

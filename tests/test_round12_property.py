@@ -74,9 +74,13 @@ def _er_bruteforce(vocab: dict[int, str], threshold: int, blocked: bool):
                 ta, tb = na.split(), nb.split()
                 if not ta or not tb:
                     continue
+                # key-SET semantics (ADVICE r12 #1): both the first and
+                # the last token of every name enter ONE md5 block pool,
+                # so a's first token colliding with b's LAST token is a
+                # real candidate pair too — mirror the intersection, not
+                # just the positionwise first-with-first/last-with-last
                 if (
-                    ta[0] != tb[0]
-                    and ta[-1] != tb[-1]
+                    not ({ta[0], ta[-1]} & {tb[0], tb[-1]})
                     or abs(len(na) - len(nb)) > threshold
                 ):
                     continue

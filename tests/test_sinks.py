@@ -239,3 +239,31 @@ def test_write_partitioned_sanitizes_partition_values(spark, tmp_path):
         assert len(back[rid]["p"].encode()) <= limit_b
     # distinct oversized values must NOT merge into one partition
     assert back[3]["p"] != back[5]["p"]
+
+
+def test_write_partitioned_small_byte_budget_floors_at_13(spark, tmp_path):
+    """ADVICE r12 #2: an explicit max_partition_value_bytes below the
+    13-byte minimum truncated form (1 head char at 4-byte worst case +
+    '-' + 8 hash chars) is floored at 13 instead of silently producing
+    names over the requested budget; an explicit 0 is treated as a
+    too-small budget (floored), never as "unset"."""
+    import hashlib
+
+    from be_analytic_etl_spark.sources.sinks import write_partitioned
+
+    over = "é" * 40  # 80 bytes, overflows any small budget
+    df = spark.createDataFrame(
+        [(1, over, "x"), (2, "ok", "y")], "id long, p string, payload string"
+    )
+    for budget in (0, 5, 13):
+        path = str(tmp_path / f"budget_{budget}")
+        write_partitioned(
+            df, path, partition_cols=["p"], max_partition_value_bytes=budget
+        )
+        back = {r["id"]: r for r in spark.read.parquet(path).collect()}
+        # short clean value unaffected by the cap
+        assert back[2]["p"] == "ok"
+        # floored limit: n_chars = (13 - 9) // 4 = 1 head char + '-' + 8
+        expect = over[:1] + "-" + hashlib.md5(over.encode()).hexdigest()[:8]
+        assert back[1]["p"] == expect
+        assert len(back[1]["p"].encode()) <= 13
