@@ -33,6 +33,7 @@ def gapfill(
     value_cols: list[str],
     step: str = "1 day",
     mark_observed: str | None = "is_observed",
+    clamp_bounds: tuple | None = None,
 ) -> DataFrame:
     """Densify ``df`` (one row per (keys, ts_col) — pre-aggregate upstream)
     onto a regular spine from each key's min to max ``ts_col`` with
@@ -40,9 +41,28 @@ def gapfill(
 
     ``mark_observed`` names a boolean column flagging real vs synthesized
     rows (None to omit).
+
+    ``clamp_bounds=(lo, hi)`` is the timestamp-pathology guard
+    (tools/time_probe.py): the spine is ``sequence(min, max)`` PER KEY,
+    so a single parser-drifted row — an epoch-zero default or a
+    far-future overflow — stretches that key's spine by decades
+    (~20k synthesized rows per poisoned key for an epoch-zero date,
+    ~2.9M for a year-9999 one; at 10^8 keys with drift that is a
+    corpus-dwarfing explosion). With clamp set, rows outside
+    [lo, hi) are DROPPED before bounds and spine — drifted timestamps
+    are upstream poison, not data — so every key's spine stays inside
+    the declared calendar window. Opt-in and default-off: the
+    registered ext_gapfill query keeps the unclamped oracle-paired
+    semantics; pinned equal to the clean-corpus result on a poisoned
+    corpus in tests/test_timeseries.py.
     """
     from pyspark.sql import Window
 
+    if clamp_bounds is not None:
+        lo, hi = clamp_bounds
+        df = df.filter(
+            (F.col(ts_col) >= F.lit(lo)) & (F.col(ts_col) < F.lit(hi))
+        )
     bounds = df.groupBy(*keys).agg(
         F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
     )

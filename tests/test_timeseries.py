@@ -74,3 +74,36 @@ def test_ewma_single_event_and_bad_alpha(spark):
     assert (row["n_events"], row["ewma"]) == (1, 42.5)
     with _pytest.raises(ValueError):
         ewma_last(df, "k", ["seq"], "x", alpha=0.0)
+
+
+def test_gapfill_clamp_bounds_neutralizes_drifted_timestamps(spark):
+    """Timestamp-pathology guard (tools/time_probe.py): one epoch-zero
+    and one far-future row would stretch their keys' sequence(min,max)
+    spines by decades; with clamp_bounds the poisoned corpus yields
+    exactly the clean corpus's rows."""
+    d = dt.datetime
+    clean = [
+        ("a", d(2024, 1, 1), 10.0),
+        ("a", d(2024, 1, 3), 30.0),
+        ("b", d(2024, 1, 2), 7.0),
+    ]
+    poison = clean + [
+        ("a", d(1970, 1, 1), 0.0),     # epoch-zero parser default
+        ("b", d(2100, 1, 1), 99.0),    # far-future overflow
+    ]
+    cdf = spark.createDataFrame(clean, ["k", "day", "v"])
+    pdf = spark.createDataFrame(poison, ["k", "day", "v"])
+    window = (d(2024, 1, 1), d(2025, 1, 1))
+    want = sorted(
+        (r["k"], r["day"], r["v"], r["is_observed"])
+        for r in gapfill(cdf, ["k"], "day", ["v"]).collect()
+    )
+    got = sorted(
+        (r["k"], r["day"], r["v"], r["is_observed"])
+        for r in gapfill(pdf, ["k"], "day", ["v"], clamp_bounds=window).collect()
+    )
+    assert got == want
+    # and without the clamp the epoch-zero key really does explode:
+    # key 'a' spans 1970-01-01..2024-01-03 -> ~19.7k synthesized days
+    n_unclamped = gapfill(pdf, ["k"], "day", ["v"]).count()
+    assert n_unclamped > 19_000
