@@ -636,3 +636,62 @@ def test_hhi_joins_are_shuffle_or_broadcast_hash(spark):
     plan = plan_of(QUERIES["ext_hhi"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_round13_registrations_stay_jvm_side_and_cartesian_free(spark):
+    """The three r13 promotions plan without row-Python stages or
+    cartesian products; their nested loops are the two adjudicated
+    bounded-BNL shapes (plans/lint.py BNL_ALLOWLIST: binseg2's
+    calendar-bounded prefix-pair grid, fdr_bh's single-row moment
+    fold)."""
+    for name in (
+        "two_proportion_panel",
+        "binseg2_changepoint",
+        "fdr_bh_panel",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_two_proportion_single_scan_partial_agg(spark):
+    """A/B panel: one events scan (per-user day-0 conversion -> one
+    grouped fold); the variant counts partial-aggregate before the
+    single-row shuffle."""
+    plan = plan_of(QUERIES["two_proportion_panel"](spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_binseg2_pair_grid_is_bounded_broadcast(spark):
+    """The (t1 < t2) prefix-pair grid joins broadcast on the
+    calendar-bounded side (the Mann-Kendall shape) — the corpus is
+    scanned once into the checkpointed daily frame, never
+    nested-looped."""
+    plan = plan_of(QUERIES["binseg2_changepoint"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_round14_candidates_stay_jvm_side_and_cartesian_free(spark):
+    """Pre-registration plan audit for the staged r14 candidates (the
+    same gate their registration will re-assert): no row-Python, no
+    cartesian products, and the PR-AUC / JB / DW statistics each
+    collapse the corpus in at most one scan before their bounded
+    control-plane tails."""
+    from be_analytic_etl_spark.queries_round14_candidates import (
+        ext_durbin_watson,
+        ext_jarque_bera,
+        ext_pr_auc,
+    )
+
+    for fn in (ext_jarque_bera, ext_pr_auc, ext_durbin_watson):
+        df = fn(spark, SF_DIR)
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert plan.count("Scan parquet") <= 1, (
+            fn.__name__
+        )
