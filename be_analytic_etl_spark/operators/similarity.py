@@ -224,6 +224,7 @@ def cosine_pairs_above(
     threshold: float = 0.99,
     round_to: int | None = 4,
     panes: int = 1,
+    max_block: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, self-joined within blocks
     (embedding-cosine near-dup detection).
@@ -238,6 +239,18 @@ def cosine_pairs_above(
     the key count to |blocks| x panes at the cost of shipping the (tiny)
     left side ``panes`` times. Output is identical — panes is pure
     physical parallelism, invisible to the oracle.
+
+    ``max_block`` is the embedding-pathology flood guard
+    (tools/vector_probe.py — the candidate_pairs/simhash ``max_bucket``
+    pattern in vector space): an encoder bug emitting one constant
+    vector collapses EVERY row into one IVF cell and the within-block
+    self-join goes C(n, 2) — 5e17 pairs at 1e9 vectors. With the cap
+    set, blocks larger than ``max_block`` are skipped outright (a
+    constant-embedding corpus is upstream poison, not semantics; real
+    cells sit orders of magnitude below any sane cap). Opt-in and
+    default-off: registered queries keep the uncapped oracle-paired
+    semantics, pinned unchanged on the clean corpus in
+    tests/test_extensions.py.
     """
     # Per-vector norm computed once before the pair join (not 2 more folds
     # per pair inside cosine()) — bit-identical, 3x less pair compute.
@@ -245,6 +258,14 @@ def cosine_pairs_above(
         *(block_cols or []), F.col(id_col).alias("__id"), _vec(vec_col).alias("__v")
     ).withColumn("__n", l2_norm(F.col("__v")))
     keys = block_cols or []
+    if max_block is not None and keys:
+        kept = (
+            base.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_block)
+            .select(*keys)
+        )
+        base = base.join(F.broadcast(kept), keys)
     left = base.select(
         *keys,
         F.col("__id").alias("id_a"),

@@ -403,3 +403,48 @@ def test_hll_merge_equals_direct_sketch(spark):
     # (p=8, cardinality >> m); at 37 distinct vs m=64 the uncorrected
     # raw estimate is biased high by design (linear-counting regime).
     assert est_m > 0
+
+
+def test_cosine_pairs_max_block_flood_guard(spark):
+    """Embedding-pathology guard (tools/vector_probe.py): with a sane
+    cap the clean corpus is row-identical to the uncapped form, and a
+    constant-embedding flood (every vector in one block) is dropped
+    outright instead of going C(n, 2)."""
+    from pyspark.sql import functions as F
+
+    from be_analytic_etl_spark.operators.similarity import (
+        assign_cells,
+        cosine_pairs_above,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = assign_cells(emb, n_cells=8).localCheckpoint(eager=False)
+
+    def rows(df):
+        return sorted((r["id_a"], r["id_b"], r["cos_sim"]) for r in df.collect())
+
+    uncapped = rows(
+        cosine_pairs_above(cells, block_cols=["cell"], threshold=0.9)
+    )
+    capped = rows(
+        cosine_pairs_above(
+            cells, block_cols=["cell"], threshold=0.9, max_block=10_000
+        )
+    )
+    assert capped == uncapped  # generous cap: identity on clean data
+
+    dim = len(emb.first()["embedding"])
+    n = 60
+    const = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.1).cast("float")] * dim).alias("embedding"),
+        F.lit(0).alias("cell"),
+    )
+    flood = cosine_pairs_above(
+        const, block_cols=["cell"], threshold=0.9
+    ).count()
+    assert flood == n * (n - 1) // 2  # uncapped: the full quadratic set
+    guarded = cosine_pairs_above(
+        const, block_cols=["cell"], threshold=0.9, max_block=50
+    ).count()
+    assert guarded == 0  # flood block dropped outright
