@@ -14,6 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: Lazy-plan memo: (applicationId, sf_dir, name, spread) -> DataFrame.
+#: A DataFrame is an analyzed LOGICAL PLAN, not data — reusing it skips
+#: the per-call file listing + parquet footer/schema read + plan
+#: (re)analysis that every ``spark.read.parquet`` pays on the driver
+#: (optimization guide §7.3: driver metadata work). No results or blocks
+#: are cached; every action on the memoized frame still recomputes from
+#: the parquet files. Keyed by applicationId so a restarted session
+#: never sees another JVM's plan objects.
+_TABLE_MEMO: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
 ) -> DataFrame:
@@ -25,6 +36,13 @@ def load_table(
     a no-op; the shuffle it costs here is proportional to the small input,
     while the compute it parallelizes is the dominant term.
     """
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, sf_dir, name, spread)
+    if _os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0":
+        hit = _TABLE_MEMO.get(key)
+        if hit is not None:
+            return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -34,9 +52,50 @@ def load_table(
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if _scan_partition_estimate(spark, f"{sf_dir}/{name}.parquet") < target:
             df = df.repartition(target)
+    if _os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0":
+        if len(_TABLE_MEMO) > 256:  # tests churn tmp dirs; don't grow unbounded
+            _TABLE_MEMO.clear()
+        _TABLE_MEMO[key] = df
     return df
+
+
+def _scan_partition_estimate(spark: SparkSession, path: str) -> int:
+    """Estimate the scan's task count from file bytes / maxPartitionBytes —
+    the same arithmetic Spark's FilePartition packing uses (openCostInBytes
+    ignored: it only ever INCREASES the count, and this estimate gates a
+    repartition that a higher count would skip anyway). Replaces the old
+    ``df.rdd.getNumPartitions()`` probe, which converted the plan to an RDD
+    on the driver (~0.1 s of py4j + conversion per call, paid by every
+    documents/embeddings query). Falls back to a huge count (no repartition)
+    if the path isn't a local file/dir — pre-split cluster inputs need no
+    spreading."""
+    import math
+    import os as _os
+    import re
+
+    try:
+        if _os.path.isfile(path):
+            bytes_ = _os.path.getsize(path)
+        elif _os.path.isdir(path):
+            bytes_ = sum(
+                _os.path.getsize(_os.path.join(path, f))
+                for f in _os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            return 1 << 30
+    except OSError:
+        return 1 << 30
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw.strip().lower())
+    max_pb = (
+        int(m.group(1)) * 1024 ** ("", "k", "m", "g", "t").index(m.group(2))
+        if m
+        else 134217728
+    )
+    return max(1, math.ceil(bytes_ / max_pb))
 
 
 #: The full star-schema + corpus catalog (TESTDATA.md).
