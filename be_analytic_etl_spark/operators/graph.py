@@ -114,14 +114,18 @@ def connected_components(
         universe = endpoint_ids.distinct()
 
     if driver_solve_edges:
-        # ONE probing job instead of count-then-collect: limit(N+1)
-        # returns ALL rows when the edge list fits (len <= N decides the
-        # gate) and terminates early when it doesn't — the distributed
-        # path then proceeds against the persisted sym unchanged. Saves
-        # a full materialization per CC call (every pipeline/dedup-group
-        # query pays it).
-        probe = sym.limit(driver_solve_edges + 1).collect()
-        if len(probe) <= driver_solve_edges:
+        # count-then-collect, on purpose (this REVERSES the r12
+        # limit-probe): limit(N+1).collect() runs executeTake's
+        # incremental ladder — the r13 stage profile showed it costing
+        # ~15 SEQUENTIAL jobs (~5 s inside ext_pipeline_e2e at sf0.1),
+        # each re-driving the reduce side of the persisted edge list a
+        # few partitions at a time. count() is ONE fully parallel pass
+        # that also completes the persist (which the distributed path
+        # would materialize in round 1 anyway — no extra work at scale),
+        # and the collect then reads the cache. Gate semantics unchanged:
+        # count <= N  <=>  len(limit(N+1)) <= N.
+        if sym.count() <= driver_solve_edges:
+            probe = sym.collect()
             # nodes (not universe): universe's plan references sym, which
             # is unpersisted on return — a caller action on the result
             # would silently re-run the whole upstream pair generation

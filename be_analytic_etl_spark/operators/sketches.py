@@ -467,36 +467,58 @@ def tdigest_clusters(df: DataFrame, value_col: str, delta: int = 32) -> DataFram
     return tdigest_clusters_from_hist(hist, delta)
 
 
-def tdigest_clusters_from_hist(hist: DataFrame, delta: int = 32) -> DataFrame:
-    """``tdigest_clusters`` from a pre-built (__v, __c) value histogram —
-    the entry point for callers that fan several reads out of ONE
-    (possibly checkpointed) histogram pass (``tdigest_quantile_read``)."""
-    qs = tdigest_scale_millionths(delta)
-    # Total n via agg + broadcast (NOT a second unpartitioned window —
-    # that would add another single-task exchange+sort pass over the
-    # histogram); the one remaining global-order window is the bounded
-    # rank pass this operator is allowed (roc_auc discipline).
+def tdigest_cum(hist: DataFrame) -> DataFrame:
+    """Cumulative form of a (__v, __c) value histogram: (__v, __c, __hi,
+    __lo) where [__lo, __hi] is the 1-based rank span the value owns.
+    Shared by the cluster build AND the exact-order-statistic read so a
+    panel pays the single-partition ordering window ONCE (it showed up
+    twice — ~1.2 s each at sf0.1 — in the r13 stage profile of
+    ``ext_tdigest_panel``)."""
     w_ord = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = hist.agg(F.sum("__c").cast("long").alias("__n"))
-    cum = (
-        hist.select(
-            "__v",
-            "__c",
-            F.sum("__c").over(w_ord).cast("long").alias("__hi"),
-        )
-        .withColumn("__lo", F.col("__hi") - F.col("__c") + 1)
-        .crossJoin(F.broadcast(tot))
-    )
+    return hist.select(
+        "__v",
+        "__c",
+        F.sum("__c").over(w_ord).cast("long").alias("__hi"),
+    ).withColumn("__lo", F.col("__hi") - F.col("__c") + 1)
+
+
+def tdigest_rank_bounds(cum: DataFrame, delta: int) -> DataFrame:
+    """One-row broadcastable frame (__n, __r): the total count and the
+    cluster rank boundaries r_0..r_delta. ``__r`` depends ONLY on __n and
+    host constants, so it is computed here ONCE instead of per histogram
+    row (it was a 33-element transform+concat evaluated ~115k times per
+    pass at sf0.1 — pure constant work hoisted out of the row loop; the
+    emitted values are identical)."""
+    qs = tdigest_scale_millionths(delta)
     qarr = "array(" + ",".join(str(q) + "L" for q in qs) + ")"
     # r_c for c = 1..delta, with r_0 = 0 prepended (element_at is 1-based:
     # __r[c] = r_{c-1}, __r[c+1] = r_c).
-    cum = cum.withColumn(
+    return cum.agg(F.max("__hi").cast("long").alias("__n")).withColumn(
         "__r",
         F.expr(
             f"concat(array(0L), transform({qarr},"
             " q -> (__n * q + 500000L) DIV 1000000L))"
         ),
     )
+
+
+def tdigest_clusters_from_hist(hist: DataFrame, delta: int = 32) -> DataFrame:
+    """``tdigest_clusters`` from a pre-built (__v, __c) value histogram —
+    the entry point for callers that fan several reads out of ONE
+    (possibly checkpointed) histogram pass (``tdigest_quantile_read``)."""
+    return tdigest_clusters_from_cum(tdigest_cum(hist), delta)
+
+
+def tdigest_clusters_from_cum(cum: DataFrame, delta: int = 32) -> DataFrame:
+    """``tdigest_clusters`` from the cumulative histogram (``tdigest_cum``
+    output) — callers holding a (checkpointed) cum frame skip the second
+    ordering pass entirely."""
+    # Total n via agg + broadcast (NOT a second unpartitioned window —
+    # that would add another single-task exchange+sort pass over the
+    # histogram); the one remaining global-order window is the bounded
+    # rank pass this operator is allowed (roc_auc discipline).
+    bounds = tdigest_rank_bounds(cum, delta)
+    cum = cum.crossJoin(F.broadcast(bounds))
     c_lo = F.expr("size(filter(slice(__r, 2, size(__r) - 1), r -> r < __lo)) + 1")
     c_hi = F.expr("size(filter(slice(__r, 2, size(__r) - 1), r -> r < __hi)) + 1")
     rows = cum.select(
@@ -747,8 +769,9 @@ def tdigest_quantile_read(
     value is the order statistic read off the SAME value histogram
     (first __v whose cumulative count reaches r_q), so the emitted
     abs_err IS the digest's measured error at that q. One corpus pass:
-    the histogram is lazy-checkpointed and both the cluster build and
-    the exact lookup fan out from it. The rank joins are inequality
+    the CUMULATIVE histogram is eagerly checkpointed once and the
+    cluster build and the exact lookup both read it (one ordering
+    window total). The rank joins are inequality
     joins against BROADCAST frames of |qs| and delta rows — bounded
     nested loops, corpus-independent.
     """
@@ -756,9 +779,14 @@ def tdigest_quantile_read(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .localCheckpoint(eager=False)
     )
-    clus = tdigest_clusters_from_hist(hist, delta)
+    # ONE cumulative ordering pass shared by the cluster build and the
+    # exact read (same refactor as tdigest_panel; eager because the
+    # consumers are concurrent broadcast-build jobs; repartitioned so the
+    # rank-range joins don't run on the window's single partition).
+    spread = hist.sparkSession.sparkContext.defaultParallelism
+    cum = tdigest_cum(hist).repartition(spread).localCheckpoint(eager=True)
+    clus = tdigest_clusters_from_cum(cum, delta).localCheckpoint(eager=True)
     w_c = Window.orderBy("cluster").rowsBetween(Window.unboundedPreceding, 0)
     cspan = clus.select(
         "cluster",
@@ -766,7 +794,7 @@ def tdigest_quantile_read(
         "centroid",
         F.sum("weight").over(w_c).cast("long").alias("__chi"),
     ).withColumn("__clo", F.col("__chi") - F.col("weight") + 1)
-    tot = hist.agg(F.sum("__c").cast("long").alias("__n"))
+    tot = cum.agg(F.max("__hi").cast("long").alias("__n"))
     qarr = F.array(*[F.lit(q).cast("long") for q in q_millionths])
     ranks = tot.select(
         "__n", F.explode(qarr).alias("q_millionths")
@@ -777,17 +805,13 @@ def tdigest_quantile_read(
             F.expr("(__n * q_millionths + 500000L) DIV 1000000L"),
         ).alias("rank"),
     )
-    w_h = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    hc = hist.select(
-        "__v", "__c", F.sum("__c").over(w_h).cast("long").alias("__hhi")
-    ).withColumn("__hlo", F.col("__hhi") - F.col("__c") + 1)
     est = ranks.join(
         F.broadcast(cspan),
         (F.col("rank") >= F.col("__clo")) & (F.col("rank") <= F.col("__chi")),
     ).select("q_millionths", "rank", F.col("centroid").alias("est_centroid"))
-    exact = hc.join(
+    exact = cum.join(
         F.broadcast(ranks),
-        (F.col("rank") >= F.col("__hlo")) & (F.col("rank") <= F.col("__hhi")),
+        (F.col("rank") >= F.col("__lo")) & (F.col("rank") <= F.col("__hi")),
     ).select("q_millionths", F.col("__v").cast("long").alias("exact_value"))
     from be_analytic_etl_spark.functions.rounding import stable_round
 
@@ -879,9 +903,9 @@ def tdigest_panel(
     exact| over the owned quantiles, 6dp; NULL when the cluster owns
     none).
 
-    ONE corpus pass: the value histogram is lazy-checkpointed and the
-    cluster build, the rank lookups, and the exact order statistics all
-    fan out from it. The rank joins are inequality joins against
+    ONE corpus pass: the CUMULATIVE value histogram is eagerly
+    checkpointed once and the cluster build, the rank lookups, and the
+    exact order statistics all read it (one ordering window total). The rank joins are inequality joins against
     BROADCAST frames of |qs| and delta rows — bounded nested loops,
     corpus-independent (same shapes the r8 audit allowlisted for the
     two parents).
@@ -892,9 +916,27 @@ def tdigest_panel(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .localCheckpoint(eager=False)
     )
-    clus = tdigest_clusters_from_hist(hist, delta)
+    # ONE cumulative ordering pass, eagerly materialized: the cluster
+    # build (a broadcast-side job), the rank frame, and the exact
+    # order-statistic read all used to re-run the histogram + global
+    # window independently — the r13 stage profile showed two concurrent
+    # ~1.2 s single-task jobs doing identical work. Eager (not lazy)
+    # because the consumers run as CONCURRENT broadcast-build jobs, which
+    # would race to materialize a lazy checkpoint. The global-order
+    # window leaves cum in ONE partition; repartition before the
+    # checkpoint so the downstream rank-range nested-loop joins (the
+    # remaining ~1.4 s single-task job in the profile) fan out across
+    # cores — row placement cannot affect any emitted value (all
+    # downstream aggregates are exact integer/decimal sums).
+    spread = hist.sparkSession.sparkContext.defaultParallelism
+    cum = tdigest_cum(hist).repartition(spread).localCheckpoint(eager=True)
+    # The cluster frame is broadcast TWICE below (the owned-rank join and
+    # the final readout join); without this checkpoint each broadcast
+    # build re-ran the whole per-row cluster-assignment chain over the
+    # histogram (~1 s each at sf0.1 in the r13 stage profile). <= delta
+    # rows — materializing it is free.
+    clus = tdigest_clusters_from_cum(cum, delta).localCheckpoint(eager=True)
     w_c = Window.orderBy("cluster").rowsBetween(Window.unboundedPreceding, 0)
     cspan = clus.select(
         "cluster",
@@ -904,7 +946,7 @@ def tdigest_panel(
         "v_max",
         F.sum("weight").over(w_c).cast("long").alias("__chi"),
     ).withColumn("__clo", F.col("__chi") - F.col("weight") + 1)
-    tot = hist.agg(F.sum("__c").cast("long").alias("__n"))
+    tot = cum.agg(F.max("__hi").cast("long").alias("__n"))
     qarr = F.array(*[F.lit(q).cast("long") for q in q_millionths])
     ranks = tot.select(F.explode(qarr).alias("__qm"), "__n").select(
         "__qm",
@@ -913,13 +955,9 @@ def tdigest_panel(
             F.expr("(__n * __qm + 500000L) DIV 1000000L"),
         ).alias("rank"),
     )
-    w_h = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    hc = hist.select(
-        "__v", "__c", F.sum("__c").over(w_h).cast("long").alias("__hhi")
-    ).withColumn("__hlo", F.col("__hhi") - F.col("__c") + 1)
-    exact = hc.join(
+    exact = cum.join(
         F.broadcast(ranks),
-        (F.col("rank") >= F.col("__hlo")) & (F.col("rank") <= F.col("__hhi")),
+        (F.col("rank") >= F.col("__lo")) & (F.col("rank") <= F.col("__hi")),
     ).select("__qm", "rank", F.col("__v").cast("long").alias("__exact"))
     owned = exact.join(
         F.broadcast(cspan.select("cluster", "centroid", "__clo", "__chi")),

@@ -78,11 +78,25 @@ def main() -> None:
 
     print(f"{name}: wall(build) per run: {wall}")
 
-    log_path = os.path.join(LOG_DIR, app_id)
+    import glob
+    import subprocess
+
+    cands = glob.glob(os.path.join(LOG_DIR, f"*{app_id}*"))
+    log_path = cands[0]
+    if os.path.isdir(log_path):
+        log_path = sorted(glob.glob(os.path.join(log_path, "events_*")))[0]
+    if log_path.endswith(".zstd"):
+        lines = (
+            subprocess.run(["zstd", "-dc", log_path], capture_output=True, check=True)
+            .stdout.decode()
+            .splitlines()
+        )
+    else:
+        lines = open(log_path).read().splitlines()
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(log_path) as fh:
-        for line in fh:
+    if True:
+        for line in lines:
             ev = json.loads(line)
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
