@@ -80,9 +80,17 @@ def bloom_prune(
     literal-array lookups; keeps all true matches, passes ~fp-rate of the
     rest)."""
     m_bits = len(bits)
-    # one true array literal — F.array(*4096 lits) builds a CreateArray
-    # expression evaluated per row; F.lit(list) is a folded constant
-    arr = F.lit(bits)
+    # The bit-set ships as ONE JSON string literal decoded by from_json:
+    # ConstantFolding evaluates the foldable JsonToStructs once per plan,
+    # so execution probes the SAME folded boolean-array literal as
+    # before, but the build no longer pays F.lit(list-of-booleans)'s
+    # element-by-element py4j crossing — measured 2-17 s of DRIVER time
+    # per plan build at m=4096 (~80% of ext_bloom_join's wall) vs 11 ms
+    # for the JSON form at identical per-row cost. Bit-identical result.
+    arr = F.from_json(
+        F.lit("[" + ",".join("true" if b else "false" for b in bits) + "]"),
+        "array<boolean>",
+    )
     cond = None
     for p in _positions(F.col(key_col), m_bits, k, salt, portable):
         c = F.element_at(arr, (p + 1).cast("int"))

@@ -386,11 +386,52 @@ def heavy_hitters_exact(
 
     freq = cnt/n is the single IEEE division (emitted raw).
     """
+    import pandas as pd
+
     items = df.select(F.col(item_col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )
-    cands = misra_gries_candidates(items, "item", k).distinct()
-    total = items.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    # Candidate pass variant of ``misra_gries_candidates`` that ALSO
+    # emits each partition's exact item count as a sentinel row
+    # (item=NULL): the total n then comes from the sketch-sized
+    # candidate frame instead of a THIRD full pass over the exploded
+    # item stream (candidates / total / recount — the r13 profile showed
+    # all three re-tokenizing the corpus). Candidate set and n are
+    # value-identical to the separate passes.
+    def mg_with_total(batches):
+        counts: dict[str, int] = {}
+        n_p = 0
+        for pdf in batches:
+            vc = pdf["item"].dropna().value_counts()
+            n_p += int(vc.sum())
+            mg_items = vc.index.to_list()
+            cs = vc.to_list()
+            for start in range(0, len(mg_items), k):
+                for item, c in zip(
+                    mg_items[start : start + k], cs[start : start + k]
+                ):
+                    counts[item] = counts.get(item, 0) + int(c)
+                if len(counts) > k:
+                    kth = sorted(counts.values(), reverse=True)[k]
+                    counts = {
+                        i: c - kth for i, c in counts.items() if c > kth
+                    }
+        yield pd.DataFrame(
+            {
+                "item": list(counts.keys()) + [None],
+                "__np": [None] * len(counts) + [n_p],
+            }
+        )
+
+    # eager: cands and total are consumed by CONCURRENT broadcast-build
+    # jobs, which would race a lazy checkpoint into running the corpus
+    # pass twice.
+    sketch = items.mapInPandas(mg_with_total, "item string, __np long").localCheckpoint(
+        eager=True
+    )
+    cands = sketch.filter(F.col("item").isNotNull()).select("item").distinct()
+    total = sketch.agg(F.sum("__np").cast("long").alias("n"))
     counted = (
         items.join(F.broadcast(cands), "item", "left_semi")
         .groupBy("item")
