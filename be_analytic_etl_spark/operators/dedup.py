@@ -299,6 +299,13 @@ def minhash_lsh_pairs(
         shingle_n=shingle_n,
         portable=portable,
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the cache NOW (one pass): the skew guard and both
+    # self-join sides start as CONCURRENT jobs at action time, and
+    # concurrent consumers of an unmaterialized persist each recompute
+    # the whole shingle+k-hash signature pass — the r13 stage profile
+    # showed four near-identical heavy jobs doing exactly that. One
+    # count is one pass; every consumer then reads the cache.
+    banded.count()
 
     # Skew guard: drop degenerate buckets before the self-join.
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
@@ -322,6 +329,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__sid"),
         word_ngrams(F.col(text_col), shingle_n).alias("__sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingle_sets.count()  # same concurrent-consumer race as banded above
     cand = (
         cand.join(shingle_sets, cand.id_a == shingle_sets.__sid)
         .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
@@ -428,6 +436,7 @@ def simhash_neardup_pairs(
     sh = simhash(df, text_col, id_col, portable=portable).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    sh.count()  # one pass now; concurrent consumers would each re-run it
     chunks = sh.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -823,6 +832,7 @@ def lsh_recall_estimate(
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sample.count()  # fill the cache once; concurrent consumers race it
 
     shing = sample.select(
         F.col("__id"), word_ngrams(F.col("__text"), shingle_n).alias("__sh")
@@ -918,6 +928,7 @@ def lsh_band_tuning(
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sample.count()  # fill the cache once; concurrent consumers race it
     base = sample.select(
         "__id",
         word_ngrams(F.col("__text"), shingle_n).alias("__sh"),
@@ -1314,6 +1325,11 @@ def simhash_panel(
     sh = simhash(df, text_col, id_col, portable=portable).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Materialize now: the flood-guard broadcast, both self-join sides
+    # and the final readout otherwise start as concurrent jobs that each
+    # recompute the explode+bit-sum aggregation before the cache fills
+    # (the tdigest/minhash race, same fix).
+    sh.count()
     chunks = sh.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -1364,10 +1380,15 @@ def simhash_panel(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    # symmetric endpoint view: each pair contributes to BOTH docs
+    # symmetric endpoint view: each pair contributes to BOTH docs. The
+    # explode form reads the pair subtree ONCE — a self-union would
+    # evaluate the whole candidate join + hamming verify twice, since
+    # union branches share no computation (the r13 stage profile showed
+    # the union form paying FOUR ~1 s broadcast builds, two per branch;
+    # same rationale as graph.connected_components' symmetrize).
     sym = pairs.select(
-        F.col("id_a").alias("__id"), "hamming"
-    ).unionByName(pairs.select(F.col("id_b").alias("__id"), "hamming"))
+        F.explode(F.array("id_a", "id_b")).alias("__id"), "hamming"
+    )
     per_doc = sym.groupBy("__id").agg(
         F.count(F.lit(1)).cast("long").alias("n_partners"),
         F.min("hamming").cast("int").alias("min_hamming"),

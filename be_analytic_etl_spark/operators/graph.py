@@ -524,6 +524,8 @@ def triangle_count(
     ordering is kept here because it is what a SQL oracle can replicate
     without a tiebreak-sensitive degree ranking.
     """
+    from pyspark import StorageLevel
+
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("s"),
@@ -531,6 +533,12 @@ def triangle_count(
         )
         .filter(F.col("s") < F.col("d"))
         .distinct()
+        # e feeds the wedge join TWICE and the closing join once; without
+        # the persist the whole upstream edge derivation (for
+        # ext_triangles: a lineitem self-join + md5 thinning + distinct)
+        # ran three times — the r13 plan showed zero ReusedExchange
+        # across the three legs. Released via session.cached_scope.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1 = e.alias("e1")
     e2 = e.alias("e2")

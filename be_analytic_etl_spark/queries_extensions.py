@@ -1558,6 +1558,7 @@ def q_ext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same materialized-gate discipline the composer's exact_dedup stage
     # applies (judge ask r8 #4; release via session.cached_scope).
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()  # fill the cache once; concurrent consumers race it
     survivors = base.join(
         D.exact_dedup_keep_min(base).select(F.col("keep_id").alias("doc_id")),
         "doc_id",
@@ -1567,6 +1568,7 @@ def q_ext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents scan + tokenize + exact-dedup join. Persist once (spills;
     # release via session.cached_scope in long-lived sessions).
     survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+    survivors.count()  # fill the cache once; concurrent consumers race it
     pairs = D.minhash_lsh_pairs(
         survivors,
         num_hashes=_MH_HASHES,
