@@ -715,11 +715,23 @@ def dsir_llr_weights(
         )
 
     spark = corpus.sparkSession
-    t_counts = bucketed(target).groupBy("b").agg(
-        F.count(F.lit(1)).alias("__ct")
+    # The <= n_buckets-row count tables each feed TWO consumers (the
+    # ratio-table join and the scalar total), which start as concurrent
+    # broadcast-build jobs — unmaterialized, each consumer re-ran the
+    # full tokenize+bigram distribution pass (four heavy jobs in the r13
+    # stage profile of ext_dsir_sample). Eagerly checkpoint the
+    # sketch-sized frames so each distribution is estimated ONCE.
+    t_counts = (
+        bucketed(target)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .localCheckpoint(eager=True)
     )
-    c_counts = bucketed(corpus).groupBy("b").agg(
-        F.count(F.lit(1)).alias("__cc")
+    c_counts = (
+        bucketed(corpus)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("__cc"))
+        .localCheckpoint(eager=True)
     )
     # totals reduce from the (<= n_buckets)-row count tables, NOT from
     # another pass over the raw corpus: each side is scanned once for its

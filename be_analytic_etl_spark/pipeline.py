@@ -101,7 +101,6 @@ def _exact_dedup(df: DataFrame, opts: dict) -> DataFrame:
     # once — same discipline as the near_dedup stage (release via
     # session.cached_scope in long-lived sessions)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()  # fill the cache once; concurrent consumers would race it
     keep = D.exact_dedup_keep_min(df, text_col=text, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
     )
@@ -119,7 +118,6 @@ def _near_dedup(df: DataFrame, opts: dict) -> DataFrame:
     # representative join; persist so upstream stages run once (release
     # via session.cached_scope in long-lived sessions)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()  # fill the cache once; concurrent consumers would race it
     pairs = D.minhash_lsh_pairs(
         df,
         text_col=text,
