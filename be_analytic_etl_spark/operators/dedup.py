@@ -299,20 +299,28 @@ def minhash_lsh_pairs(
         shingle_n=shingle_n,
         portable=portable,
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Materialize the cache NOW (one pass): the skew guard and both
-    # self-join sides start as CONCURRENT jobs at action time, and
-    # concurrent consumers of an unmaterialized persist each recompute
-    # the whole shingle+k-hash signature pass — the r13 stage profile
-    # showed four near-identical heavy jobs doing exactly that. One
-    # count is one pass; every consumer then reads the cache.
-    banded.count()
 
-    # Skew guard: drop degenerate buckets before the self-join.
-    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("n") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
+    # Skew guard: drop degenerate buckets before the self-join. Computed
+    # EAGERLY so this aggregate is the pass that fills banded's cache —
+    # the r13 blanket ``banded.count()`` added a whole extra
+    # materialization pass instead and measurably regressed every LSH
+    # consumer (r13 verdict item 1); making the first REAL consumer
+    # sequential gets the same race-free cache fill for free. The kept
+    # list is bucket-count-bounded (tiny), so it broadcasts.
+    kept = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # count() on the TINY kept frame is the eager fill: computing it runs
+    # the aggregate over banded exactly once, which materializes banded's
+    # cache as a side effect. persist (not localCheckpoint) keeps lineage
+    # so executor loss recomputes instead of failing, and cached_scope
+    # releases it.
+    kept.count()
+    banded = banded.join(F.broadcast(kept), ["band", "bucket"])
 
     left = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
     right = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"))
@@ -329,7 +337,9 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__sid"),
         word_ngrams(F.col(text_col), shingle_n).alias("__sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    shingle_sets.count()  # same concurrent-consumer race as banded above
+    # No eager fill: the id_a/id_b joins are stages of ONE action and the
+    # block-manager dedupes per-partition cache computation; the r13
+    # blanket count() here was measured pure cost (r13 verdict item 1).
     cand = (
         cand.join(shingle_sets, cand.id_a == shingle_sets.__sid)
         .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
@@ -436,7 +446,10 @@ def simhash_neardup_pairs(
     sh = simhash(df, text_col, id_col, portable=portable).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sh.count()  # one pass now; concurrent consumers would each re-run it
+    # No blanket count: the flood-guard aggregate below is computed
+    # eagerly, so IT is the (single, sequential) pass that fills
+    # sh's cache — the r13 count() here was an extra full pass (r13
+    # verdict item 1, same fix as minhash_lsh_pairs).
     chunks = sh.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -454,10 +467,17 @@ def simhash_neardup_pairs(
             )
         ).alias("c"),
     ).select("__id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
-    kept = chunks.groupBy("chunk_id", "chunk").agg(
-        F.count(F.lit(1)).alias("__bn")
-    ).filter(F.col("__bn") <= max_bucket).drop("__bn")
-    chunks = chunks.join(kept, ["chunk_id", "chunk"])
+    kept = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # eager fill via the tiny kept frame (see minhash_lsh_pairs): one
+    # pass that also materializes sh's cache; released by cached_scope.
+    kept.count()
+    chunks = chunks.join(F.broadcast(kept), ["chunk_id", "chunk"])
     left = chunks.select("chunk_id", "chunk", F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = chunks.select("chunk_id", "chunk", F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"))
     cand = (
@@ -832,7 +852,9 @@ def lsh_recall_estimate(
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sample.count()  # fill the cache once; concurrent consumers race it
+    # No eager count: the consumers are legs of one action tree and the
+    # sample is broadcast-sized; the r13 blanket count() was measured
+    # pure cost (r13 verdict item 1).
 
     shing = sample.select(
         F.col("__id"), word_ngrams(F.col("__text"), shingle_n).alias("__sh")
@@ -928,7 +950,9 @@ def lsh_band_tuning(
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sample.count()  # fill the cache once; concurrent consumers race it
+    # No eager count: the consumers are legs of one action tree and the
+    # sample is broadcast-sized; the r13 blanket count() was measured
+    # pure cost (r13 verdict item 1).
     base = sample.select(
         "__id",
         word_ngrams(F.col("__text"), shingle_n).alias("__sh"),
@@ -1325,11 +1349,9 @@ def simhash_panel(
     sh = simhash(df, text_col, id_col, portable=portable).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # Materialize now: the flood-guard broadcast, both self-join sides
-    # and the final readout otherwise start as concurrent jobs that each
-    # recompute the explode+bit-sum aggregation before the cache fills
-    # (the tdigest/minhash race, same fix).
-    sh.count()
+    # No blanket count: the eagerly-computed flood guard below is the
+    # single sequential pass that fills sh's cache (r13 verdict item 1 —
+    # the count() was an extra full pass; same fix as minhash_lsh_pairs).
     chunks = sh.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -1355,10 +1377,17 @@ def simhash_panel(
     # flood guard (see simhash_neardup_pairs): skip chunk buckets larger
     # than max_bucket so a crawl-duplicate flood cannot make the
     # candidate join quadratic; mirrored in the registered oracle.
-    kept = chunks.groupBy("chunk_id", "chunk").agg(
-        F.count(F.lit(1)).alias("__bn")
-    ).filter(F.col("__bn") <= max_bucket).drop("__bn")
-    chunks = chunks.join(kept, ["chunk_id", "chunk"])
+    kept = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # eager fill via the tiny kept frame (see minhash_lsh_pairs): one
+    # pass that also materializes sh's cache; released by cached_scope.
+    kept.count()
+    chunks = chunks.join(F.broadcast(kept), ["chunk_id", "chunk"])
     left = chunks.select(
         "chunk_id", "chunk", F.col("__id").alias("id_a"),
         F.col("simhash").alias("sh_a"),

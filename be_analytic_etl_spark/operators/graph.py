@@ -114,18 +114,19 @@ def connected_components(
         universe = endpoint_ids.distinct()
 
     if driver_solve_edges:
-        # count-then-collect, on purpose (this REVERSES the r12
-        # limit-probe): limit(N+1).collect() runs executeTake's
-        # incremental ladder — the r13 stage profile showed it costing
-        # ~15 SEQUENTIAL jobs (~5 s inside ext_pipeline_e2e at sf0.1),
-        # each re-driving the reduce side of the persisted edge list a
-        # few partitions at a time. count() is ONE fully parallel pass
-        # that also completes the persist (which the distributed path
-        # would materialize in round 1 anyway — no extra work at scale),
-        # and the collect then reads the cache. Gate semantics unchanged:
-        # count <= N  <=>  len(limit(N+1)) <= N.
-        if sym.count() <= driver_solve_edges:
-            probe = sym.collect()
+        # limit(N+1).collect() probe, on purpose (this reverses r13's
+        # count-then-collect, which every independent r13 measurement set
+        # showed regressing the CC consumers — the count pays a full
+        # extra cache-materialization pass before the collect). The
+        # executeTake ladder is a handful of micro-jobs here (<=4 rungs
+        # at 32 reduce partitions; scaleUpFactor=4), and for an
+        # OVER-threshold graph it short-circuits as soon as N+1 rows
+        # arrive instead of counting the whole edge list — strictly less
+        # work than count() on both sides of the gate. r14 min-of-5:
+        # dedup_groups 2.23->2.04, entity_resolution 2.22->1.52,
+        # pipeline_e2e 3.60->3.28 (plans/r14/floors.json).
+        probe = sym.limit(driver_solve_edges + 1).collect()
+        if len(probe) <= driver_solve_edges:
             # nodes (not universe): universe's plan references sym, which
             # is unpersisted on return — a caller action on the result
             # would silently re-run the whole upstream pair generation

@@ -530,11 +530,21 @@ def tdigest_rank_bounds(cum: DataFrame, delta: int) -> DataFrame:
     row (it was a 33-element transform+concat evaluated ~115k times per
     pass at sf0.1 — pure constant work hoisted out of the row loop; the
     emitted values are identical)."""
+    return _rank_bounds_from_n(
+        cum.agg(F.max("__hi").cast("long").alias("__n")), delta
+    )
+
+
+def _rank_bounds_from_n(nf: DataFrame, delta: int) -> DataFrame:
+    """Rank-bounds frame from any one-row (__n BIGINT) frame — callers
+    holding a plain histogram derive __n from ``sum(__c)`` (identical to
+    ``max(__hi)`` over the cumulative form, without evaluating the
+    single-partition ordering window a second time)."""
     qs = tdigest_scale_millionths(delta)
     qarr = "array(" + ",".join(str(q) + "L" for q in qs) + ")"
     # r_c for c = 1..delta, with r_0 = 0 prepended (element_at is 1-based:
     # __r[c] = r_{c-1}, __r[c+1] = r_c).
-    return cum.agg(F.max("__hi").cast("long").alias("__n")).withColumn(
+    return nf.withColumn(
         "__r",
         F.expr(
             f"concat(array(0L), transform({qarr},"
@@ -547,10 +557,19 @@ def tdigest_clusters_from_hist(hist: DataFrame, delta: int = 32) -> DataFrame:
     """``tdigest_clusters`` from a pre-built (__v, __c) value histogram —
     the entry point for callers that fan several reads out of ONE
     (possibly checkpointed) histogram pass (``tdigest_quantile_read``)."""
-    return tdigest_clusters_from_cum(tdigest_cum(hist), delta)
+    # Bounds from the PLAIN histogram (sum(__c) == max(__hi) by
+    # construction): a non-checkpointed caller would otherwise evaluate
+    # the single-partition ordering window twice — once under the bounds
+    # agg, once in the crossJoin branch (r13 advice item 2).
+    bounds = _rank_bounds_from_n(
+        hist.agg(F.sum("__c").cast("long").alias("__n")), delta
+    )
+    return tdigest_clusters_from_cum(tdigest_cum(hist), delta, bounds=bounds)
 
 
-def tdigest_clusters_from_cum(cum: DataFrame, delta: int = 32) -> DataFrame:
+def tdigest_clusters_from_cum(
+    cum: DataFrame, delta: int = 32, *, bounds: DataFrame | None = None
+) -> DataFrame:
     """``tdigest_clusters`` from the cumulative histogram (``tdigest_cum``
     output) — callers holding a (checkpointed) cum frame skip the second
     ordering pass entirely."""
@@ -558,7 +577,8 @@ def tdigest_clusters_from_cum(cum: DataFrame, delta: int = 32) -> DataFrame:
     # that would add another single-task exchange+sort pass over the
     # histogram); the one remaining global-order window is the bounded
     # rank pass this operator is allowed (roc_auc discipline).
-    bounds = tdigest_rank_bounds(cum, delta)
+    if bounds is None:
+        bounds = tdigest_rank_bounds(cum, delta)
     cum = cum.crossJoin(F.broadcast(bounds))
     c_lo = F.expr("size(filter(slice(__r, 2, size(__r) - 1), r -> r < __lo)) + 1")
     c_hi = F.expr("size(filter(slice(__r, 2, size(__r) - 1), r -> r < __hi)) + 1")

@@ -116,11 +116,16 @@ def cached_scope(spark: SparkSession):
             pairs.write.parquet(out)          # consume INSIDE the block
 
     On exit, any RDD persisted during the block (and not persisted before
-    it) is unpersisted — pre-existing caches are untouched, and so is
-    ``localCheckpoint`` storage: a checkpointed plan's lineage is
-    truncated, so dropping its blocks would make the result unrecoverable
-    (not merely recomputable). Results must be materialized inside the
-    block; afterwards their plans recompute from source if re-run.
+    it) is unpersisted — pre-existing caches are untouched. This INCLUDES
+    ``localCheckpoint`` storage created inside the block (r13 advice
+    item 5: the eager checkpoints in the t-digest/DSIR/heavy-hitter
+    builders are otherwise exempt from every cleanup path, so a
+    long-lived session — a bench loop, a notebook — accumulates
+    unreleasable blocks run over run). A checkpointed plan's lineage is
+    truncated, so its frame is NOT recomputable after release — which is
+    exactly why the scope contract requires producing AND consuming the
+    result inside the block; a post-scope action on a frame checkpointed
+    inside the scope was never supported.
     """
     before = persistent_rdd_ids(spark)
     try:
@@ -130,8 +135,4 @@ def cached_scope(spark: SparkSession):
         for k in list(jmap.keySet()):
             if int(k) in before:
                 continue
-            jrdd = jmap.get(k)
-            rdd = jrdd.rdd()
-            if rdd.isCheckpointed() or rdd.isLocallyCheckpointed():
-                continue
-            jrdd.unpersist(False)
+            jmap.get(k).unpersist(False)

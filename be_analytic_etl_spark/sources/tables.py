@@ -21,8 +21,9 @@ from pyspark.sql import functions as F
 #: (optimization guide §7.3: driver metadata work). No results or blocks
 #: are cached; every action on the memoized frame still recomputes from
 #: the parquet files. Keyed by applicationId so a restarted session
-#: never sees another JVM's plan objects.
-_TABLE_MEMO: dict[tuple[str, str, str, bool], DataFrame] = {}
+#: never sees another JVM's plan objects, and by the source file's
+#: (mtime_ns, size) so a rewritten file invalidates the entry.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
 
 
 def load_table(
@@ -38,7 +39,17 @@ def load_table(
     """
     import os as _os
 
-    key = (spark.sparkContext.applicationId, sf_dir, name, spread)
+    # The (mtime_ns, size) stat guards against a table file rewritten at
+    # the same path within one application: the memoized plan snapshots
+    # the parquet file index, so serving it over a changed file would
+    # read stale/deleted data (r13 advice item 3). Stat of one path is
+    # ~1 us — negligible next to the listing+footer read the memo skips.
+    try:
+        st = _os.stat(f"{sf_dir}/{name}.parquet")
+        stat_sig = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stat_sig = None
+    key = (spark.sparkContext.applicationId, sf_dir, name, spread, stat_sig)
     if _os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0":
         hit = _TABLE_MEMO.get(key)
         if hit is not None:
@@ -62,10 +73,13 @@ def load_table(
 
 
 def _scan_partition_estimate(spark: SparkSession, path: str) -> int:
-    """Estimate the scan's task count from file bytes / maxPartitionBytes —
-    the same arithmetic Spark's FilePartition packing uses (openCostInBytes
-    ignored: it only ever INCREASES the count, and this estimate gates a
-    repartition that a higher count would skip anyway). Replaces the old
+    """Estimate the scan's task count with Spark's own maxSplitBytes
+    arithmetic: ``bytes / min(maxPartitionBytes, max(openCostInBytes,
+    bytes / defaultParallelism))`` (FilePartition packing, SPARK-24914) —
+    so the estimate tracks actual scan parallelism instead of the
+    conservative bytes/maxPartitionBytes floor, which under-counted
+    splittable mid-size files and triggered repartitions the real scan
+    does not need (r13 advice item 4). Replaces the old
     ``df.rdd.getNumPartitions()`` probe, which converted the plan to an RDD
     on the driver (~0.1 s of py4j + conversion per call, paid by every
     documents/embeddings query). Falls back to a huge count (no repartition)
@@ -79,23 +93,33 @@ def _scan_partition_estimate(spark: SparkSession, path: str) -> int:
         if _os.path.isfile(path):
             bytes_ = _os.path.getsize(path)
         elif _os.path.isdir(path):
-            bytes_ = sum(
-                _os.path.getsize(_os.path.join(path, f))
-                for f in _os.listdir(path)
-                if not f.startswith((".", "_"))
-            )
+            # Recursive walk: a nested/hive-partitioned layout would
+            # otherwise sum 0 bytes and force a repartition shuffle on
+            # every load (r13 advice item 4).
+            bytes_ = 0
+            for root, dirs, files in _os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                bytes_ += sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for f in files
+                    if not f.startswith((".", "_"))
+                )
         else:
             return 1 << 30
     except OSError:
         return 1 << 30
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw.strip().lower())
-    max_pb = (
-        int(m.group(1)) * 1024 ** ("", "k", "m", "g", "t").index(m.group(2))
-        if m
-        else 134217728
-    )
-    return max(1, math.ceil(bytes_ / max_pb))
+    def _size_conf(key: str, default: int) -> int:
+        raw = spark.conf.get(key, f"{default}b")
+        m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw.strip().lower())
+        if not m:
+            return default
+        return int(m.group(1)) * 1024 ** ("", "k", "m", "g", "t").index(m.group(2))
+
+    max_pb = _size_conf("spark.sql.files.maxPartitionBytes", 134217728)
+    open_cost = _size_conf("spark.sql.files.openCostInBytes", 4194304)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    split = min(max_pb, max(open_cost, bytes_ // par or 1))
+    return max(1, math.ceil(bytes_ / split))
 
 
 #: The full star-schema + corpus catalog (TESTDATA.md).

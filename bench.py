@@ -120,7 +120,11 @@ def main() -> None:
             if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p)))
         ]
         rnd = (max(rounds) + 1) if rounds else 0
-        with open(os.path.join(repo, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as fh:
+        # Provenance tag: builder measurement runs set SPARK_GRAFT_BENCH_TAG
+        # (e.g. "r14_opt_baseline") so they never squat on the round name the
+        # driver's own post-round run will use (r13 verdict, "What's wrong" #3).
+        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or f"r{rnd:02d}"
+        with open(os.path.join(repo, f"BENCH_LOCAL_{tag}.json"), "w") as fh:
             json.dump(
                 {
                     "metric": "full_query_suite_wall_seconds",

@@ -1,7 +1,7 @@
-"""Round-13 optimization probe: isolated timing + plan capture per query.
+"""Optimization probe: isolated timing + plan capture per query.
 
 For each named query, in THIS fresh JVM:
-  - capture ``.explain("formatted")`` to plans/r13/<name>_<tag>.txt
+  - capture ``.explain("formatted")`` to plans/$SPARK_GRAFT_PLAN_DIR/<name>_<tag>.txt
   - time N noop-sink runs (same cached_scope discipline as bench.py),
     report each run and the min.
 
@@ -60,14 +60,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    os.makedirs("plans/r13", exist_ok=True)
+    plan_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR", "plans/r14")
+    os.makedirs(plan_dir, exist_ok=True)
     for name in names:
         if plan:
             df = QUERIES[name](spark, SF_DIR)
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            with open(f"plans/r13/{name}_{tag}.txt", "w") as fh:
+            with open(f"{plan_dir}/{name}_{tag}.txt", "w") as fh:
                 fh.write(buf.getvalue())
         times = []
         for r in range(runs):
