@@ -47,15 +47,14 @@ class Finding:
 
 
 def _plan_text(df: DataFrame) -> str:
-    # df.explain prints; capture it (the public API — the JVM-side
-    # explainString overload takes an ExplainMode object, not a string).
-    import io
-    from contextlib import redirect_stdout
-
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
+    # JVM explainString directly (ExplainMode object, not a string):
+    # the old df.explain() + redirect_stdout capture was process-global
+    # state — concurrent lint_plan calls (threaded test fixtures, guide
+    # §2.6 job overlap) stole each other's output and returned empty or
+    # partial plans. This form is thread-safe and skips the print hop.
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
 
 
 def top_level_fields(struct_body: str) -> int:

@@ -47,6 +47,35 @@ EMPTY_PRECONDITIONS = {
 }
 
 
+def _crash_census(spark, data_dir, preconditions, workers=8):
+    """Run every registered query against ``data_dir`` and collect the
+    crash census. The queries are INDEPENDENT jobs, so a small thread
+    pool overlaps them (optimization guide §2.6): each run here is
+    driver/latency-bound micro-work on a poisoned micro-table, and the
+    serial form made these five gates the suite's top-5 cost (1141 s of
+    the 2665 s quiet r14 wall; threaded: ~1.8x less — saturates there
+    on driver-side session locks regardless of pool size). Semantics
+    identical — same queries, same exception classification, same
+    deterministic order (pool.map preserves input order)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from be_analytic_etl_spark.registry import QUERIES
+
+    def probe(item):
+        name, fn = item
+        try:
+            fn(spark, data_dir).collect()
+        except ValueError as e:
+            if preconditions.get(name, "\x00") not in str(e):
+                return (name, f"ValueError: {e}")
+        except Exception as e:  # noqa: BLE001 - we want the census
+            return (name, str(e).splitlines()[0][:100])
+        return None
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return [c for c in pool.map(probe, list(QUERIES.items())) if c]
+
+
 @pytest.fixture(scope="module")
 def one_row_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("degen_one_row"))
@@ -62,17 +91,7 @@ def one_row_dir(spark, tmp_path_factory):
 
 
 def test_every_query_survives_one_row_tables(spark, one_row_dir):
-    from be_analytic_etl_spark.registry import QUERIES
-
-    crashes = []
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, one_row_dir).collect()
-        except ValueError as e:
-            if PRECONDITIONS.get(name, "\x00") not in str(e):
-                crashes.append((name, f"ValueError: {e}"))
-        except Exception as e:  # noqa: BLE001 - we want the census
-            crashes.append((name, str(e).splitlines()[0][:100]))
+    crashes = _crash_census(spark, one_row_dir, PRECONDITIONS)
     assert not crashes, f"{len(crashes)} queries crash on 1-row tables: {crashes}"
 
 
@@ -95,17 +114,7 @@ def test_every_query_survives_empty_tables(spark, empty_dir):
     new source) must produce an empty / NULL-gated result or a clear
     model-fit precondition error — never an UNABLE_TO_INFER_SCHEMA,
     NULL-typed literal, empty-map lookup, or driver-side ZeroDivision."""
-    from be_analytic_etl_spark.registry import QUERIES
-
-    crashes = []
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, empty_dir).collect()
-        except ValueError as e:
-            if EMPTY_PRECONDITIONS.get(name, "\x00") not in str(e):
-                crashes.append((name, f"ValueError: {e}"))
-        except Exception as e:  # noqa: BLE001 - we want the census
-            crashes.append((name, str(e).splitlines()[0][:100]))
+    crashes = _crash_census(spark, empty_dir, EMPTY_PRECONDITIONS)
     assert not crashes, f"{len(crashes)} queries crash on empty tables: {crashes}"
 
 
@@ -149,17 +158,7 @@ def test_every_query_survives_null_poisoned_tables(spark, null_poisoned_dir):
     via one empty-text domain), and a NULL region bucket cast in the
     TSV fixture. All must yield empty/NULL-gated results or the pinned
     model-fit preconditions."""
-    from be_analytic_etl_spark.registry import QUERIES
-
-    crashes = []
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, null_poisoned_dir).collect()
-        except ValueError as e:
-            if EMPTY_PRECONDITIONS.get(name, "\x00") not in str(e):
-                crashes.append((name, f"ValueError: {e}"))
-        except Exception as e:  # noqa: BLE001 - we want the census
-            crashes.append((name, str(e).splitlines()[0][:100]))
+    crashes = _crash_census(spark, null_poisoned_dir, EMPTY_PRECONDITIONS)
     assert not crashes, (
         f"{len(crashes)} queries crash on NULL-poisoned tables: {crashes}"
     )
@@ -203,17 +202,7 @@ def test_every_query_survives_nan_poisoned_tables(spark, nan_poisoned_dir):
     rows, oracle-mirrored with isfinite()) and ext_welch_ttest's zero
     pooled SE (two all-tied groups — a DATA shape, reachable on real
     corpora, now a NULL-safe divide)."""
-    from be_analytic_etl_spark.registry import QUERIES
-
-    crashes = []
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, nan_poisoned_dir).collect()
-        except ValueError as e:
-            if EMPTY_PRECONDITIONS.get(name, "\x00") not in str(e):
-                crashes.append((name, f"ValueError: {e}"))
-        except Exception as e:  # noqa: BLE001 - we want the census
-            crashes.append((name, str(e).splitlines()[0][:100]))
+    crashes = _crash_census(spark, nan_poisoned_dir, EMPTY_PRECONDITIONS)
     assert not crashes, (
         f"{len(crashes)} queries crash on NaN-poisoned tables: {crashes}"
     )
@@ -320,17 +309,7 @@ def test_every_query_survives_string_poisoned_tables(
     adversarial STRING inputs — never a regex blowup, tokenizer crash,
     cast error, or ANSI arithmetic throw triggered by a degenerate
     text/lang/event_type domain."""
-    from be_analytic_etl_spark.registry import QUERIES
-
-    crashes = []
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, string_poisoned_dir).collect()
-        except ValueError as e:
-            if EMPTY_PRECONDITIONS.get(name, "\x00") not in str(e):
-                crashes.append((name, f"ValueError: {e}"))
-        except Exception as e:  # noqa: BLE001 - we want the census
-            crashes.append((name, str(e).splitlines()[0][:100]))
+    crashes = _crash_census(spark, string_poisoned_dir, EMPTY_PRECONDITIONS)
     assert not crashes, (
         f"{len(crashes)} queries crash on string-poisoned tables: {crashes}"
     )

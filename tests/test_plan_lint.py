@@ -71,12 +71,22 @@ def test_cli_lint_runs(spark, capsys):
 def registry_findings(spark):
     """One lint pass over every registered query's plan, shared by the
     whole-registry checks below (a second 244-plan pass would double
-    the suite's most expensive fixture for no information)."""
+    the suite's most expensive fixture for no information). The per-
+    query build+explain work is independent driver-bound latency, so a
+    small thread pool overlaps it (optimization guide §2.6 — this
+    fixture was 152 s serial in the quiet r14 suite timing)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from be_analytic_etl_spark.registry import QUERIES
 
-    return {
-        name: lint_plan(fn(spark, SF_DIR)) for name, fn in QUERIES.items()
-    }
+    items = list(QUERIES.items())
+
+    def one(item):
+        name, fn = item
+        return name, lint_plan(fn(spark, SF_DIR))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return dict(pool.map(one, items))
 
 
 def test_registry_has_no_error_findings(registry_findings):
