@@ -131,6 +131,46 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
     return F.when(n == 0, F.lit(0.0)).otherwise(n_stop.cast("double") / n)
 
 
+def _tokenize_sqltext(c: str) -> str:
+    """SQL text twin of ``tokenize`` (same two references to the trimmed
+    input; dedup._tokenize_sql mirrors this — kept separate because
+    dedup imports from this module)."""
+    t = f"trim(coalesce({c}, ''))"
+    return (
+        f"CASE WHEN {t} = '' THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split({t}, '{WS_PLUS_SQLEXPR}') END"
+    )
+
+
+def _quality_score_sql(c: str) -> str:
+    """``quality_score`` as ONE SQL string (same expression tree, same
+    IEEE operation order — transcribed term by term from the Column
+    form below). Parsed in a single py4j round trip instead of the
+    ~60-call Column chain: quality_score feeds the 14-query ``_q6``
+    family plus a dozen direct call sites, and the Column build cost
+    ~0.3 s per plan (cProfile, r14). Double literals carry the ``D``
+    suffix so they parse as DOUBLE, not DECIMAL."""
+    toks = _tokenize_sqltext(c)
+    cc = f"coalesce({c}, '')"
+    sw = ",".join(f"'{s.lower()}'" for s in STOPWORDS)
+    len_score = f"least(CAST(size({toks}) AS DOUBLE) / 20.0D, 1.0D)"
+    punct_ratio_sql = (
+        f"CASE WHEN length({cc}) = 0 THEN 0.0D "
+        f"ELSE CAST(length({cc}) - length(regexp_replace({cc},"
+        f" '{PUNCT_CLASS}', '')) AS DOUBLE) / length({cc}) END"
+    )
+    punct_penalty = f"greatest(0.0D, 1.0D - ({punct_ratio_sql}) * 5.0D)"
+    stop = (
+        f"CASE WHEN size({toks}) = 0 THEN 0.0D "
+        f"ELSE CAST(size(filter({toks}, tk -> lower(tk) IN ({sw})))"
+        f" AS DOUBLE) / size({toks}) END"
+    )
+    fluency = (
+        f"CASE WHEN ({stop}) BETWEEN 0.01D AND 0.6D THEN 1.0D ELSE 0.5D END"
+    )
+    return f"{len_score} * ({punct_penalty}) * ({fluency})"
+
+
 def quality_score(col: Column | str, round_to: int | None = 4) -> Column:
     """Composite [0,1] quality heuristic: long enough, not punctuation-heavy,
     reasonable stopword density (a fluency proxy).
@@ -138,13 +178,24 @@ def quality_score(col: Column | str, round_to: int | None = 4) -> Column:
     ``round_to=None`` returns the raw double — every input is an exact
     integer division, so the product is bit-identical across engines and
     safer for oracle comparison than rounding (which has tie hazards).
+
+    Pass ``col`` as a column NAME to get the score as one parsed SQL
+    expression (cheap plan build — the minhash discipline); a Column
+    falls back to the lambda-composed form (identical tree/values).
     """
-    n_tok = token_count(col)
-    len_score = F.least(n_tok.cast("double") / 20.0, F.lit(1.0))
-    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
-    stop = stopword_ratio(col)
-    fluency = F.when(stop.between(0.01, 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
-    score = len_score * punct_penalty * fluency
+    if isinstance(col, str):
+        score = F.expr(_quality_score_sql(col))
+    else:
+        n_tok = token_count(col)
+        len_score = F.least(n_tok.cast("double") / 20.0, F.lit(1.0))
+        punct_penalty = F.greatest(
+            F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0
+        )
+        stop = stopword_ratio(col)
+        fluency = F.when(stop.between(0.01, 0.6), F.lit(1.0)).otherwise(
+            F.lit(0.5)
+        )
+        score = len_score * punct_penalty * fluency
     return F.round(score, round_to) if round_to is not None else score
 
 
@@ -175,7 +226,28 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str, default: str = "und") -> Column:
     """Argmax language by marker score: first language (sorted code order)
-    holding the maximal score; all-zero scores -> ``default``."""
+    holding the maximal score; all-zero scores -> ``default``.
+
+    A column NAME builds the whole CASE as one parsed SQL expression
+    (the minhash plan-build discipline; the Column chain was ~0.13 s of
+    py4j per build); a Column falls back to the composed form
+    (identical tree/values)."""
+    if isinstance(col, str):
+        toks = _tokenize_sqltext(col)
+        langs = sorted(LANG_MARKERS)
+        score = {
+            lang: (
+                f"size(filter({toks}, tk -> lower(tk) IN ("
+                + ",".join(f"'{m}'" for m in LANG_MARKERS[lang])
+                + ")))"
+            )
+            for lang in langs
+        }
+        mx = "greatest(" + ",".join(score[lang] for lang in langs) + ")"
+        chain = f"CASE WHEN {mx} = 0 THEN '{default}' " + "".join(
+            f"WHEN {score[lang]} = {mx} THEN '{lang}' " for lang in langs
+        )
+        return F.expr(chain + f"ELSE '{default}' END")
     scores = lang_scores(col)
     langs = sorted(scores)
     mx = F.greatest(*[scores[lang] for lang in langs])
