@@ -526,30 +526,48 @@ def bigram_lm_doc_score(
     contexts take the smoothed floor, so scoring against a *reference* LM
     (``lm_df`` = another corpus) works unchanged.
     """
+    from pyspark import StorageLevel
+
     bg_struct = F.expr(
         "transform(sequence(1, size(__t) - 1), "
         "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
     )
+    # Tokenize ONCE: doc bigrams, LM bigram counts and LM unigram counts
+    # all read the persisted token projection instead of re-tokenizing
+    # the corpus (three full text scans before — exactly the collapse
+    # the scale note below always promised; r13 verdict item 8). The
+    # one-row vocab fold is computed eagerly as the sequential first
+    # consumer, filling the toks and unigram caches in a single pass
+    # (the kept-frame discipline from minhash_lsh_pairs).
+    toks_all = df.select(
+        F.col(id_col).alias("__id"), tokenize(text_col).alias("__t")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     doc_bg = (
-        df.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__t"))
-        .filter(F.size("__t") >= 2)
+        toks_all.filter(F.size("__t") >= 2)
         .select("__id", F.explode(bg_struct).alias("bg"))
         .select("__id", "bg.w1", "bg.w2")
     )
-    lm_src = df if lm_df is None else lm_df
+    lm_toks = (
+        toks_all
+        if lm_df is None
+        else lm_df.select(tokenize(text_col).alias("__t"))
+    )
     lm_bg = (
-        lm_src.select(tokenize(text_col).alias("__t"))
-        .filter(F.size("__t") >= 2)
+        lm_toks.filter(F.size("__t") >= 2)
         .select(F.explode(bg_struct).alias("bg"))
         .groupBy("bg.w1", "bg.w2")
         .agg(F.count(F.lit(1)).alias("c_bigram"))
     )
     lm_uni = (
-        lm_src.select(F.explode(tokenize(text_col)).alias("w1"))
+        lm_toks.select(F.explode("__t").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c_unigram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vocab = lm_uni.agg(F.count(F.lit(1)).alias("__v"))
+    vocab = lm_uni.agg(F.count(F.lit(1)).alias("__v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    vocab.count()
 
     p = (
         (F.coalesce(F.col("c_bigram"), F.lit(0)).cast("double") + F.lit(k))
